@@ -1,0 +1,209 @@
+"""H.264 4x4 integer transform + quantization, batched for TPU.
+
+Bit-exact re-expression of the JM 8.6 kernels used by the reference codec
+(``FR/src/block.c:836`` dct_luma, ``:535`` dct_luma_16x16, ``:1065`` dct_chroma,
+quant tables at ``FR/src/block.c:60-76``) as shape-``[..., 4, 4]`` batched JAX
+ops.  Everything is int32; the butterflies are elementwise adds/shifts (VPU) and
+the forward core is a pair of small matmuls.  There is no per-block Python loop
+anywhere — callers reshape a frame into ``[N, 4, 4]`` blocks and transform all
+of them in one fused XLA computation.
+
+Conventions: blocks are row-major ``x[row, col]``.  The reference stores
+``m7[x][y]`` (column-major); the 2-D transform and the quant tables are
+symmetric under transpose, so results agree elementwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Forward core matrix Cf (H.264 spec 8.6.2 / JM "horizontal transform" butterflies).
+CF = np.array(
+    [[1, 1, 1, 1],
+     [2, 1, -1, -2],
+     [1, -1, -1, 1],
+     [1, -2, 2, -1]], dtype=np.int32)
+
+# Quantization multiplier table MF[qp%6][i][j] (FR/src/block.c:60).
+QUANT_COEF = np.array([
+    [[13107, 8066, 13107, 8066], [8066, 5243, 8066, 5243],
+     [13107, 8066, 13107, 8066], [8066, 5243, 8066, 5243]],
+    [[11916, 7490, 11916, 7490], [7490, 4660, 7490, 4660],
+     [11916, 7490, 11916, 7490], [7490, 4660, 7490, 4660]],
+    [[10082, 6554, 10082, 6554], [6554, 4194, 6554, 4194],
+     [10082, 6554, 10082, 6554], [6554, 4194, 6554, 4194]],
+    [[9362, 5825, 9362, 5825], [5825, 3647, 5825, 3647],
+     [9362, 5825, 9362, 5825], [5825, 3647, 5825, 3647]],
+    [[8192, 5243, 8192, 5243], [5243, 3355, 5243, 3355],
+     [8192, 5243, 8192, 5243], [5243, 3355, 5243, 3355]],
+    [[7282, 4559, 7282, 4559], [4559, 2893, 4559, 2893],
+     [7282, 4559, 7282, 4559], [4559, 2893, 4559, 2893]],
+], dtype=np.int32)
+
+# Dequantization table V[qp%6][i][j] (FR/src/block.c:69).
+DEQUANT_COEF = np.array([
+    [[10, 13, 10, 13], [13, 16, 13, 16], [10, 13, 10, 13], [13, 16, 13, 16]],
+    [[11, 14, 11, 14], [14, 18, 14, 18], [11, 14, 11, 14], [14, 18, 14, 18]],
+    [[13, 16, 13, 16], [16, 20, 16, 20], [13, 16, 13, 16], [16, 20, 16, 20]],
+    [[14, 18, 14, 18], [18, 23, 18, 23], [14, 18, 14, 18], [18, 23, 18, 23]],
+    [[16, 20, 16, 20], [20, 25, 20, 25], [16, 20, 16, 20], [20, 25, 20, 25]],
+    [[18, 23, 18, 23], [23, 29, 23, 29], [18, 23, 18, 23], [23, 29, 23, 29]],
+], dtype=np.int32)
+
+Q_BITS = 15
+DQ_BITS = 6
+DQ_ROUND = 1 << (DQ_BITS - 1)
+
+# Zig-zag scan (row, col) order for frame coding (JM SNGL_SCAN, FR/src/block.c).
+ZIGZAG_4x4 = np.array(
+    [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+     (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)],
+    dtype=np.int32)
+# flat index (row*4+col) per scan position
+ZIGZAG_FLAT = ZIGZAG_4x4[:, 0] * 4 + ZIGZAG_4x4[:, 1]
+# inverse: scan position of each flat index
+ZIGZAG_INV = np.argsort(ZIGZAG_FLAT).astype(np.int32)
+
+
+def fdct4x4(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward 4x4 integer transform W = Cf @ X @ Cf^T over [..., 4, 4] int32."""
+    cf = jnp.asarray(CF)
+    return jnp.einsum("ij,...jk,lk->...il", cf, x.astype(jnp.int32), cf)
+
+
+def quant4x4(w: jnp.ndarray, qp: int, intra: bool = False) -> jnp.ndarray:
+    """Quantize transform coefficients.
+
+    ``level = sign(w) * ((|w| * MF[qp%6] + qp_const) >> q_bits)``.
+    The reference codec uses ``qp_const = (1<<q_bits)/3`` for BOTH intra and
+    inter (``FR/src/block.c:862-865`` has /3 in both branches); we keep an
+    ``intra`` arg for future JM-18.5 parity (which uses /6 for inter) but
+    default to the reference behavior.
+    """
+    del intra  # reference uses the intra constant unconditionally
+    qp_per, qp_rem = qp // 6, qp % 6
+    q_bits = Q_BITS + qp_per
+    qp_const = (1 << q_bits) // 3
+    mf = jnp.asarray(QUANT_COEF[qp_rem])
+    lev = (jnp.abs(w) * mf + qp_const) >> q_bits
+    return jnp.sign(w) * lev
+
+
+def dequant4x4(level: jnp.ndarray, qp: int) -> jnp.ndarray:
+    """Dequantize: ``ilev = level * V[qp%6] << (qp//6)`` (FR/src/block.c:959)."""
+    qp_per, qp_rem = qp // 6, qp % 6
+    v = jnp.asarray(DEQUANT_COEF[qp_rem])
+    return (level * v) << qp_per
+
+
+def idct4x4(w: jnp.ndarray) -> jnp.ndarray:
+    """Inverse 4x4 transform (JM butterflies with >>1), WITHOUT the final
+    (x+32)>>6 normalization.  Input/output [..., 4, 4] int32.
+    """
+    w = w.astype(jnp.int32)
+
+    def stage(m):  # operates on last axis of length 4
+        m0, m1, m2, m3 = m[..., 0], m[..., 1], m[..., 2], m[..., 3]
+        a = m0 + m2
+        b = m0 - m2
+        c = (m1 >> 1) - m3
+        d = m1 + (m3 >> 1)
+        return jnp.stack([a + d, b + c, b - c, a - d], axis=-1)
+
+    # rows then columns (order is mathematically irrelevant; shifts are per-stage)
+    t = stage(jnp.swapaxes(w, -1, -2))          # transform columns
+    t = stage(jnp.swapaxes(t, -1, -2))          # transform rows
+    return t
+
+
+def reconstruct(pred: jnp.ndarray, idct_out: jnp.ndarray) -> jnp.ndarray:
+    """clip(pred + (idct_out + 32) >> 6, 0, 255) — final stage of FR dct_luma.
+
+    Exact split of JM's fused ``(m6 + (pred<<6) + 32) >> 6`` since
+    ``(a + 64p) >> 6 == (a >> 6) + p`` for two's-complement arithmetic shift.
+    """
+    r = pred.astype(jnp.int32) + ((idct_out + DQ_ROUND) >> DQ_BITS)
+    return jnp.clip(r, 0, 255)
+
+
+def transform_quant_reconstruct(residual: jnp.ndarray, pred: jnp.ndarray, qp: int,
+                                intra: bool = False):
+    """Full residual coding path for a batch of 4x4 blocks.
+
+    Returns (levels [...,4,4] in raster order, recon [...,4,4] uint8-range int32).
+    This is the TPU equivalent of ``FR/src/block.c:836`` dct_luma run over every
+    4x4 block of a frame at once.
+    """
+    w = fdct4x4(residual)
+    lev = quant4x4(w, qp, intra)
+    deq = dequant4x4(lev, qp)
+    rec = reconstruct(pred, idct4x4(deq))
+    return lev, rec
+
+
+# ---------------------------------------------------------------------------
+# Hadamard transforms for DC coefficients
+# ---------------------------------------------------------------------------
+
+H4 = np.array(
+    [[1, 1, 1, 1],
+     [1, 1, -1, -1],
+     [1, -1, -1, 1],
+     [1, -1, 1, -1]], dtype=np.int32)
+
+
+def hadamard4x4_fwd(dc: jnp.ndarray) -> jnp.ndarray:
+    """Forward 4x4 Hadamard on the 16 luma DC coefficients of an intra-16x16 MB
+    with JM's /2 normalization (FR/src/block.c dct_luma_16x16: M6 stage then //2).
+    """
+    h = jnp.asarray(H4)
+    t = jnp.einsum("ij,...jk,lk->...il", h, dc.astype(jnp.int32), h)
+    # JM divides by 2 with rounding toward zero after the 2-D butterfly
+    return jnp.sign(t) * (jnp.abs(t) >> 1)
+
+
+def hadamard4x4_inv(dc: jnp.ndarray) -> jnp.ndarray:
+    """Inverse 4x4 Hadamard (no normalization; caller applies JM scaling)."""
+    h = jnp.asarray(H4)
+    return jnp.einsum("ij,...jk,lk->...il", h, dc.astype(jnp.int32), h)
+
+
+H2 = np.array([[1, 1], [1, -1]], dtype=np.int32)
+
+
+def hadamard2x2(dc: jnp.ndarray) -> jnp.ndarray:
+    """2x2 Hadamard for chroma DC (both directions are identical)."""
+    h = jnp.asarray(H2)
+    return jnp.einsum("ij,...jk,lk->...il", h, dc.astype(jnp.int32), h)
+
+
+# ---------------------------------------------------------------------------
+# Frame <-> block reshaping helpers
+# ---------------------------------------------------------------------------
+
+def frame_to_blocks(plane: jnp.ndarray, bs: int = 4) -> jnp.ndarray:
+    """[H, W] -> [H//bs * W//bs, bs, bs] in raster block order."""
+    h, w = plane.shape
+    x = plane.reshape(h // bs, bs, w // bs, bs)
+    return x.transpose(0, 2, 1, 3).reshape(-1, bs, bs)
+
+
+def blocks_to_frame(blocks: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of :func:`frame_to_blocks`."""
+    bs = blocks.shape[-1]
+    x = blocks.reshape(h // bs, w // bs, bs, bs)
+    return x.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def zigzag_scan(levels: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4, 4] raster levels -> [..., 16] in zig-zag scan order."""
+    flat = levels.reshape(*levels.shape[:-2], 16)
+    return flat[..., jnp.asarray(ZIGZAG_FLAT)]
+
+
+def zigzag_unscan(scanned: jnp.ndarray) -> jnp.ndarray:
+    """[..., 16] zig-zag order -> [..., 4, 4] raster."""
+    flat = scanned[..., jnp.asarray(ZIGZAG_INV)]
+    return flat.reshape(*scanned.shape[:-1], 4, 4)

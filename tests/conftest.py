@@ -1,0 +1,32 @@
+"""Test configuration: run on CPU with 8 virtual devices so sharding tests work
+without TPU hardware (the driver separately dry-runs multichip compile)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np
+import pytest
+
+
+REF_ROOT = "/root/reference"
+FOREMAN_QCIF = os.path.join(
+    REF_ROOT, "4.对比程序", "jm18.5", "JM", "bin", "foreman_part_qcif.yuv")
+
+
+@pytest.fixture(scope="session")
+def foreman_qcif():
+    """Real test sequence shipped with the reference (176x144 YUV420)."""
+    if not os.path.exists(FOREMAN_QCIF):
+        pytest.skip("foreman_part_qcif.yuv not available")
+    from h264tpu.utils.yuv import YUVReader
+    return YUVReader(FOREMAN_QCIF, 176, 144)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
