@@ -1,0 +1,484 @@
+"""Fractal (PIFS) P-frame engine — batched TPU search, fit, and reconstruction.
+
+TPU-first re-design of the reference thesis codec's fractal engine
+(``FR/src/compute.c`` domain/range sum tables + closed-form fit,
+``FR/src/block_enc.c`` quadtree search, ``FR/src/block_dec.c`` non-iterative
+reconstruction).  Instead of per-block spiral loops, we evaluate the ENTIRE
+``[blocks x candidates x references]`` lattice at once:
+
+* domain sums at every pixel offset come from integral images (exact int32
+  window sums via wrap-safe prefix-sum differencing) — replacing the 7-shape
+  sum pyramids of ``compute_domain_Sum`` (``FR/src/compute.c:277``);
+* the cross term Σr·d is computed once at 4x4-cell granularity for all offsets
+  (``cross4``); every block shape's Σr·d is a cell-pool of it — replacing the
+  per-candidate pixel loop ``compute_rdSum`` (``FR/src/compute.c:192``);
+* the α/β least-squares fit + quantization and the closed-form RMS
+  (``FR/src/compute.c:6`` compute_rms) are evaluated for all candidates
+  simultaneously; ties resolve by spiral order then reference order, exactly
+  reproducing the sequential strict-improvement scan of ``full_search``
+  (``FR/src/block_enc.c:1933``);
+* the quadtree descent 16x16 -> 8x8 -> {8x4,4x8} -> 4x4 with the
+  normalized-correlation ("chun") gate (``FR/src/block_enc.c:847``) becomes a
+  vectorized per-MB decision over precomputed per-shape best arrays.  (In the
+  reference's active code path the 16x8/8x16 trial at MB level is dead code —
+  its ``mode=4`` break is commented out — so a failing 16x16 always descends
+  to the 8x8 quadtree; we reproduce that shape set.)
+
+Deviations from the reference, by design:
+* The reference never actually fills its half-pel planes H/M/N (the
+  interpolation loops at ``FR/src/code.c:230-253`` are commented out), so its
+  H/M/N searches read uninitialized memory.  We implement the documented
+  behavior: H = horizontal, M = vertical, N = diagonal bilinear averages.
+* Reconstruction uses an exact integer formula equal to the real-valued
+  ``bound(0.5 + α·d + β − α·mean(d))`` of ``FR/src/block_dec.c:113``; the
+  reference's double rounding can differ only when the true value sits exactly
+  on an integer boundary.
+* The α fit is evaluated in f32 from exact int32 sums (reference: float64);
+  the quantized index can differ only within ~1e-4 of a lattice boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+INF_RMS = jnp.float32(1e30)
+
+# α lattice: a = α·100 ∈ [-235, 400] quantized by QUAN_A; β ∈ [-60,255] step 5
+A_MIN, A_MAX = -235, 400
+BETA_MIN, BETA_MAX = -60, 255
+
+
+# ---------------------------------------------------------------------------
+# Quantizers (FR/inc/defines_enc.h:591 QUAN_A)
+# ---------------------------------------------------------------------------
+
+def quan_a(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact replica of the reference's QUAN_A macro on int32 input.
+
+    C semantics: ``b = x % 10; c = x / 10`` (both truncate toward zero);
+    digits 3..7 -> 5, digits 8..9 -> carry to next ten, else 0.  For negative
+    x the C ``%`` gives b <= 0, so negatives always truncate toward zero to a
+    multiple of ten — a quirk we reproduce.
+    """
+    x = x.astype(jnp.int32)
+    c = jnp.sign(x) * (jnp.abs(x) // 10)        # truncate toward zero
+    b = x - c * 10
+    mid = (b > 2) & (b < 8)
+    hi = b > 7
+    b_new = jnp.where(mid, 5, 0)
+    c_new = jnp.where(hi, c + 1, c)
+    return c_new * 10 + b_new
+
+
+# ---------------------------------------------------------------------------
+# Reference planes
+# ---------------------------------------------------------------------------
+
+def halfpel_planes(ref: jnp.ndarray):
+    """Bilinear half-pel planes (H, M, N) from an int32 plane.
+
+    Documented behavior of the reference (commented loops at
+    ``FR/src/code.c:230-253``): truncating integer averages, with last
+    row/column copied.
+    """
+    ref = ref.astype(jnp.int32)
+    right = jnp.concatenate([ref[:, 1:], ref[:, -1:]], axis=1)
+    down = jnp.concatenate([ref[1:, :], ref[-1:, :]], axis=0)
+    downright = jnp.concatenate([right[1:, :], right[-1:, :]], axis=0)
+    h = (ref + right) // 2
+    m = (ref + down) // 2
+    n = (ref + down + right + downright) // 4
+    # boundary pixels copy the integer-pel value
+    h = h.at[:, -1].set(ref[:, -1])
+    m = m.at[-1, :].set(ref[-1, :])
+    n = n.at[-1, :].set(ref[-1, :])
+    n = n.at[:, -1].set(ref[:, -1])
+    return h, m, n
+
+
+def build_reference_stack(ref: jnp.ndarray, use_halfpel: bool) -> jnp.ndarray:
+    """[R, H, W] int32 stack of reference planes: C (+H, M, N)."""
+    ref = ref.astype(jnp.int32)
+    if not use_halfpel:
+        return ref[None]
+    h, m, n = halfpel_planes(ref)
+    return jnp.stack([ref, h, m, n])
+
+
+# ---------------------------------------------------------------------------
+# Sum tables
+# ---------------------------------------------------------------------------
+
+def integral_image(x: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> [H+1, W+1] int32 inclusive prefix sums with zero border.
+
+    int32 overflow wraps (two's complement in XLA); window sums recovered by
+    differencing are exact whenever the true window sum fits in int31, which
+    holds for all our shapes (<= 255^2 * 256 ~ 1.7e7).
+    """
+    x = x.astype(jnp.int32)
+    ii = jnp.cumsum(jnp.cumsum(x, axis=0, dtype=jnp.int32), axis=1, dtype=jnp.int32)
+    return jnp.pad(ii, ((1, 0), (1, 0)))
+
+
+def window_sums(ii: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Sliding sums over [y:y+h, x:x+w] for every top-left (y, x).
+
+    Returns [H, W] (same size as the plane, zero-padded at invalid
+    bottom/right positions where the window would cross the frame edge).
+    """
+    s = ii[h:, w:] - ii[:-h, w:] - ii[h:, :-w] + ii[:-h, :-w]
+    return jnp.pad(s, ((0, h - 1), (0, w - 1)))
+
+
+def range_cell_sums(org: jnp.ndarray):
+    """Per aligned 4x4 cell Σr and Σr² -> two [H/4, W/4] int32 arrays
+    (cf. ``compute_range_Sum``, FR/src/compute.c:686, collapsed to the 4x4
+    base level — larger shapes pool these cells)."""
+    o = org.astype(jnp.int32)
+    h, w = o.shape
+    c = o.reshape(h // 4, 4, w // 4, 4)
+    s1 = c.sum(axis=(1, 3), dtype=jnp.int32)
+    s2 = (c * c).sum(axis=(1, 3), dtype=jnp.int32)
+    return s1, s2
+
+
+def spiral_offsets(search_range: int) -> np.ndarray:
+    """All (dx, dy) integer offsets in visit order of the reference's spiral
+    scan (``full_search``, FR/src/block_enc.c:1944-1977): center first, then
+    ring l = 1..SR starting at (-l,-l), running right, down, left, up.
+    Index in the returned array IS the tie-break priority.
+    Returns [nOff, 2] int32 (dx, dy)."""
+    out = [(0, 0)]
+    for l in range(1, search_range + 1):
+        i = j = -l
+        for k in range(8 * l):
+            out.append((i, j))
+            if k < 2 * l:
+                i += 1
+            elif k < 4 * l:
+                j += 1
+            elif k < 6 * l:
+                i -= 1
+            else:
+                j -= 1
+    return np.asarray(out, dtype=np.int32)
+
+
+def cross_cell_sums(org: jnp.ndarray, ref: jnp.ndarray, offsets: np.ndarray,
+                    chunk: int = 32) -> jnp.ndarray:
+    """Σ r·d over each aligned 4x4 cell for every candidate offset.
+
+    Returns ``cross4`` [nOff, H/4, W/4] int32.  This one array carries the
+    cross term for EVERY block shape at every position (pool cells to get a
+    shape's Σr·d), replacing the innermost pixel loop of the reference
+    (``compute_rdSum``).  Out-of-range taps read zero-padding; those
+    candidates are masked later by the bound check.
+    """
+    H, W = org.shape
+    sr = int(np.abs(offsets).max())
+    o = org.astype(jnp.int32)
+    padded = jnp.pad(ref.astype(jnp.int32), sr)
+    offs = jnp.asarray(offsets)
+
+    def one(off):
+        dx, dy = off[0], off[1]
+        shifted = jax.lax.dynamic_slice(padded, (sr + dy, sr + dx), (H, W))
+        prod = o * shifted
+        return prod.reshape(H // 4, 4, W // 4, 4).sum(axis=(1, 3), dtype=jnp.int32)
+
+    return jax.lax.map(one, offs, batch_size=chunk)
+
+
+# ---------------------------------------------------------------------------
+# α/β fit + RMS (compute_rms, FR/src/compute.c:6)
+# ---------------------------------------------------------------------------
+
+def fit_and_rms(n: int, s_r: jnp.ndarray, s_r2: jnp.ndarray, s_d: jnp.ndarray,
+                s_d2: jnp.ndarray, s_rd: jnp.ndarray):
+    """Closed-form least-squares fit with exact quantization + RMS.
+
+    All inputs exact int32 sums over an N-pixel block (N a power of two);
+    shapes broadcast.  Returns (a, beta, rms) broadcast to the common shape:
+    ``a`` = quantized α·100 (int32), ``beta`` int32 multiple of 5, ``rms``
+    f32 (1e30 where the fit is out of bounds, matching the reject path of
+    compute_rms).
+    """
+    assert n & (n - 1) == 0, "block pixel count must be a power of two"
+    s_r = s_r.astype(jnp.int32)
+    s_d = s_d.astype(jnp.int32)
+
+    if n == 256:
+        # N·Σrd and Σr·Σd reach 2^32; compute num/256 and det/256 in f32 from
+        # exact int32 pieces (products of 16/8-bit halves stay < 2^25).
+        dh, dl = s_d >> 8, s_d & 255
+        num = (s_rd - s_r * dh).astype(jnp.float32) - (s_r * dl).astype(jnp.float32) / 256.0
+        det = (s_d2 - s_d * dh).astype(jnp.float32) - (s_d * dl).astype(jnp.float32) / 256.0
+    else:
+        num = (n * s_rd - s_r * s_d).astype(jnp.float32)   # |.| < 2^31 for n <= 128
+        det = (n * s_d2 - s_d * s_d).astype(jnp.float32)
+    det_zero = det == 0.0
+    alpha = jnp.where(det_zero, 0.0, num / jnp.where(det_zero, 1.0, det))
+
+    a_raw = jnp.clip(jnp.trunc(alpha * 100.0), -1e6, 1e6).astype(jnp.int32)
+    a = jnp.where(det_zero, 0, quan_a(a_raw))
+    beta = quan_a(s_r // n)                  # Σr >= 0 so // == C truncation
+    ok = (a >= A_MIN) & (a <= A_MAX) & (beta >= BETA_MIN) & (beta <= BETA_MAX)
+
+    aq = a.astype(jnp.float32) / 100.0
+    bq = beta.astype(jnp.float32)
+    mean_term = bq - aq * s_d.astype(jnp.float32) / n
+    rms = (s_r2.astype(jnp.float32)
+           + aq * (aq * s_d2.astype(jnp.float32) - 2.0 * s_rd.astype(jnp.float32)
+                   + 2.0 * mean_term * s_d.astype(jnp.float32))
+           + mean_term * (mean_term * n - 2.0 * s_r.astype(jnp.float32)))
+    rms = jnp.where(ok, rms, INF_RMS)
+    shape = jnp.broadcast_shapes(rms.shape, a.shape, beta.shape)
+    return (jnp.broadcast_to(a, shape), jnp.broadcast_to(beta, shape),
+            jnp.broadcast_to(rms, shape))
+
+
+class ShapeBest(NamedTuple):
+    """Best candidate per block of one shape grid, reduced over offsets and
+    reference planes."""
+    rms: jnp.ndarray      # [nby, nbx] f32
+    a: jnp.ndarray        # quantized α·100, int32
+    beta: jnp.ndarray     # int32
+    dx: jnp.ndarray       # chosen offset, int32
+    dy: jnp.ndarray
+    ref: jnp.ndarray      # reference plane index, int32
+    s_d: jnp.ndarray      # Σd of the chosen domain block, int32 (decoder needs mean d)
+
+
+def _pool_cells(x: jnp.ndarray, ch: int, cw: int) -> jnp.ndarray:
+    """Sum trailing [Cy, Cx] cells into non-overlapping (ch x cw) groups."""
+    *lead, cy, cx = x.shape
+    r = x.reshape(*lead, cy // ch, ch, cx // cw, cw)
+    return r.sum(axis=(-3, -1), dtype=x.dtype)
+
+
+def best_for_shape(org_c1, org_c2, ref_planes, cross4_stack, shape,
+                   offsets, H, W):
+    """Evaluate every (block, offset, ref) candidate for one shape.
+
+    org_c1/org_c2: [H/4, W/4] range cell sums.  ref_planes: [R, H, W] int32.
+    cross4_stack: [R, nOff, H/4, W/4].  shape: (bh, bw).
+    Returns a ShapeBest with the offset+ref axes reduced, following the
+    reference's tie-break: lowest rms, then earliest reference (C,H,M,N,
+    cf. the sequential strict-< cascade at FR/src/block_enc.c:560-830), then
+    earliest spiral position.
+    """
+    bh, bw = shape
+    n = bh * bw
+    ch, cw = bh // 4, bw // 4
+    nby, nbx = H // bh, W // bw
+    n_off = offsets.shape[0]
+    n_ref = ref_planes.shape[0]
+
+    s_r = _pool_cells(org_c1, ch, cw)                             # [nby, nbx]
+    s_r2 = _pool_cells(org_c2, ch, cw)
+
+    # Σrd per (ref, off, block)
+    s_rd = _pool_cells(cross4_stack, ch, cw)                      # [R, nOff, nby, nbx]
+    s_rd = jnp.moveaxis(s_rd, 1, -1)                              # [R, nby, nbx, nOff]
+
+    # domain sums at (block origin + offset) for every ref
+    offs = jnp.asarray(offsets)                                   # [nOff, 2]
+    by = jnp.arange(nby, dtype=jnp.int32) * bh
+    bx = jnp.arange(nbx, dtype=jnp.int32) * bw
+    ys = by[:, None, None] + offs[None, None, :, 1]               # [nby, 1, nOff]
+    xs = bx[None, :, None] + offs[None, None, :, 0]               # [1, nbx, nOff]
+    valid = (ys >= 0) & (ys <= H - bh) & (xs >= 0) & (xs <= W - bw)
+    ysc = jnp.clip(ys, 0, H - bh)
+    xsc = jnp.clip(xs, 0, W - bw)
+
+    def dom_sums(ref):
+        ii1 = integral_image(ref)
+        ii2 = integral_image(ref * ref)
+        d1 = window_sums(ii1, bh, bw)
+        d2 = window_sums(ii2, bh, bw)
+        return d1[ysc, xsc], d2[ysc, xsc]                         # [nby, nbx, nOff]
+
+    d1s, d2s = jax.vmap(dom_sums)(ref_planes)                     # [R, nby, nbx, nOff]
+
+    a, beta, rms = fit_and_rms(
+        n, s_r[None, :, :, None], s_r2[None, :, :, None], d1s, d2s, s_rd)
+    rms = jnp.where(valid[None], rms, INF_RMS)
+
+    # reduce (ref, off) with lexicographic tie-break (rms, ref, spiral idx):
+    # flatten ref-major so argmax-of-first-minimum picks earliest ref then
+    # earliest spiral position.
+    def flat(arr):
+        return arr.transpose(1, 2, 0, 3).reshape(nby, nbx, n_ref * n_off)
+
+    rms_f = flat(rms)
+    best_rms = jnp.min(rms_f, axis=-1)
+    pri_idx = jnp.argmax(rms_f == best_rms[..., None], axis=-1)   # [nby, nbx]
+    ref_idx = (pri_idx // n_off).astype(jnp.int32)
+    off_idx = (pri_idx % n_off).astype(jnp.int32)
+
+    def take(arr):
+        return jnp.take_along_axis(flat(arr), pri_idx[..., None], axis=-1)[..., 0]
+
+    return ShapeBest(
+        rms=best_rms,
+        a=take(a),
+        beta=take(beta),
+        dx=offs[off_idx, 0],
+        dy=offs[off_idx, 1],
+        ref=ref_idx,
+        s_d=take(jnp.broadcast_to(d1s, rms.shape).astype(jnp.int32)),
+    )
+
+
+class TransTree(NamedTuple):
+    """Vectorized TRANS_NODE forest for one plane (cf. FR/inc/defines_enc.h:45).
+
+    mb_split: [nMBy, nMBx] bool — True = 8x8 quadtree, False = 16x16 leaf.
+    b8_mode:  [2nMBy, 2nMBx] int32 — 0: 8x8 leaf, 1: 8x4 halves, 2: 4x8
+              halves, 3: 4x4 split (meaningful only under split MBs).
+    s16/s8/s84/s48/s44: ShapeBest arrays on their natural grids.
+    """
+    mb_split: jnp.ndarray
+    b8_mode: jnp.ndarray
+    s16: ShapeBest
+    s8: ShapeBest
+    s84: ShapeBest
+    s48: ShapeBest
+    s44: ShapeBest
+
+
+def chun_correlation(org, ref_c):
+    """Squared normalized correlation of each 16x16 block with its co-located
+    block in the C reference (``FR/src/block_enc.c:800-847``).  Returns
+    [nMBy, nMBx] f32; NaN where either side has zero variance (which the
+    reference's comparisons treat as "do not split")."""
+    H, W = org.shape
+    o = org.astype(jnp.float32).reshape(H // 16, 16, W // 16, 16)
+    d = ref_c.astype(jnp.float32).reshape(H // 16, 16, W // 16, 16)
+    om = o.mean(axis=(1, 3), keepdims=True)
+    dm = d.mean(axis=(1, 3), keepdims=True)
+    cov = ((o - om) * (d - dm)).sum(axis=(1, 3))
+    var_o = ((o - om) ** 2).sum(axis=(1, 3))
+    var_d = ((d - dm) ** 2).sum(axis=(1, 3))
+    return cov * cov / (var_o * var_d)
+
+
+def search_plane(org: jnp.ndarray, ref_final: jnp.ndarray, *, search_range: int,
+                 tol16: float, tol8: float, use_halfpel: bool = True,
+                 cross_chunk: int = 32) -> TransTree:
+    """Full fractal search of one plane against the previous reconstruction.
+
+    The TPU expression of ``encode_one_macroblock`` (FR/src/block_enc.c:508)
+    run over every MB at once.  ``org``/``ref_final`` are [H, W] int32-like;
+    H and W must be multiples of 16.
+    """
+    H, W = org.shape
+    assert H % 16 == 0 and W % 16 == 0
+    org = org.astype(jnp.int32)
+    refs = build_reference_stack(ref_final, use_halfpel)
+    offsets = spiral_offsets(search_range)
+
+    oc1, oc2 = range_cell_sums(org)
+    cross4 = jax.vmap(
+        lambda r: cross_cell_sums(org, r, offsets, cross_chunk))(refs)
+
+    bs = functools.partial(best_for_shape, oc1, oc2, refs, cross4,
+                           offsets=offsets, H=H, W=W)
+    s16 = bs((16, 16))
+    s8 = bs((8, 8))
+    s84 = bs((4, 8))   # 8 wide x 4 high halves of an 8x8 (bh, bw) = (4, 8)
+    s48 = bs((8, 4))   # 4 wide x 8 high halves       (bh, bw) = (8, 4)
+    s44 = bs((4, 4))
+
+    # --- decision tree ---
+    chun = chun_correlation(org, refs[0])
+    # split only when correlation gate AND tolerance both fail the 16x16
+    # (block_enc.c:847: if(chun<=1 && chun>=0.9 && rms > tol^2*no) -> split)
+    mb_split = (chun <= 1.0) & (chun >= 0.9) & (s16.rms > jnp.float32(tol16 * tol16 * 256))
+
+    t8 = jnp.float32(tol8 * tol8 * 64)
+    t_rect = jnp.float32(tol8 * tol8 * 32)
+    accept8 = s8.rms <= t8                                        # [2nMBy, 2nMBx]
+    # "both halves pass" per 8x8 block; 8x4 tried first, then 4x8
+    # (encode_block_8, FR/src/block_enc.c:1583-1650)
+    both84 = (s84.rms.reshape(H // 8, 2, W // 8) <= t_rect).all(axis=1)
+    both48 = (s48.rms.reshape(H // 8, W // 8, 2) <= t_rect).all(axis=2)
+
+    b8_mode = jnp.where(accept8, 0,
+               jnp.where(both84, 1,
+                jnp.where(both48, 2, 3))).astype(jnp.int32)
+
+    return TransTree(mb_split=mb_split, b8_mode=b8_mode,
+                     s16=s16, s8=s8, s84=s84, s48=s48, s44=s44)
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction (decode_one_macroblock, FR/src/block_dec.c:20)
+# ---------------------------------------------------------------------------
+
+def _upsample(x: jnp.ndarray, fy: int, fx: int) -> jnp.ndarray:
+    return jnp.repeat(jnp.repeat(x, fy, axis=0), fx, axis=1)
+
+
+def leaf_maps(tree: TransTree, H: int, W: int):
+    """Resolve the quadtree into per-4x4-cell leaf parameter maps.
+
+    Returns dict of [H/4, W/4] int32 maps: a, beta, dx, dy, ref, s_d, log2_n.
+    """
+    def sel(name):
+        v16 = _upsample(getattr(tree.s16, name), 4, 4)
+        v8 = _upsample(getattr(tree.s8, name), 2, 2)
+        v84 = _upsample(getattr(tree.s84, name), 1, 2)
+        v48 = _upsample(getattr(tree.s48, name), 2, 1)
+        v44 = getattr(tree.s44, name)
+        m8 = _upsample(tree.b8_mode, 2, 2)
+        under8 = jnp.where(m8 == 0, v8,
+                  jnp.where(m8 == 1, v84,
+                   jnp.where(m8 == 2, v48, v44)))
+        split = _upsample(tree.mb_split, 4, 4)
+        return jnp.where(split, under8, v16)
+
+    m8 = _upsample(tree.b8_mode, 2, 2)
+    log2n_under8 = jnp.where(m8 == 0, 6, jnp.where(m8 == 3, 4, 5))
+    log2_n = jnp.where(_upsample(tree.mb_split, 4, 4), log2n_under8, 8)
+
+    return dict(a=sel("a"), beta=sel("beta"), dx=sel("dx"), dy=sel("dy"),
+                ref=sel("ref"), s_d=sel("s_d"), log2_n=log2_n.astype(jnp.int32))
+
+
+def reconstruct_plane(tree: TransTree, ref_final: jnp.ndarray, H: int, W: int,
+                      use_halfpel: bool = True) -> jnp.ndarray:
+    """Non-iterative fractal reconstruction of a whole plane.
+
+    Exact integer form of ``rec = bound(0.5 + α·d + β − α·mean(d))``
+    (FR/src/block_dec.c:113): with a = α·100, N the leaf pixel count and
+    S = Σd over the leaf's domain block,
+    ``rec = clip(floor((50N + a(dN − S) + 100Nβ) / (100N)), 0, 255)``.
+    """
+    refs = build_reference_stack(ref_final, use_halfpel)
+    maps = leaf_maps(tree, H, W)
+
+    up = functools.partial(_upsample, fy=4, fx=4)
+    a = up(maps["a"])
+    beta = up(maps["beta"])
+    dx = up(maps["dx"])
+    dy = up(maps["dy"])
+    ref = up(maps["ref"])
+    s_d = up(maps["s_d"])
+    log2n = up(maps["log2_n"])
+
+    yy = jnp.clip(jnp.arange(H, dtype=jnp.int32)[:, None] + dy, 0, H - 1)
+    xx = jnp.clip(jnp.arange(W, dtype=jnp.int32)[None, :] + dx, 0, W - 1)
+    flat_idx = ref * (H * W) + yy * W + xx
+    d = jnp.take(refs.reshape(-1), flat_idx.reshape(-1)).reshape(H, W)
+
+    n = (jnp.int32(1) << log2n)
+    numer = 50 * n + a * (d * n - s_d) + 100 * n * beta
+    rec = jnp.floor_divide(numer, 100 * n)
+    return jnp.clip(rec, 0, 255)

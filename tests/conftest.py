@@ -3,11 +3,16 @@ without TPU hardware (the driver separately dry-runs multichip compile)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Must be set before the CPU client is created.  NOTE: the axon TPU plugin in
+# this image overrides the JAX_PLATFORMS env var, so we must also force the
+# platform through jax.config (see below).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
