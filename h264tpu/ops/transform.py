@@ -207,3 +207,77 @@ def zigzag_unscan(scanned: jnp.ndarray) -> jnp.ndarray:
     """[..., 16] zig-zag order -> [..., 4, 4] raster."""
     flat = scanned[..., jnp.asarray(ZIGZAG_INV)]
     return flat.reshape(*scanned.shape[:-1], 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-cost thresholding (JM 8.6 LumaResidualCoding8x8 semantics,
+# FR/src/macroblock.c:995-1166: COEFF_COST run table, level>1 => huge cost,
+# drop an 8x8 block when its cost <= 4 and a whole MB when total <= 5)
+# ---------------------------------------------------------------------------
+
+COEFF_COST = np.array([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                      dtype=np.int32)
+_LUMA_COEFF_COST_ = 4
+_LUMA_MB_COEFF_COST_ = 5
+_BIG_COST = np.int32(999999)
+
+
+def coeff_cost_4x4(zz: jnp.ndarray) -> jnp.ndarray:
+    """Cost of each 4x4 block from its zig-zag levels [..., 16] -> [...]."""
+    nz = zz != 0
+    idx = jnp.arange(16, dtype=jnp.int32)
+    # index of the previous nonzero strictly before each position
+    marked = jnp.where(nz, idx, jnp.int32(-1))
+    prev_incl = jax.lax.cummax(marked, axis=zz.ndim - 1)
+    prev_excl = jnp.concatenate(
+        [jnp.full((*zz.shape[:-1], 1), -1, jnp.int32), prev_incl[..., :-1]], axis=-1)
+    run = idx - prev_excl - 1
+    per = jnp.where(jnp.abs(zz) > 1, _BIG_COST,
+                    jnp.asarray(COEFF_COST)[jnp.clip(run, 0, 15)])
+    return jnp.where(nz, per, 0).sum(axis=-1)
+
+
+def chroma_qp(qp: int, offset: int = 0) -> int:
+    """Chroma QP mapping (H.264 Table 8-15 / JM QP_SCALE_CR)."""
+    table = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
+             37, 38, 38, 38, 39, 39, 39, 39]
+    q = min(max(qp + offset, 0), 51)
+    return q if q < 30 else table[q - 30]
+
+
+def residual_code_plane(org: jnp.ndarray, pred: jnp.ndarray, qp: int,
+                        intra: bool = False, luma_mb_grid: bool = True):
+    """Residual-code a whole plane against a prediction (fract or intra).
+
+    The TPU form of ``process_oneframe`` luma coding (FR/src/image.c:852 ->
+    LumaResidualCoding_fract -> dct_luma): 4x4 transform+quant of org-pred,
+    8x8-level and MB-level coefficient-cost thresholding, reconstruction.
+
+    Returns (levels_zz [H/4*W/4, 16] int32 in raster 4x4-block order,
+             recon [H, W] int32).
+    When ``luma_mb_grid`` the thresholding uses 8x8 groups within 16x16 MBs;
+    for chroma planes we group 8x8 only (the chroma MB of a luma MB).
+    """
+    H, W = org.shape
+    rb = frame_to_blocks(org.astype(jnp.int32) - pred.astype(jnp.int32), 4)
+    w = fdct4x4(rb)
+    lev = quant4x4(w, qp, intra)
+    zz = zigzag_scan(lev)
+
+    cost = coeff_cost_4x4(zz).reshape(H // 4, W // 4)
+    # 8x8 groups: sum of the 2x2 cell group
+    c8 = cost.reshape(H // 8, 2, W // 8, 2).sum(axis=(1, 3))
+    drop8 = c8 <= _LUMA_COEFF_COST_
+    kept8 = jnp.where(drop8, 0, c8)
+    if luma_mb_grid:
+        mb_cost = kept8.reshape(H // 16, 2, W // 16, 2).sum(axis=(1, 3))
+        drop_mb = mb_cost <= _LUMA_MB_COEFF_COST_
+        drop8 = drop8 | jnp.repeat(jnp.repeat(drop_mb, 2, 0), 2, 1)
+    drop4 = jnp.repeat(jnp.repeat(drop8, 2, 0), 2, 1).reshape(-1)
+
+    lev = jnp.where(drop4[:, None, None], 0, lev)
+    zz = jnp.where(drop4[:, None], 0, zz)
+    deq = dequant4x4(lev, qp)
+    pb = frame_to_blocks(pred.astype(jnp.int32), 4)
+    rec = reconstruct(pb, idct4x4(deq))
+    return zz, blocks_to_frame(rec, H, W)
