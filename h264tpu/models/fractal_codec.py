@@ -1,23 +1,23 @@
-"""Fractal + H.264 hybrid video codec — frame pipeline.
+"""Fractal + H.264 hybrid video codec — frame pipeline + bitstream.
 
 TPU re-design of the reference sequence loop (``FR/src/code.c:76`` main /
 ``FR/src/image.c:411`` encode_oneframe): every ``intra_period``-th frame is
 coded intra, all others are fractal P frames:
 
   fractal search (Y, U, V trees) -> fractal reconstruction -> residual
-  DCT/quant -> final reconstruction -> [deblock] -> becomes next reference.
+  DCT/quant -> final reconstruction -> [deblock] -> becomes next reference,
+  and the tree + residual levels are entropy-coded into the FVC stream.
 
 All per-frame compute is one jitted function per frame type; the Python level
-only loops over frames and moves uint8 planes in/out.  The intra path here is
-an interim DC-predicted residual coder; the full H.264 intra RDO engine
-replaces it in the intra-codec model (build plan §7 phase 4).
+only loops over frames, packs bits, and moves uint8 planes in/out.  The intra
+path here is an interim DC-predicted residual coder; the full H.264 intra RDO
+engine replaces it per the build plan (SURVEY §7 phase 4).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
 
 import numpy as np
 import jax
@@ -27,14 +27,20 @@ from ..utils.config import CodecConfig
 from ..utils.yuv import psnr
 from ..ops import fractal as F
 from ..ops import transform as T
+from ..entropy.bitio import BitWriter, BitReader
+from ..entropy import fractal_syntax as FS
+
+
+def _pad16_np(h: int, w: int):
+    return h + ((-h) % 16), w + ((-w) % 16)
 
 
 def _pad16(plane: jnp.ndarray):
     h, w = plane.shape
     ph, pw = (-h) % 16, (-w) % 16
     if ph == 0 and pw == 0:
-        return plane, h, w
-    return jnp.pad(plane, ((0, ph), (0, pw)), mode="edge"), h, w
+        return plane
+    return jnp.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
 @dataclasses.dataclass
@@ -43,12 +49,12 @@ class FrameResult:
     psnr_y: float
     psnr_u: float
     psnr_v: float
-    nonzero_coeffs: int
+    bits: int
     recon: tuple  # (Y, U, V) uint8 numpy
 
 
 class FractalCodec:
-    """Sequence encoder with fractal P frames (reference capability F1-F10)."""
+    """Sequence encoder with fractal P frames (reference capabilities F1-F10)."""
 
     def __init__(self, cfg: CodecConfig):
         self.cfg = cfg.validate()
@@ -63,8 +69,7 @@ class FractalCodec:
     def _i_step_impl(self, y, u, v):
         qp = self.cfg.qp_i
         cqp = T.chroma_qp(qp)
-        outs = []
-        zzs = []
+        zzs, outs = [], []
         for plane, q in ((y, qp), (u, cqp), (v, cqp)):
             pred = jnp.full_like(plane, 128)
             zz, rec = T.residual_code_plane(plane, pred, q, intra=True,
@@ -80,25 +85,25 @@ class FractalCodec:
         cqp = T.chroma_qp(qp)
         use_hp = cfg.fractal.use_halfpel_refs
 
-        trees = []
-        zzs = []
-        recs = []
+        all_maps, zzs, recs = [], [], []
         for org, ref, q, is_luma in ((y, ref_y, qp, True),
                                      (u, ref_u, cqp, False),
                                      (v, ref_v, cqp, False)):
-            orgp, h, w = _pad16(org)
-            refp, _, _ = _pad16(ref)
+            h, w = org.shape
+            orgp = _pad16(org)
+            refp = _pad16(ref)
             tree = self._search(orgp, refp)
-            frec = F.reconstruct_plane(tree, refp, orgp.shape[0], orgp.shape[1],
-                                       use_halfpel=use_hp)[:h, :w]
+            maps = F.leaf_maps(tree, orgp.shape[0], orgp.shape[1])
+            frec = F.reconstruct_from_maps(maps, refp, orgp.shape[0],
+                                           orgp.shape[1], use_hp)[:h, :w]
             zz, rec = T.residual_code_plane(org, frec, q, intra=False,
                                             luma_mb_grid=is_luma)
-            trees.append(tree)
+            all_maps.append(maps)
             zzs.append(zz)
             recs.append(rec)
-        return tuple(trees), tuple(zzs), tuple(recs)
+        return tuple(all_maps), tuple(zzs), tuple(recs)
 
-    # -- sequence loop ------------------------------------------------------
+    # -- frame / sequence ----------------------------------------------------
     def is_intra(self, frame_idx: int) -> bool:
         if frame_idx == 0:
             return True
@@ -106,38 +111,135 @@ class FractalCodec:
         return ip > 0 and frame_idx % ip == 0
 
     def encode_frame(self, yuv, ref=None, frame_idx: int = 0):
-        """Encode one frame; returns (FrameResult, trees_or_None)."""
+        """Encode one frame; returns (FrameResult, frame_payload_bytes)."""
+        cfg = self.cfg
         y, u, v = (jnp.asarray(p, jnp.int32) for p in yuv)
+        w = BitWriter()
         if self.is_intra(frame_idx) or ref is None:
             zzs, recs = self._i_step(y, u, v)
-            trees = None
+            w.u(0, 8)
+            for zz in zzs:
+                FS.write_coeff_set(w, np.asarray(zz))
             ftype = "I"
         else:
             ry, ru, rv = (jnp.asarray(p, jnp.int32) for p in ref)
-            trees, zzs, recs = self._p_step(y, u, v, ry, ru, rv)
+            maps, zzs, recs = self._p_step(y, u, v, ry, ru, rv)
+            w.u(1, 8)
+            for m, zz in zip(maps, zzs):
+                FS.write_tree(w, {k: np.asarray(a) for k, a in m.items()},
+                              cfg.fractal.search_range,
+                              cfg.fractal.use_halfpel_refs)
+                FS.write_coeff_set(w, np.asarray(zz))
             ftype = "P"
+        payload = w.to_bytes()
         recs = tuple(np.asarray(r, dtype=np.uint8) for r in recs)
-        nz = int(sum(int((np.asarray(z) != 0).sum()) for z in zzs))
         res = FrameResult(
             frame_type=ftype,
             psnr_y=psnr(recs[0], np.asarray(y)),
             psnr_u=psnr(recs[1], np.asarray(u)),
             psnr_v=psnr(recs[2], np.asarray(v)),
-            nonzero_coeffs=nz,
+            bits=len(payload) * 8,
             recon=recs,
         )
-        return res, trees
+        return res, payload
 
     def encode_sequence(self, frames, verbose: bool = False):
-        """Encode an iterable of (Y, U, V) uint8 frames; returns FrameResults."""
+        """Encode an iterable of (Y, U, V) uint8 frames.
+
+        Returns (results, bitstream bytes)."""
         results = []
+        payloads = []
         ref = None
         for idx, yuv in enumerate(frames):
-            res, _ = self.encode_frame(yuv, ref, idx)
+            res, payload = self.encode_frame(yuv, ref, idx)
             ref = res.recon
             results.append(res)
+            payloads.append(payload)
             if verbose:
                 print(f"frame {idx:3d} {res.frame_type}  "
                       f"PSNR Y {res.psnr_y:6.2f}  U {res.psnr_u:6.2f}  "
-                      f"V {res.psnr_v:6.2f}  nz {res.nonzero_coeffs}")
-        return results
+                      f"V {res.psnr_v:6.2f}  bits {res.bits}")
+        hdr = BitWriter()
+        FS.write_header(hdr, self.cfg, len(results))
+        stream = hdr.to_bytes() + b"".join(payloads)
+        return results, stream
+
+
+class FractalDecoder:
+    """Decoder for FVC streams; mirrors the encoder's in-loop reconstruction
+    bit-exactly (the TPU equivalent of the reference's embedded decoder,
+    ``FR/src/block_dec.c`` + ``decode_Oneframe`` FR/src/image.c:639)."""
+
+    def __init__(self):
+        self._dec_p_plane = {}
+        self._dec_i_plane = {}
+
+    def _p_plane_fn(self, key):
+        if key not in self._dec_p_plane:
+            h, w, qp, use_hp = key
+
+            def fn(a, beta, dx, dy, refidx, shape, zz, ref):
+                maps = dict(a=a, beta=beta, dx=dx, dy=dy, ref=refidx, shape=shape)
+                refp = _pad16(ref)
+                hp, wp = refp.shape
+                frec = F.reconstruct_from_maps(maps, refp, hp, wp, use_hp)[:h, :w]
+                lev = T.zigzag_unscan(zz)
+                deq = T.dequant4x4(lev, qp)
+                rec = T.reconstruct(T.frame_to_blocks(frec, 4), T.idct4x4(deq))
+                return T.blocks_to_frame(rec, h, w)
+
+            self._dec_p_plane[key] = jax.jit(fn)
+        return self._dec_p_plane[key]
+
+    def _i_plane_fn(self, key):
+        if key not in self._dec_i_plane:
+            h, w, qp = key
+
+            def fn(zz):
+                pred = jnp.full((h, w), 128, jnp.int32)
+                lev = T.zigzag_unscan(zz)
+                deq = T.dequant4x4(lev, qp)
+                rec = T.reconstruct(T.frame_to_blocks(pred, 4), T.idct4x4(deq))
+                return T.blocks_to_frame(rec, h, w)
+
+            self._dec_i_plane[key] = jax.jit(fn)
+        return self._dec_i_plane[key]
+
+    def decode(self, stream: bytes, verbose: bool = False):
+        r = BitReader(stream)
+        hdr = FS.read_header(r)
+        W, H = hdr["width"], hdr["height"]
+        qp = hdr["qp"]
+        cqp = T.chroma_qp(qp)
+        sr = hdr["search_range"]
+        use_hp = hdr["use_halfpel"]
+        cw, ch = W // 2, H // 2
+        plane_dims = [(H, W, qp), (ch, cw, cqp), (ch, cw, cqp)]
+
+        frames = []
+        ref = None
+        for fi in range(hdr["num_frames"]):
+            ftype = r.u(8)
+            planes = []
+            if ftype == 0:
+                for (h, w, q) in plane_dims:
+                    zz = FS.read_coeff_set(r, (h // 4) * (w // 4))
+                    rec = self._i_plane_fn((h, w, q))(jnp.asarray(zz, jnp.int32))
+                    planes.append(np.asarray(rec, np.uint8))
+            else:
+                for pi, (h, w, q) in enumerate(plane_dims):
+                    hp, wp = _pad16_np(h, w)
+                    maps = FS.read_tree(r, hp, wp, sr, use_hp)
+                    zz = FS.read_coeff_set(r, (h // 4) * (w // 4))
+                    fn = self._p_plane_fn((h, w, q, use_hp))
+                    rec = fn(*(jnp.asarray(maps[k], jnp.int32) for k in
+                               ("a", "beta", "dx", "dy", "ref", "shape")),
+                             jnp.asarray(zz, jnp.int32),
+                             jnp.asarray(ref[pi], jnp.int32))
+                    planes.append(np.asarray(rec, np.uint8))
+            r.byte_align()
+            ref = tuple(planes)
+            frames.append(ref)
+            if verbose:
+                print(f"decoded frame {fi} type {'I' if ftype == 0 else 'P'}")
+        return frames

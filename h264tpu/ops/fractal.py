@@ -426,10 +426,16 @@ def _upsample(x: jnp.ndarray, fy: int, fx: int) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(x, fy, axis=0), fx, axis=1)
 
 
+# shape codes used in leaf maps / the bitstream
+SHAPES = ((16, 16), (8, 8), (4, 8), (8, 4), (4, 4))  # (bh, bw) per code 0..4
+
+
 def leaf_maps(tree: TransTree, H: int, W: int):
     """Resolve the quadtree into per-4x4-cell leaf parameter maps.
 
-    Returns dict of [H/4, W/4] int32 maps: a, beta, dx, dy, ref, s_d, log2_n.
+    Returns dict of [H/4, W/4] int32 maps: a, beta, dx, dy, ref, shape
+    (index into SHAPES).  Everything a decoder needs — domain sums are
+    recomputed from the reference planes at decode time.
     """
     def sel(name):
         v16 = _upsample(getattr(tree.s16, name), 4, 4)
@@ -445,24 +451,27 @@ def leaf_maps(tree: TransTree, H: int, W: int):
         return jnp.where(split, under8, v16)
 
     m8 = _upsample(tree.b8_mode, 2, 2)
-    log2n_under8 = jnp.where(m8 == 0, 6, jnp.where(m8 == 3, 4, 5))
-    log2_n = jnp.where(_upsample(tree.mb_split, 4, 4), log2n_under8, 8)
+    shape_under8 = jnp.where(m8 == 0, 1, jnp.where(m8 == 1, 2,
+                    jnp.where(m8 == 2, 3, 4)))
+    shape = jnp.where(_upsample(tree.mb_split, 4, 4), shape_under8, 0)
 
     return dict(a=sel("a"), beta=sel("beta"), dx=sel("dx"), dy=sel("dy"),
-                ref=sel("ref"), s_d=sel("s_d"), log2_n=log2_n.astype(jnp.int32))
+                ref=sel("ref"), shape=shape.astype(jnp.int32))
 
 
-def reconstruct_plane(tree: TransTree, ref_final: jnp.ndarray, H: int, W: int,
-                      use_halfpel: bool = True) -> jnp.ndarray:
-    """Non-iterative fractal reconstruction of a whole plane.
+def reconstruct_from_maps(maps: dict, ref_final: jnp.ndarray, H: int, W: int,
+                          use_halfpel: bool = True) -> jnp.ndarray:
+    """Non-iterative fractal reconstruction of a whole plane from leaf maps.
 
     Exact integer form of ``rec = bound(0.5 + α·d + β − α·mean(d))``
     (FR/src/block_dec.c:113): with a = α·100, N the leaf pixel count and
     S = Σd over the leaf's domain block,
     ``rec = clip(floor((50N + a(dN − S) + 100Nβ) / (100N)), 0, 255)``.
+    S is recomputed here from the reference planes (the decoder path does not
+    receive it in the stream), exactly like the decoder-side sum tables of the
+    reference (``FR/src/block_dec.c:135-230``).
     """
     refs = build_reference_stack(ref_final, use_halfpel)
-    maps = leaf_maps(tree, H, W)
 
     up = functools.partial(_upsample, fy=4, fx=4)
     a = up(maps["a"])
@@ -470,15 +479,44 @@ def reconstruct_plane(tree: TransTree, ref_final: jnp.ndarray, H: int, W: int,
     dx = up(maps["dx"])
     dy = up(maps["dy"])
     ref = up(maps["ref"])
-    s_d = up(maps["s_d"])
-    log2n = up(maps["log2_n"])
+    shape = up(maps["shape"])
 
-    yy = jnp.clip(jnp.arange(H, dtype=jnp.int32)[:, None] + dy, 0, H - 1)
-    xx = jnp.clip(jnp.arange(W, dtype=jnp.int32)[None, :] + dx, 0, W - 1)
-    flat_idx = ref * (H * W) + yy * W + xx
-    d = jnp.take(refs.reshape(-1), flat_idx.reshape(-1)).reshape(H, W)
+    # per-pixel leaf geometry
+    yy_pix = jnp.arange(H, dtype=jnp.int32)[:, None] + jnp.zeros((1, W), jnp.int32)
+    xx_pix = jnp.arange(W, dtype=jnp.int32)[None, :] + jnp.zeros((H, 1), jnp.int32)
+    bh = jnp.asarray([s[0] for s in SHAPES], jnp.int32)[shape]
+    bw = jnp.asarray([s[1] for s in SHAPES], jnp.int32)[shape]
+    oy = yy_pix - yy_pix % bh          # leaf origin
+    ox = xx_pix - xx_pix % bw
+    log2n = jnp.asarray([8, 6, 5, 5, 4], jnp.int32)[shape]
+
+    # domain pixel for this output pixel
+    yy = jnp.clip(yy_pix + dy, 0, H - 1)
+    xx = jnp.clip(xx_pix + dx, 0, W - 1)
+    d = jnp.take(refs.reshape(-1), (ref * (H * W) + yy * W + xx).reshape(-1)
+                 ).reshape(H, W)
+
+    # Σd over the leaf's domain block, per shape, gathered at the leaf origin
+    dom_y = jnp.clip(oy + dy, 0, H - 1)
+    dom_x = jnp.clip(ox + dx, 0, W - 1)
+
+    def wsums_for_ref(r):
+        ii = integral_image(r)
+        per_shape = jnp.stack([window_sums(ii, sh, sw) for sh, sw in SHAPES])
+        return per_shape                                   # [5, H, W]
+
+    wsums = jax.vmap(wsums_for_ref)(refs)                  # [R, 5, H, W]
+    flat = (ref * (5 * H * W) + shape * (H * W) + dom_y * W + dom_x)
+    s_d = jnp.take(wsums.reshape(-1), flat.reshape(-1)).reshape(H, W)
 
     n = (jnp.int32(1) << log2n)
     numer = 50 * n + a * (d * n - s_d) + 100 * n * beta
     rec = jnp.floor_divide(numer, 100 * n)
     return jnp.clip(rec, 0, 255)
+
+
+def reconstruct_plane(tree: TransTree, ref_final: jnp.ndarray, H: int, W: int,
+                      use_halfpel: bool = True) -> jnp.ndarray:
+    """Encoder-side reconstruction: resolve the tree then reconstruct."""
+    return reconstruct_from_maps(leaf_maps(tree, H, W), ref_final, H, W,
+                                 use_halfpel)

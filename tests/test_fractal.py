@@ -195,9 +195,13 @@ def test_reconstruct_matches_formula(rng):
             cy, cx = y // 4, x // 4
             a = maps["a"][cy, cx] / 100.0
             beta = float(maps["beta"][cy, cx])
-            nn = 1 << maps["log2_n"][cy, cx]
-            mean_d = maps["s_d"][cy, cx] / nn
-            d = refs[maps["ref"][cy, cx]][y + maps["dy"][cy, cx], x + maps["dx"][cy, cx]]
+            bh, bw = F.SHAPES[maps["shape"][cy, cx]]
+            nn = bh * bw
+            oy, ox = y - y % bh, x - x % bw
+            dy, dx = maps["dy"][cy, cx], maps["dx"][cy, cx]
+            dom = refs[maps["ref"][cy, cx]][oy + dy:oy + dy + bh, ox + dx:ox + dx + bw]
+            mean_d = dom.sum() / nn
+            d = refs[maps["ref"][cy, cx]][y + dy, x + dx]
             v = 0.5 + a * d + beta - a * mean_d
             want = int(min(255.0, max(0.0, v)))
             assert rec[y, x] == want, (y, x, rec[y, x], want, v)

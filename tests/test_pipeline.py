@@ -12,7 +12,7 @@ def test_foreman_ipp(foreman_qcif):
                       fractal=FractalConfig(search_range=4))
     codec = FractalCodec(cfg)
     frames = [foreman_qcif.read(i) for i in range(min(3, len(foreman_qcif)))]
-    results = codec.encode_sequence(frames)
+    results, _stream = codec.encode_sequence(frames)
 
     assert results[0].frame_type == "I"
     assert all(r.frame_type == "P" for r in results[1:])
