@@ -15,3 +15,19 @@ Design stance (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the fractal search graph takes minutes to
+# compile on TPU; cache hits bring warm-up to seconds across processes.
+_cache_dir = _os.environ.get(
+    "H264TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                  ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # older jax without these options
+    pass

@@ -62,42 +62,57 @@ class FractalCodec:
         self._search = functools.partial(
             F.search_plane, search_range=fr.search_range, tol16=fr.tol_16,
             tol8=fr.tol_8, use_halfpel=fr.use_halfpel_refs)
-        self._p_step = jax.jit(self._p_step_impl)
-        self._i_step = jax.jit(self._i_step_impl)
+        # Per-plane, per-stage jits: search / reconstruct / residual are
+        # separate XLA executables.  Fusing them into one graph crashes the
+        # axon TPU backend at CIF+ sizes (worker "kernel fault"); split they
+        # compile and run fine, and intermediates stay on-device between
+        # stages so the cost is only lost fusion.
+        self._search_jit = jax.jit(self._search)
+        self._recon_jit = jax.jit(
+            functools.partial(F.reconstruct_plane,
+                              use_halfpel=cfg.fractal.use_halfpel_refs),
+            static_argnums=(2, 3))
+        self._residual_jit = jax.jit(T.residual_code_plane,
+                                     static_argnums=(2, 3, 4))
+        self._maps_jit = jax.jit(F.leaf_maps, static_argnums=(1, 2))
+        self._i_plane = jax.jit(self._i_plane_impl, static_argnums=(1,))
 
     # -- intra step (interim: DC-128 prediction + residual coding) ---------
-    def _i_step_impl(self, y, u, v):
+    def _i_plane_impl(self, plane, qp):
+        pred = jnp.full_like(plane, 128)
+        return T.residual_code_plane(plane, pred, qp, intra=True,
+                                     luma_mb_grid=False)
+
+    def _i_step(self, y, u, v):
         qp = self.cfg.qp_i
         cqp = T.chroma_qp(qp)
         zzs, outs = [], []
         for plane, q in ((y, qp), (u, cqp), (v, cqp)):
-            pred = jnp.full_like(plane, 128)
-            zz, rec = T.residual_code_plane(plane, pred, q, intra=True,
-                                            luma_mb_grid=False)
+            zz, rec = self._i_plane(plane, q)
             outs.append(rec)
             zzs.append(zz)
         return tuple(zzs), tuple(outs)
 
     # -- fractal P step -----------------------------------------------------
-    def _p_step_impl(self, y, u, v, ref_y, ref_u, ref_v):
-        cfg = self.cfg
-        qp = cfg.qp
-        cqp = T.chroma_qp(qp)
-        use_hp = cfg.fractal.use_halfpel_refs
+    def _p_plane(self, org, ref, qp, is_luma):
+        h, w = org.shape
+        orgp = _pad16(org)
+        refp = _pad16(ref)
+        hp, wp = orgp.shape
+        tree = self._search_jit(orgp, refp)
+        maps = self._maps_jit(tree, hp, wp)
+        frec = self._recon_jit(tree, refp, hp, wp)[:h, :w]
+        zz, rec = self._residual_jit(org, frec, qp, False, is_luma)
+        return maps, zz, rec
 
+    def _p_step(self, y, u, v, ref_y, ref_u, ref_v):
+        qp = self.cfg.qp
+        cqp = T.chroma_qp(qp)
         all_maps, zzs, recs = [], [], []
         for org, ref, q, is_luma in ((y, ref_y, qp, True),
                                      (u, ref_u, cqp, False),
                                      (v, ref_v, cqp, False)):
-            h, w = org.shape
-            orgp = _pad16(org)
-            refp = _pad16(ref)
-            tree = self._search(orgp, refp)
-            maps = F.leaf_maps(tree, orgp.shape[0], orgp.shape[1])
-            frec = F.reconstruct_from_maps(maps, refp, orgp.shape[0],
-                                           orgp.shape[1], use_hp)[:h, :w]
-            zz, rec = T.residual_code_plane(org, frec, q, intra=False,
-                                            luma_mb_grid=is_luma)
+            maps, zz, rec = self._p_plane(org, ref, q, is_luma)
             all_maps.append(maps)
             zzs.append(zz)
             recs.append(rec)

@@ -83,8 +83,11 @@ def halfpel_planes(ref: jnp.ndarray):
     """Bilinear half-pel planes (H, M, N) from an int32 plane.
 
     Documented behavior of the reference (commented loops at
-    ``FR/src/code.c:230-253``): truncating integer averages, with last
-    row/column copied.
+    ``FR/src/code.c:230-253``): truncating integer averages.  At frame edges
+    we use edge replication (clamped neighbors) rather than the reference's
+    copy-last-row rule — identical for H and M, and for N it makes the value
+    a clamped average; chosen because it is exactly shard-invariant under
+    row-tile halo exchange (h264tpu.parallel).
     """
     ref = ref.astype(jnp.int32)
     right = jnp.concatenate([ref[:, 1:], ref[:, -1:]], axis=1)
@@ -93,11 +96,6 @@ def halfpel_planes(ref: jnp.ndarray):
     h = (ref + right) // 2
     m = (ref + down) // 2
     n = (ref + down + right + downright) // 4
-    # boundary pixels copy the integer-pel value
-    h = h.at[:, -1].set(ref[:, -1])
-    m = m.at[-1, :].set(ref[-1, :])
-    n = n.at[-1, :].set(ref[-1, :])
-    n = n.at[:, -1].set(ref[:, -1])
     return h, m, n
 
 
@@ -170,25 +168,27 @@ def spiral_offsets(search_range: int) -> np.ndarray:
     return np.asarray(out, dtype=np.int32)
 
 
-def cross_cell_sums(org: jnp.ndarray, ref: jnp.ndarray, offsets: np.ndarray,
-                    chunk: int = 32) -> jnp.ndarray:
+def cross_cell_sums(org: jnp.ndarray, ref_ctx: jnp.ndarray, offsets: np.ndarray,
+                    chunk: int = 32, halo: int = 0) -> jnp.ndarray:
     """Σ r·d over each aligned 4x4 cell for every candidate offset.
 
     Returns ``cross4`` [nOff, H/4, W/4] int32.  This one array carries the
     cross term for EVERY block shape at every position (pool cells to get a
     shape's Σr·d), replacing the innermost pixel loop of the reference
-    (``compute_rdSum``).  Out-of-range taps read zero-padding; those
-    candidates are masked later by the bound check.
+    (``compute_rdSum``).  ``ref_ctx`` is [H + 2*halo, W] — the reference
+    plane with ``halo`` context rows above and below (halo=0 for the
+    unsharded path; parallel row-tiles pass exchanged halos).  Out-of-range
+    taps read zero-padding; those candidates are masked by the bound check.
     """
     H, W = org.shape
     sr = int(np.abs(offsets).max())
     o = org.astype(jnp.int32)
-    padded = jnp.pad(ref.astype(jnp.int32), sr)
+    padded = jnp.pad(ref_ctx.astype(jnp.int32), ((sr, sr), (sr, sr)))
     offs = jnp.asarray(offsets)
 
     def one(off):
         dx, dy = off[0], off[1]
-        shifted = jax.lax.dynamic_slice(padded, (sr + dy, sr + dx), (H, W))
+        shifted = jax.lax.dynamic_slice(padded, (sr + halo + dy, sr + dx), (H, W))
         prod = o * shifted
         return prod.reshape(H // 4, 4, W // 4, 4).sum(axis=(1, 3), dtype=jnp.int32)
 
@@ -263,11 +263,14 @@ def _pool_cells(x: jnp.ndarray, ch: int, cw: int) -> jnp.ndarray:
 
 
 def best_for_shape(org_c1, org_c2, ref_planes, cross4_stack, shape,
-                   offsets, H, W):
+                   offsets, H, W, halo=0, y_lo=None, y_hi=None):
     """Evaluate every (block, offset, ref) candidate for one shape.
 
-    org_c1/org_c2: [H/4, W/4] range cell sums.  ref_planes: [R, H, W] int32.
-    cross4_stack: [R, nOff, H/4, W/4].  shape: (bh, bw).
+    org_c1/org_c2: [H/4, W/4] range cell sums.  ref_planes: [R, H+2*halo, W]
+    int32 (halo context rows for sharded row-tiles).  cross4_stack:
+    [R, nOff, H/4, W/4].  shape: (bh, bw).  y_lo/y_hi bound valid domain-row
+    starts in org coordinates (may be traced scalars under shard_map);
+    default [0, H].
     Returns a ShapeBest with the offset+ref axes reduced, following the
     reference's tie-break: lowest rms, then earliest reference (C,H,M,N,
     cf. the sequential strict-< cascade at FR/src/block_enc.c:560-830), then
@@ -279,6 +282,10 @@ def best_for_shape(org_c1, org_c2, ref_planes, cross4_stack, shape,
     nby, nbx = H // bh, W // bw
     n_off = offsets.shape[0]
     n_ref = ref_planes.shape[0]
+    if y_lo is None:
+        y_lo = 0
+    if y_hi is None:
+        y_hi = H
 
     s_r = _pool_cells(org_c1, ch, cw)                             # [nby, nbx]
     s_r2 = _pool_cells(org_c2, ch, cw)
@@ -293,8 +300,8 @@ def best_for_shape(org_c1, org_c2, ref_planes, cross4_stack, shape,
     bx = jnp.arange(nbx, dtype=jnp.int32) * bw
     ys = by[:, None, None] + offs[None, None, :, 1]               # [nby, 1, nOff]
     xs = bx[None, :, None] + offs[None, None, :, 0]               # [1, nbx, nOff]
-    valid = (ys >= 0) & (ys <= H - bh) & (xs >= 0) & (xs <= W - bw)
-    ysc = jnp.clip(ys, 0, H - bh)
+    valid = (ys >= y_lo) & (ys + bh <= y_hi) & (xs >= 0) & (xs <= W - bw)
+    ysc = jnp.clip(ys, -halo, H + halo - bh) + halo               # ext coords
     xsc = jnp.clip(xs, 0, W - bw)
 
     def dom_sums(ref):
@@ -369,27 +376,31 @@ def chun_correlation(org, ref_c):
     return cov * cov / (var_o * var_d)
 
 
-def search_plane(org: jnp.ndarray, ref_final: jnp.ndarray, *, search_range: int,
+def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
                  tol16: float, tol8: float, use_halfpel: bool = True,
-                 cross_chunk: int = 32) -> TransTree:
+                 cross_chunk: int = 32, halo: int = 0, y_lo=None,
+                 y_hi=None) -> TransTree:
     """Full fractal search of one plane against the previous reconstruction.
 
     The TPU expression of ``encode_one_macroblock`` (FR/src/block_enc.c:508)
-    run over every MB at once.  ``org``/``ref_final`` are [H, W] int32-like;
-    H and W must be multiples of 16.
+    run over every MB at once.  ``org`` is [H, W] int32-like (H, W multiples
+    of 16); ``ref_ctx`` is [H + 2*halo, W] (halo = exchanged context rows for
+    sharded row-tiles; 0 for the single-device path).  y_lo/y_hi bound valid
+    domain rows in org coordinates (traced scalars under shard_map).
     """
     H, W = org.shape
     assert H % 16 == 0 and W % 16 == 0
     org = org.astype(jnp.int32)
-    refs = build_reference_stack(ref_final, use_halfpel)
+    refs = build_reference_stack(ref_ctx, use_halfpel)
     offsets = spiral_offsets(search_range)
 
     oc1, oc2 = range_cell_sums(org)
     cross4 = jax.vmap(
-        lambda r: cross_cell_sums(org, r, offsets, cross_chunk))(refs)
+        lambda r: cross_cell_sums(org, r, offsets, cross_chunk, halo))(refs)
 
     bs = functools.partial(best_for_shape, oc1, oc2, refs, cross4,
-                           offsets=offsets, H=H, W=W)
+                           offsets=offsets, H=H, W=W, halo=halo,
+                           y_lo=y_lo, y_hi=y_hi)
     s16 = bs((16, 16))
     s8 = bs((8, 8))
     s84 = bs((4, 8))   # 8 wide x 4 high halves of an 8x8 (bh, bw) = (4, 8)
@@ -397,7 +408,7 @@ def search_plane(org: jnp.ndarray, ref_final: jnp.ndarray, *, search_range: int,
     s44 = bs((4, 4))
 
     # --- decision tree ---
-    chun = chun_correlation(org, refs[0])
+    chun = chun_correlation(org, refs[0][halo:halo + H])
     # split only when correlation gate AND tolerance both fail the 16x16
     # (block_enc.c:847: if(chun<=1 && chun>=0.9 && rms > tol^2*no) -> split)
     mb_split = (chun <= 1.0) & (chun >= 0.9) & (s16.rms > jnp.float32(tol16 * tol16 * 256))
@@ -459,8 +470,8 @@ def leaf_maps(tree: TransTree, H: int, W: int):
                 ref=sel("ref"), shape=shape.astype(jnp.int32))
 
 
-def reconstruct_from_maps(maps: dict, ref_final: jnp.ndarray, H: int, W: int,
-                          use_halfpel: bool = True) -> jnp.ndarray:
+def reconstruct_from_maps(maps: dict, ref_ctx: jnp.ndarray, H: int, W: int,
+                          use_halfpel: bool = True, halo: int = 0) -> jnp.ndarray:
     """Non-iterative fractal reconstruction of a whole plane from leaf maps.
 
     Exact integer form of ``rec = bound(0.5 + α·d + β − α·mean(d))``
@@ -469,9 +480,11 @@ def reconstruct_from_maps(maps: dict, ref_final: jnp.ndarray, H: int, W: int,
     ``rec = clip(floor((50N + a(dN − S) + 100Nβ) / (100N)), 0, 255)``.
     S is recomputed here from the reference planes (the decoder path does not
     receive it in the stream), exactly like the decoder-side sum tables of the
-    reference (``FR/src/block_dec.c:135-230``).
+    reference (``FR/src/block_dec.c:135-230``).  ``ref_ctx`` is
+    [H + 2*halo, W] as in :func:`search_plane`.
     """
-    refs = build_reference_stack(ref_final, use_halfpel)
+    refs = build_reference_stack(ref_ctx, use_halfpel)
+    He = H + 2 * halo
 
     up = functools.partial(_upsample, fy=4, fx=4)
     a = up(maps["a"])
@@ -490,23 +503,23 @@ def reconstruct_from_maps(maps: dict, ref_final: jnp.ndarray, H: int, W: int,
     ox = xx_pix - xx_pix % bw
     log2n = jnp.asarray([8, 6, 5, 5, 4], jnp.int32)[shape]
 
-    # domain pixel for this output pixel
-    yy = jnp.clip(yy_pix + dy, 0, H - 1)
+    # domain pixel for this output pixel (ext row coords)
+    yy = jnp.clip(yy_pix + dy + halo, 0, He - 1)
     xx = jnp.clip(xx_pix + dx, 0, W - 1)
-    d = jnp.take(refs.reshape(-1), (ref * (H * W) + yy * W + xx).reshape(-1)
+    d = jnp.take(refs.reshape(-1), (ref * (He * W) + yy * W + xx).reshape(-1)
                  ).reshape(H, W)
 
     # Σd over the leaf's domain block, per shape, gathered at the leaf origin
-    dom_y = jnp.clip(oy + dy, 0, H - 1)
+    dom_y = jnp.clip(oy + dy + halo, 0, He - 1)
     dom_x = jnp.clip(ox + dx, 0, W - 1)
 
     def wsums_for_ref(r):
         ii = integral_image(r)
         per_shape = jnp.stack([window_sums(ii, sh, sw) for sh, sw in SHAPES])
-        return per_shape                                   # [5, H, W]
+        return per_shape                                   # [5, He, W]
 
-    wsums = jax.vmap(wsums_for_ref)(refs)                  # [R, 5, H, W]
-    flat = (ref * (5 * H * W) + shape * (H * W) + dom_y * W + dom_x)
+    wsums = jax.vmap(wsums_for_ref)(refs)                  # [R, 5, He, W]
+    flat = (ref * (5 * He * W) + shape * (He * W) + dom_y * W + dom_x)
     s_d = jnp.take(wsums.reshape(-1), flat.reshape(-1)).reshape(H, W)
 
     n = (jnp.int32(1) << log2n)
@@ -515,8 +528,8 @@ def reconstruct_from_maps(maps: dict, ref_final: jnp.ndarray, H: int, W: int,
     return jnp.clip(rec, 0, 255)
 
 
-def reconstruct_plane(tree: TransTree, ref_final: jnp.ndarray, H: int, W: int,
-                      use_halfpel: bool = True) -> jnp.ndarray:
+def reconstruct_plane(tree: TransTree, ref_ctx: jnp.ndarray, H: int, W: int,
+                      use_halfpel: bool = True, halo: int = 0) -> jnp.ndarray:
     """Encoder-side reconstruction: resolve the tree then reconstruct."""
-    return reconstruct_from_maps(leaf_maps(tree, H, W), ref_final, H, W,
-                                 use_halfpel)
+    return reconstruct_from_maps(leaf_maps(tree, H, W), ref_ctx, H, W,
+                                 use_halfpel, halo)

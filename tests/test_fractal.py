@@ -116,7 +116,9 @@ def test_halfpel_planes():
     assert m[4, 3] == (ref[4, 3] + ref[5, 3]) // 2
     assert m[15, 3] == ref[15, 3]
     assert n[2, 2] == (ref[2, 2] + ref[3, 2] + ref[2, 3] + ref[3, 3]) // 4
-    assert n[15, 5] == ref[15, 5] and n[5, 15] == ref[5, 15]
+    # edge-replication semantics at frame borders (shard-invariant choice)
+    assert n[15, 5] == (2 * ref[15, 5] + 2 * ref[15, 6]) // 4
+    assert n[5, 15] == (2 * ref[5, 15] + 2 * ref[6, 15]) // 4
 
 
 def test_window_sums_exact():
