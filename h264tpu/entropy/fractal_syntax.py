@@ -134,6 +134,49 @@ def read_tree(r: BitReader, Hp: int, Wp: int, search_range: int,
 
 
 # ---------------------------------------------------------------------------
+# Intra prediction modes (H.264-style most-probable-mode coding, field-major)
+# ---------------------------------------------------------------------------
+
+def _mpm(modes: np.ndarray) -> np.ndarray:
+    """Most probable mode per block: min(left, top), DC (=2) at edges."""
+    left = np.full_like(modes, 2)
+    left[:, 1:] = modes[:, :-1]
+    top = np.full_like(modes, 2)
+    top[1:, :] = modes[:-1, :]
+    return np.minimum(left, top)
+
+
+def write_intra_modes(w: BitWriter, modes: np.ndarray):
+    """u(1) use-mpm flag per block (raster), then u(3) rem for the rest."""
+    modes = np.asarray(modes, dtype=np.int64)
+    mpm = _mpm(modes)
+    use = modes == mpm
+    w.u(use.astype(np.int64).reshape(-1), 1)
+    rem = np.where(modes < mpm, modes, modes - 1)[~use]
+    if rem.size:
+        w.u(rem, 3)
+
+
+def read_intra_modes(r: BitReader, cy: int, cx: int) -> np.ndarray:
+    use = r.u_array(cy * cx, 1).astype(bool).reshape(cy, cx)
+    n_rem = int((~use).sum())
+    rem = r.u_array(n_rem, 3) if n_rem else np.zeros(0, np.int64)
+    modes = np.zeros((cy, cx), dtype=np.int64)
+    it = iter(rem.tolist())
+    for y in range(cy):
+        for x in range(cx):
+            left = modes[y, x - 1] if x > 0 else 2
+            top = modes[y - 1, x] if y > 0 else 2
+            mpm = min(left, top)
+            if use[y, x]:
+                modes[y, x] = mpm
+            else:
+                v = next(it)
+                modes[y, x] = v if v < mpm else v + 1
+    return modes
+
+
+# ---------------------------------------------------------------------------
 # Residual coefficient sets
 # ---------------------------------------------------------------------------
 
@@ -195,6 +238,7 @@ def write_header(w: BitWriter, cfg, num_frames: int):
     w.u(cfg.qp, 8)
     w.u(cfg.fractal.search_range, 8)
     w.u(int(cfg.fractal.use_halfpel_refs), 8)
+    w.u(int(cfg.deblock), 8)
     w.u(num_frames, 32)
 
 
@@ -205,5 +249,6 @@ def read_header(r: BitReader) -> dict:
     version = r.u(8)
     out = dict(version=version, width=r.u(16), height=r.u(16),
                intra_period=r.u(16), qp=r.u(8), search_range=r.u(8),
-               use_halfpel=bool(r.u(8)), num_frames=r.u(32))
+               use_halfpel=bool(r.u(8)), deblock=bool(r.u(8)),
+               num_frames=r.u(32))
     return out

@@ -27,6 +27,8 @@ from ..utils.config import CodecConfig
 from ..utils.yuv import psnr
 from ..ops import fractal as F
 from ..ops import transform as T
+from ..ops import intra as IN
+from ..ops import deblock as DB
 from ..entropy.bitio import BitWriter, BitReader
 from ..entropy import fractal_syntax as FS
 
@@ -75,23 +77,24 @@ class FractalCodec:
         self._residual_jit = jax.jit(T.residual_code_plane,
                                      static_argnums=(2, 3, 4))
         self._maps_jit = jax.jit(F.leaf_maps, static_argnums=(1, 2))
-        self._i_plane = jax.jit(self._i_plane_impl, static_argnums=(1,))
+        self._intra_jit = jax.jit(IN.encode_plane, static_argnums=(1,))
+        self._deblock_jit = jax.jit(DB.deblock_plane, static_argnums=(3, 4))
 
-    # -- intra step (interim: DC-128 prediction + residual coding) ---------
-    def _i_plane_impl(self, plane, qp):
-        pred = jnp.full_like(plane, 128)
-        return T.residual_code_plane(plane, pred, qp, intra=True,
-                                     luma_mb_grid=False)
-
+    # -- intra step (wavefront 4x4 intra, ops/intra.py) ---------------------
     def _i_step(self, y, u, v):
         qp = self.cfg.qp_i
         cqp = T.chroma_qp(qp)
-        zzs, outs = [], []
-        for plane, q in ((y, qp), (u, cqp), (v, cqp)):
-            zz, rec = self._i_plane(plane, q)
+        modes_l, zzs, outs = [], [], []
+        for plane, q, luma in ((y, qp, True), (u, cqp, False), (v, cqp, False)):
+            modes, zz, rec = self._intra_jit(plane, q)
+            if self.cfg.deblock:
+                h, w = plane.shape
+                bs_v, bs_h = DB.strengths_intra(h, w)
+                rec = self._deblock_jit(rec, bs_v, bs_h, q, luma)
+            modes_l.append(modes)
             outs.append(rec)
             zzs.append(zz)
-        return tuple(zzs), tuple(outs)
+        return tuple(modes_l), tuple(zzs), tuple(outs)
 
     # -- fractal P step -----------------------------------------------------
     def _p_plane(self, org, ref, qp, is_luma):
@@ -103,6 +106,11 @@ class FractalCodec:
         maps = self._maps_jit(tree, hp, wp)
         frec = self._recon_jit(tree, refp, hp, wp)[:h, :w]
         zz, rec = self._residual_jit(org, frec, qp, False, is_luma)
+        if self.cfg.deblock:
+            nz = (zz != 0).any(axis=-1).reshape(h // 4, w // 4)
+            bs_v, bs_h = DB.strengths_fractal(
+                {k: m[:h // 4, :w // 4] for k, m in maps.items()}, nz)
+            rec = self._deblock_jit(rec, bs_v, bs_h, qp, is_luma)
         return maps, zz, rec
 
     def _p_step(self, y, u, v, ref_y, ref_u, ref_v):
@@ -131,9 +139,10 @@ class FractalCodec:
         y, u, v = (jnp.asarray(p, jnp.int32) for p in yuv)
         w = BitWriter()
         if self.is_intra(frame_idx) or ref is None:
-            zzs, recs = self._i_step(y, u, v)
+            modes_l, zzs, recs = self._i_step(y, u, v)
             w.u(0, 8)
-            for zz in zzs:
+            for modes, zz in zip(modes_l, zzs):
+                FS.write_intra_modes(w, np.asarray(modes))
                 FS.write_coeff_set(w, np.asarray(zz))
             ftype = "I"
         else:
@@ -191,7 +200,7 @@ class FractalDecoder:
 
     def _p_plane_fn(self, key):
         if key not in self._dec_p_plane:
-            h, w, qp, use_hp = key
+            h, w, qp, use_hp, deblock, luma = key
 
             def fn(a, beta, dx, dy, refidx, shape, zz, ref):
                 maps = dict(a=a, beta=beta, dx=dx, dy=dy, ref=refidx, shape=shape)
@@ -201,21 +210,27 @@ class FractalDecoder:
                 lev = T.zigzag_unscan(zz)
                 deq = T.dequant4x4(lev, qp)
                 rec = T.reconstruct(T.frame_to_blocks(frec, 4), T.idct4x4(deq))
-                return T.blocks_to_frame(rec, h, w)
+                rec = T.blocks_to_frame(rec, h, w)
+                if deblock:
+                    nz = (zz != 0).any(axis=-1).reshape(h // 4, w // 4)
+                    bs_v, bs_h = DB.strengths_fractal(
+                        {k: m[:h // 4, :w // 4] for k, m in maps.items()}, nz)
+                    rec = DB.deblock_plane(rec, bs_v, bs_h, qp, luma)
+                return rec
 
             self._dec_p_plane[key] = jax.jit(fn)
         return self._dec_p_plane[key]
 
     def _i_plane_fn(self, key):
         if key not in self._dec_i_plane:
-            h, w, qp = key
+            h, w, qp, deblock, luma = key
 
-            def fn(zz):
-                pred = jnp.full((h, w), 128, jnp.int32)
-                lev = T.zigzag_unscan(zz)
-                deq = T.dequant4x4(lev, qp)
-                rec = T.reconstruct(T.frame_to_blocks(pred, 4), T.idct4x4(deq))
-                return T.blocks_to_frame(rec, h, w)
+            def fn(modes, zz):
+                rec = IN.decode_plane(modes, zz, h, w, qp)
+                if deblock:
+                    bs_v, bs_h = DB.strengths_intra(h, w)
+                    rec = DB.deblock_plane(rec, bs_v, bs_h, qp, luma)
+                return rec
 
             self._dec_i_plane[key] = jax.jit(fn)
         return self._dec_i_plane[key]
@@ -228,8 +243,10 @@ class FractalDecoder:
         cqp = T.chroma_qp(qp)
         sr = hdr["search_range"]
         use_hp = hdr["use_halfpel"]
+        dbl = hdr["deblock"]
         cw, ch = W // 2, H // 2
-        plane_dims = [(H, W, qp), (ch, cw, cqp), (ch, cw, cqp)]
+        plane_dims = [(H, W, qp, True), (ch, cw, cqp, False),
+                      (ch, cw, cqp, False)]
 
         frames = []
         ref = None
@@ -237,16 +254,18 @@ class FractalDecoder:
             ftype = r.u(8)
             planes = []
             if ftype == 0:
-                for (h, w, q) in plane_dims:
+                for (h, w, q, luma) in plane_dims:
+                    modes = FS.read_intra_modes(r, h // 4, w // 4)
                     zz = FS.read_coeff_set(r, (h // 4) * (w // 4))
-                    rec = self._i_plane_fn((h, w, q))(jnp.asarray(zz, jnp.int32))
+                    rec = self._i_plane_fn((h, w, q, dbl, luma))(
+                        jnp.asarray(modes, jnp.int32), jnp.asarray(zz, jnp.int32))
                     planes.append(np.asarray(rec, np.uint8))
             else:
-                for pi, (h, w, q) in enumerate(plane_dims):
+                for pi, (h, w, q, luma) in enumerate(plane_dims):
                     hp, wp = _pad16_np(h, w)
                     maps = FS.read_tree(r, hp, wp, sr, use_hp)
                     zz = FS.read_coeff_set(r, (h // 4) * (w // 4))
-                    fn = self._p_plane_fn((h, w, q, use_hp))
+                    fn = self._p_plane_fn((h, w, q, use_hp, dbl, luma))
                     rec = fn(*(jnp.asarray(maps[k], jnp.int32) for k in
                                ("a", "beta", "dx", "dy", "ref", "shape")),
                              jnp.asarray(zz, jnp.int32),

@@ -36,7 +36,9 @@ def test_tiled_matches_single_device(rng, gop, tile):
                  for a in (y, u, v, ry, ru, rv))
     maps_t, zz_t, rec_t = jax.jit(step)(*args)
 
-    cfg = CodecConfig(width=W, height=H, qp=28, intra_period=0,
+    # deblock=False: the tiled step covers search+residual; cross-tile
+    # deblock halo is the roadmap item (parallel/tiled_search docstring)
+    cfg = CodecConfig(width=W, height=H, qp=28, intra_period=0, deblock=False,
                       fractal=FractalConfig(search_range=SR))
     codec = FractalCodec(cfg)
     for b in range(B):
