@@ -63,6 +63,11 @@ class BitWriter:
         self._vals.append(v)
         self._lens.append(n)
 
+    def raw(self, codes, lens):
+        """Append precomputed (codeword, bit-length) symbol arrays."""
+        self._vals.append(np.atleast_1d(np.asarray(codes, dtype=np.int64)))
+        self._lens.append(np.atleast_1d(np.asarray(lens, dtype=np.int64)))
+
     def bit_length(self) -> int:
         return int(sum(int(l.sum()) for l in self._lens))
 

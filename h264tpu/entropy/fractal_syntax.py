@@ -34,9 +34,27 @@ from __future__ import annotations
 import numpy as np
 
 from .bitio import BitWriter, BitReader
+from . import cavlc
 from ..ops.fractal import SHAPES
 
 MAGIC = 0x46564331  # 'FVC1'
+
+# residual entropy modes; aligned with utils.config.EntropyMode (CABAC=1 reserved)
+ENTROPY_CAVLC = 0   # H.264 CAVLC (default)
+ENTROPY_EG = 2      # interim Exp-Golomb coefficient sets
+
+
+def write_residual(w: BitWriter, zz: np.ndarray, cy: int, cx: int, mode: int):
+    if mode == ENTROPY_CAVLC:
+        cavlc.encode_plane(np.asarray(zz), cy, cx, w)
+    else:
+        write_coeff_set(w, np.asarray(zz))
+
+
+def read_residual(r: BitReader, cy: int, cx: int, mode: int) -> np.ndarray:
+    if mode == ENTROPY_CAVLC:
+        return cavlc.decode_plane(r, cy, cx)
+    return read_coeff_set(r, cy * cx)
 
 
 def _mv_bits(search_range: int) -> int:
@@ -239,6 +257,7 @@ def write_header(w: BitWriter, cfg, num_frames: int):
     w.u(cfg.fractal.search_range, 8)
     w.u(int(cfg.fractal.use_halfpel_refs), 8)
     w.u(int(cfg.deblock), 8)
+    w.u(int(cfg.entropy), 8)
     w.u(num_frames, 32)
 
 
@@ -250,5 +269,5 @@ def read_header(r: BitReader) -> dict:
     out = dict(version=version, width=r.u(16), height=r.u(16),
                intra_period=r.u(16), qp=r.u(8), search_range=r.u(8),
                use_halfpel=bool(r.u(8)), deblock=bool(r.u(8)),
-               num_frames=r.u(32))
+               entropy=r.u(8), num_frames=r.u(32))
     return out

@@ -138,22 +138,26 @@ class FractalCodec:
         cfg = self.cfg
         y, u, v = (jnp.asarray(p, jnp.int32) for p in yuv)
         w = BitWriter()
+        from ..utils.config import EntropyMode
+        ent = (FS.ENTROPY_CAVLC if cfg.entropy == EntropyMode.CAVLC
+               else FS.ENTROPY_EG)
+        dims = [(p.shape[0] // 4, p.shape[1] // 4) for p in (y, u, v)]
         if self.is_intra(frame_idx) or ref is None:
             modes_l, zzs, recs = self._i_step(y, u, v)
             w.u(0, 8)
-            for modes, zz in zip(modes_l, zzs):
+            for modes, zz, (cy, cx) in zip(modes_l, zzs, dims):
                 FS.write_intra_modes(w, np.asarray(modes))
-                FS.write_coeff_set(w, np.asarray(zz))
+                FS.write_residual(w, np.asarray(zz), cy, cx, ent)
             ftype = "I"
         else:
             ry, ru, rv = (jnp.asarray(p, jnp.int32) for p in ref)
             maps, zzs, recs = self._p_step(y, u, v, ry, ru, rv)
             w.u(1, 8)
-            for m, zz in zip(maps, zzs):
+            for m, zz, (cy, cx) in zip(maps, zzs, dims):
                 FS.write_tree(w, {k: np.asarray(a) for k, a in m.items()},
                               cfg.fractal.search_range,
                               cfg.fractal.use_halfpel_refs)
-                FS.write_coeff_set(w, np.asarray(zz))
+                FS.write_residual(w, np.asarray(zz), cy, cx, ent)
             ftype = "P"
         payload = w.to_bytes()
         recs = tuple(np.asarray(r, dtype=np.uint8) for r in recs)
@@ -256,7 +260,7 @@ class FractalDecoder:
             if ftype == 0:
                 for (h, w, q, luma) in plane_dims:
                     modes = FS.read_intra_modes(r, h // 4, w // 4)
-                    zz = FS.read_coeff_set(r, (h // 4) * (w // 4))
+                    zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
                     rec = self._i_plane_fn((h, w, q, dbl, luma))(
                         jnp.asarray(modes, jnp.int32), jnp.asarray(zz, jnp.int32))
                     planes.append(np.asarray(rec, np.uint8))
@@ -264,7 +268,7 @@ class FractalDecoder:
                 for pi, (h, w, q, luma) in enumerate(plane_dims):
                     hp, wp = _pad16_np(h, w)
                     maps = FS.read_tree(r, hp, wp, sr, use_hp)
-                    zz = FS.read_coeff_set(r, (h // 4) * (w // 4))
+                    zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
                     fn = self._p_plane_fn((h, w, q, use_hp, dbl, luma))
                     rec = fn(*(jnp.asarray(maps[k], jnp.int32) for k in
                                ("a", "beta", "dx", "dy", "ref", "shape")),

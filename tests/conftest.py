@@ -9,6 +9,12 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# separate compilation cache for the CPU test platform (avoids AOT
+# machine-feature mismatch with TPU-session cache entries)
+os.environ.setdefault(
+    "H264TPU_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache", "cpu"))
 
 import jax
 
