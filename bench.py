@@ -48,15 +48,14 @@ def main():
 
     # warm-up (compiles I and P paths)
     res0, _ = codec.encode_frame(frames[0], None, 0)
-    ref = res0.recon
-    res1, _ = codec.encode_frame(frames[1], ref, 1)
-    ref = res1.recon
+    res1, _ = codec.encode_frame(frames[1], res0.recon_dev, 1)
+    ref = res1.recon_dev
 
     n = 10
     t0 = time.time()
     for i in range(n):
         res, _ = codec.encode_frame(frames[2 + (i % 10)], ref, 2 + i)
-        ref = res.recon
+        ref = res.recon_dev
     dt = time.time() - t0
     fps = n / dt
 

@@ -53,6 +53,39 @@ class FrameResult:
     psnr_v: float
     bits: int
     recon: tuple  # (Y, U, V) uint8 numpy
+    recon_dev: tuple = None  # (Y, U, V) int32 device arrays (next frame's ref)
+
+
+class _FramePacker:
+    """Flattens all host-bound per-frame outputs into ONE device buffer.
+
+    The axon TPU tunnel costs ~27ms per device->host fetch regardless of
+    size; a frame's outputs (leaf maps, levels, recon, distortion sums) are
+    ~20 arrays, so fetching them individually dominated encode time.  One
+    concatenated int32 buffer -> one fetch.
+    """
+
+    def __init__(self, specs):
+        self.specs = list(specs)            # (name, shape) in order
+        self.offsets = {}
+        off = 0
+        for name, shape in self.specs:
+            n = int(np.prod(shape))
+            self.offsets[name] = (off, shape)
+            off += n
+        self.total = off
+
+    def pack(self, arrays: dict) -> jnp.ndarray:
+        parts = [arrays[name].astype(jnp.int32).reshape(-1)
+                 for name, _ in self.specs]
+        return jnp.concatenate(parts)
+
+    def unpack(self, flat: np.ndarray) -> dict:
+        out = {}
+        for name, (off, shape) in self.offsets.items():
+            n = int(np.prod(shape))
+            out[name] = flat[off:off + n].reshape(shape)
+        return out
 
 
 class FractalCodec:
@@ -79,6 +112,28 @@ class FractalCodec:
         self._maps_jit = jax.jit(F.leaf_maps, static_argnums=(1, 2))
         self._intra_jit = jax.jit(IN.encode_plane, static_argnums=(1,))
         self._deblock_jit = jax.jit(DB.deblock_plane, static_argnums=(3, 4))
+        self._packers = {}
+        self._pack_jit = jax.jit(
+            lambda parts: jnp.concatenate([p.astype(jnp.int32).reshape(-1)
+                                           for p in parts]))
+
+    def _packer(self, kind, dims):
+        """Packer for a frame's host-bound outputs (kind: 'p' or 'i')."""
+        key = (kind, tuple(dims))
+        if key not in self._packers:
+            specs = []
+            for i, (h, w) in enumerate(dims):
+                hp, wp = _pad16_np(h, w)
+                if kind == "p":
+                    for f in ("a", "beta", "dx", "dy", "ref", "shape"):
+                        specs.append((f"{i}_{f}", (hp // 4, wp // 4)))
+                else:
+                    specs.append((f"{i}_modes", (h // 4, w // 4)))
+                specs.append((f"{i}_zz", ((h // 4) * (w // 4), 16)))
+                specs.append((f"{i}_rec", (h, w)))
+                specs.append((f"{i}_sse", (1,)))
+            self._packers[key] = _FramePacker(specs)
+        return self._packers[key]
 
     # -- intra step (wavefront 4x4 intra, ops/intra.py) ---------------------
     def _i_step(self, y, u, v):
@@ -134,41 +189,70 @@ class FractalCodec:
         return ip > 0 and frame_idx % ip == 0
 
     def encode_frame(self, yuv, ref=None, frame_idx: int = 0):
-        """Encode one frame; returns (FrameResult, frame_payload_bytes)."""
+        """Encode one frame; returns (FrameResult, frame_payload_bytes).
+
+        ``ref`` may be numpy or device arrays; ``FrameResult.recon_dev``
+        holds the on-device reconstruction for feeding the next frame
+        without a host round-trip (all host-bound outputs arrive in a
+        single packed fetch, see _FramePacker).
+        """
         cfg = self.cfg
         y, u, v = (jnp.asarray(p, jnp.int32) for p in yuv)
+        orgs = (y, u, v)
         w = BitWriter()
         from ..utils.config import EntropyMode
         ent = (FS.ENTROPY_CAVLC if cfg.entropy == EntropyMode.CAVLC
                else FS.ENTROPY_EG)
-        dims = [(p.shape[0] // 4, p.shape[1] // 4) for p in (y, u, v)]
-        if self.is_intra(frame_idx) or ref is None:
+        dims = [tuple(p.shape) for p in orgs]
+        intra = self.is_intra(frame_idx) or ref is None
+
+        if intra:
             modes_l, zzs, recs = self._i_step(y, u, v)
-            w.u(0, 8)
-            for modes, zz, (cy, cx) in zip(modes_l, zzs, dims):
-                FS.write_intra_modes(w, np.asarray(modes))
-                FS.write_residual(w, np.asarray(zz), cy, cx, ent)
+            packer = self._packer("i", dims)
             ftype = "I"
         else:
-            ry, ru, rv = (jnp.asarray(p, jnp.int32) for p in ref)
-            maps, zzs, recs = self._p_step(y, u, v, ry, ru, rv)
-            w.u(1, 8)
-            for m, zz, (cy, cx) in zip(maps, zzs, dims):
-                FS.write_tree(w, {k: np.asarray(a) for k, a in m.items()},
+            refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
+            maps, zzs, recs = self._p_step(y, u, v, *refs)
+            packer = self._packer("p", dims)
+            ftype = "P"
+
+        parts = []
+        for i in range(3):
+            if intra:
+                parts.append(modes_l[i])
+            else:
+                for f in ("a", "beta", "dx", "dy", "ref", "shape"):
+                    parts.append(maps[i][f])
+            parts.append(zzs[i])
+            parts.append(recs[i])
+            sse = ((recs[i] - orgs[i]).astype(jnp.float32) ** 2).sum()
+            parts.append(jax.lax.bitcast_convert_type(sse, jnp.int32).reshape(1))
+        flat = np.asarray(self._pack_jit(parts))       # ONE tunnel fetch
+        h = packer.unpack(flat)
+
+        w.u(0 if intra else 1, 8)
+        for i, (ph, pw) in enumerate(dims):
+            if intra:
+                FS.write_intra_modes(w, h[f"{i}_modes"])
+            else:
+                FS.write_tree(w, {f: h[f"{i}_{f}"] for f in
+                                  ("a", "beta", "dx", "dy", "ref", "shape")},
                               cfg.fractal.search_range,
                               cfg.fractal.use_halfpel_refs)
-                FS.write_residual(w, np.asarray(zz), cy, cx, ent)
-            ftype = "P"
+            FS.write_residual(w, h[f"{i}_zz"], ph // 4, pw // 4, ent)
         payload = w.to_bytes()
-        recs = tuple(np.asarray(r, dtype=np.uint8) for r in recs)
+
+        rec_np = tuple(h[f"{i}_rec"].astype(np.uint8) for i in range(3))
+        npx = [d[0] * d[1] for d in dims]
+        psnrs = []
+        for i in range(3):
+            mse = float(h[f"{i}_sse"].view(np.float32)[0]) / npx[i]
+            psnrs.append(99.99 if mse == 0 else
+                         10.0 * np.log10(255.0 * 255.0 / mse))
         res = FrameResult(
-            frame_type=ftype,
-            psnr_y=psnr(recs[0], np.asarray(y)),
-            psnr_u=psnr(recs[1], np.asarray(u)),
-            psnr_v=psnr(recs[2], np.asarray(v)),
-            bits=len(payload) * 8,
-            recon=recs,
-        )
+            frame_type=ftype, psnr_y=psnrs[0], psnr_u=psnrs[1],
+            psnr_v=psnrs[2], bits=len(payload) * 8, recon=rec_np)
+        res.recon_dev = recs
         return res, payload
 
     def encode_sequence(self, frames, verbose: bool = False):
@@ -180,7 +264,7 @@ class FractalCodec:
         ref = None
         for idx, yuv in enumerate(frames):
             res, payload = self.encode_frame(yuv, ref, idx)
-            ref = res.recon
+            ref = res.recon_dev
             results.append(res)
             payloads.append(payload)
             if verbose:
