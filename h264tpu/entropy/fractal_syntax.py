@@ -258,6 +258,7 @@ def write_header(w: BitWriter, cfg, num_frames: int):
     w.u(int(cfg.fractal.use_halfpel_refs), 8)
     w.u(int(cfg.deblock), 8)
     w.u(int(cfg.entropy), 8)
+    w.u(cfg.views, 8)
     w.u(num_frames, 32)
 
 
@@ -269,5 +270,5 @@ def read_header(r: BitReader) -> dict:
     out = dict(version=version, width=r.u(16), height=r.u(16),
                intra_period=r.u(16), qp=r.u(8), search_range=r.u(8),
                use_halfpel=bool(r.u(8)), deblock=bool(r.u(8)),
-               entropy=r.u(8), num_frames=r.u(32))
+               entropy=r.u(8), views=r.u(8), num_frames=r.u(32))
     return out

@@ -188,33 +188,22 @@ class FractalCodec:
         ip = self.cfg.intra_period
         return ip > 0 and frame_idx % ip == 0
 
-    def encode_frame(self, yuv, ref=None, frame_idx: int = 0):
-        """Encode one frame; returns (FrameResult, frame_payload_bytes).
+    def dispatch_frame(self, yuv, ref=None, frame_idx: int = 0) -> dict:
+        """Enqueue all device work for one frame; returns a pending handle.
 
-        ``ref`` may be numpy or device arrays; ``FrameResult.recon_dev``
-        holds the on-device reconstruction for feeding the next frame
-        without a host round-trip (all host-bound outputs arrive in a
-        single packed fetch, see _FramePacker).
+        No host synchronization happens here — the packed output buffer is an
+        in-flight device array.  ``ref`` may be numpy or device arrays.
         """
-        cfg = self.cfg
         y, u, v = (jnp.asarray(p, jnp.int32) for p in yuv)
         orgs = (y, u, v)
-        w = BitWriter()
-        from ..utils.config import EntropyMode
-        ent = (FS.ENTROPY_CAVLC if cfg.entropy == EntropyMode.CAVLC
-               else FS.ENTROPY_EG)
         dims = [tuple(p.shape) for p in orgs]
         intra = self.is_intra(frame_idx) or ref is None
 
         if intra:
             modes_l, zzs, recs = self._i_step(y, u, v)
-            packer = self._packer("i", dims)
-            ftype = "I"
         else:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
             maps, zzs, recs = self._p_step(y, u, v, *refs)
-            packer = self._packer("p", dims)
-            ftype = "P"
 
         parts = []
         for i in range(3):
@@ -227,9 +216,23 @@ class FractalCodec:
             parts.append(recs[i])
             sse = ((recs[i] - orgs[i]).astype(jnp.float32) ** 2).sum()
             parts.append(jax.lax.bitcast_convert_type(sse, jnp.int32).reshape(1))
-        flat = np.asarray(self._pack_jit(parts))       # ONE tunnel fetch
-        h = packer.unpack(flat)
+        packed = self._pack_jit(parts)
+        return dict(intra=intra, dims=dims, packed=packed, recs=recs)
 
+    def finalize_frame(self, pending: dict):
+        """Fetch the packed buffer (one tunnel round-trip) and entropy-code.
+
+        Returns (FrameResult, payload bytes)."""
+        cfg = self.cfg
+        intra = pending["intra"]
+        dims = pending["dims"]
+        from ..utils.config import EntropyMode
+        ent = (FS.ENTROPY_CAVLC if cfg.entropy == EntropyMode.CAVLC
+               else FS.ENTROPY_EG)
+        packer = self._packer("i" if intra else "p", dims)
+        h = packer.unpack(np.asarray(pending["packed"]))
+
+        w = BitWriter()
         w.u(0 if intra else 1, 8)
         for i, (ph, pw) in enumerate(dims):
             if intra:
@@ -243,38 +246,106 @@ class FractalCodec:
         payload = w.to_bytes()
 
         rec_np = tuple(h[f"{i}_rec"].astype(np.uint8) for i in range(3))
-        npx = [d[0] * d[1] for d in dims]
         psnrs = []
-        for i in range(3):
-            mse = float(h[f"{i}_sse"].view(np.float32)[0]) / npx[i]
+        for i, (ph, pw) in enumerate(dims):
+            mse = float(h[f"{i}_sse"].view(np.float32)[0]) / (ph * pw)
             psnrs.append(99.99 if mse == 0 else
                          10.0 * np.log10(255.0 * 255.0 / mse))
         res = FrameResult(
-            frame_type=ftype, psnr_y=psnrs[0], psnr_u=psnrs[1],
-            psnr_v=psnrs[2], bits=len(payload) * 8, recon=rec_np)
-        res.recon_dev = recs
+            frame_type="I" if intra else "P", psnr_y=psnrs[0],
+            psnr_u=psnrs[1], psnr_v=psnrs[2], bits=len(payload) * 8,
+            recon=rec_np)
+        res.recon_dev = pending["recs"]
         return res, payload
+
+    def encode_frame(self, yuv, ref=None, frame_idx: int = 0):
+        """Encode one frame; returns (FrameResult, frame_payload_bytes)."""
+        return self.finalize_frame(self.dispatch_frame(yuv, ref, frame_idx))
 
     def encode_sequence(self, frames, verbose: bool = False):
         """Encode an iterable of (Y, U, V) uint8 frames.
 
+        Software-pipelined: frame N's host entropy packing overlaps frame
+        N+1's device compute (the recon feedback stays on-device).
         Returns (results, bitstream bytes)."""
         results = []
         payloads = []
+        pending = None
         ref = None
         for idx, yuv in enumerate(frames):
-            res, payload = self.encode_frame(yuv, ref, idx)
-            ref = res.recon_dev
-            results.append(res)
-            payloads.append(payload)
-            if verbose:
-                print(f"frame {idx:3d} {res.frame_type}  "
-                      f"PSNR Y {res.psnr_y:6.2f}  U {res.psnr_u:6.2f}  "
-                      f"V {res.psnr_v:6.2f}  bits {res.bits}")
+            disp = self.dispatch_frame(yuv, ref, idx)
+            ref = disp["recs"]
+            if pending is not None:
+                results.append(self._emit(pending, payloads, verbose))
+            pending = disp
+        if pending is not None:
+            results.append(self._emit(pending, payloads, verbose))
         hdr = BitWriter()
         FS.write_header(hdr, self.cfg, len(results))
         stream = hdr.to_bytes() + b"".join(payloads)
         return results, stream
+
+    def _emit(self, pending, payloads, verbose):
+        res, payload = self.finalize_frame(pending)
+        payloads.append(payload)
+        if verbose:
+            idx = len(payloads) - 1
+            print(f"frame {idx:3d} {res.frame_type}  "
+                  f"PSNR Y {res.psnr_y:6.2f}  U {res.psnr_u:6.2f}  "
+                  f"V {res.psnr_v:6.2f}  bits {res.bits}")
+        return res
+
+    # ------------------------------------------------------------------
+    # Stereo / 3-view coding (reference capability F25)
+    # ------------------------------------------------------------------
+    def encode_sequence_views(self, view_frames, verbose: bool = False):
+        """Encode 1 or 3 views (C[, R, L]) per the reference's scheme
+        (``FR/src/code.c:171-306``): every view is intra-coded on I frames;
+        on P frames the center view predicts from its own previous
+        reconstruction while the side views predict from the CENTER view's
+        current reconstruction (cross-view disparity search — our full
+        candidate lattice is a superset of the reference's seeded
+        ``full_search_R`` scan, FR/src/block_enc.c:2031).
+
+        ``view_frames``: list over views of lists of (Y, U, V) frames.
+        Returns (results [view][frame], stream bytes).
+        """
+        n_views = len(view_frames)
+        assert n_views in (1, 3)
+        num_frames = len(view_frames[0])
+        results = [[] for _ in range(n_views)]
+        payloads = []
+        ref_c = None
+        queue = []
+        for idx in range(num_frames):
+            intra = self.is_intra(idx) or ref_c is None
+            disp_c = self.dispatch_frame(view_frames[0][idx],
+                                         None if intra else ref_c, idx)
+            ref_c = disp_c["recs"]
+            disps = [disp_c]
+            for vi in range(1, n_views):
+                disps.append(self.dispatch_frame(
+                    view_frames[vi][idx], None if intra else disp_c["recs"],
+                    idx))
+            queue.append(disps)
+            if len(queue) > 1:
+                self._emit_views(queue.pop(0), results, payloads, verbose)
+        while queue:
+            self._emit_views(queue.pop(0), results, payloads, verbose)
+        hdr = BitWriter()
+        FS.write_header(hdr, dataclasses.replace(self.cfg, views=n_views),
+                        num_frames)
+        return results, hdr.to_bytes() + b"".join(payloads)
+
+    def _emit_views(self, disps, results, payloads, verbose):
+        for vi, disp in enumerate(disps):
+            res, payload = self.finalize_frame(disp)
+            results[vi].append(res)
+            payloads.append(payload)
+            if verbose:
+                print(f"frame {len(results[vi]) - 1:3d} view {vi} "
+                      f"{res.frame_type}  PSNR Y {res.psnr_y:6.2f}  "
+                      f"bits {res.bits}")
 
 
 class FractalDecoder:
@@ -336,9 +407,11 @@ class FractalDecoder:
         plane_dims = [(H, W, qp, True), (ch, cw, cqp, False),
                       (ch, cw, cqp, False)]
 
-        frames = []
-        ref = None
-        for fi in range(hdr["num_frames"]):
+        n_views = max(hdr.get("views", 1), 1)
+
+        def decode_one(ref):
+            """Parse + reconstruct one view payload; ref = its reference
+            frame planes (None for intra)."""
             ftype = r.u(8)
             planes = []
             if ftype == 0:
@@ -360,8 +433,18 @@ class FractalDecoder:
                              jnp.asarray(ref[pi], jnp.int32))
                     planes.append(np.asarray(rec, np.uint8))
             r.byte_align()
-            ref = tuple(planes)
-            frames.append(ref)
+            return ftype, tuple(planes)
+
+        frames = [[] for _ in range(n_views)]
+        ref_c = None
+        for fi in range(hdr["num_frames"]):
+            ftype, planes_c = decode_one(ref_c)
+            ref_c = planes_c
+            frames[0].append(planes_c)
+            for vi in range(1, n_views):
+                # side views reference the center view's current frame
+                _, planes_v = decode_one(planes_c)
+                frames[vi].append(planes_v)
             if verbose:
                 print(f"decoded frame {fi} type {'I' if ftype == 0 else 'P'}")
-        return frames
+        return frames[0] if n_views == 1 else frames
