@@ -54,6 +54,7 @@ class FrameResult:
     bits: int
     recon: tuple  # (Y, U, V) uint8 numpy
     recon_dev: tuple = None  # (Y, U, V) int32 device arrays (next frame's ref)
+    qp: int = 0
 
 
 class _FramePacker:
@@ -107,11 +108,13 @@ class FractalCodec:
             functools.partial(F.reconstruct_plane,
                               use_halfpel=cfg.fractal.use_halfpel_refs),
             static_argnums=(2, 3))
+        # qp is a TRACED argument everywhere (rate control changes it per
+        # frame without recompiling); only booleans/shapes are static.
         self._residual_jit = jax.jit(T.residual_code_plane,
-                                     static_argnums=(2, 3, 4))
+                                     static_argnums=(3, 4))
         self._maps_jit = jax.jit(F.leaf_maps, static_argnums=(1, 2))
-        self._intra_jit = jax.jit(IN.encode_plane, static_argnums=(1,))
-        self._deblock_jit = jax.jit(DB.deblock_plane, static_argnums=(3, 4))
+        self._intra_jit = jax.jit(IN.encode_plane)
+        self._deblock_jit = jax.jit(DB.deblock_plane, static_argnums=(4,))
         self._packers = {}
         self._pack_jit = jax.jit(
             lambda parts: jnp.concatenate([p.astype(jnp.int32).reshape(-1)
@@ -136,8 +139,7 @@ class FractalCodec:
         return self._packers[key]
 
     # -- intra step (wavefront 4x4 intra, ops/intra.py) ---------------------
-    def _i_step(self, y, u, v):
-        qp = self.cfg.qp_i
+    def _i_step(self, y, u, v, qp):
         cqp = T.chroma_qp(qp)
         modes_l, zzs, outs = [], [], []
         for plane, q, luma in ((y, qp, True), (u, cqp, False), (v, cqp, False)):
@@ -168,8 +170,8 @@ class FractalCodec:
             rec = self._deblock_jit(rec, bs_v, bs_h, qp, is_luma)
         return maps, zz, rec
 
-    def _p_step(self, y, u, v, ref_y, ref_u, ref_v):
-        qp = self.cfg.qp
+    def _p_step(self, y, u, v, ref_y, ref_u, ref_v, qp=None):
+        qp = self.cfg.qp if qp is None else qp
         cqp = T.chroma_qp(qp)
         all_maps, zzs, recs = [], [], []
         for org, ref, q, is_luma in ((y, ref_y, qp, True),
@@ -188,22 +190,26 @@ class FractalCodec:
         ip = self.cfg.intra_period
         return ip > 0 and frame_idx % ip == 0
 
-    def dispatch_frame(self, yuv, ref=None, frame_idx: int = 0) -> dict:
+    def dispatch_frame(self, yuv, ref=None, frame_idx: int = 0,
+                       qp: int = None) -> dict:
         """Enqueue all device work for one frame; returns a pending handle.
 
         No host synchronization happens here — the packed output buffer is an
         in-flight device array.  ``ref`` may be numpy or device arrays.
+        ``qp`` overrides the config QP (rate control).
         """
         y, u, v = (jnp.asarray(p, jnp.int32) for p in yuv)
         orgs = (y, u, v)
         dims = [tuple(p.shape) for p in orgs]
         intra = self.is_intra(frame_idx) or ref is None
+        if qp is None:
+            qp = self.cfg.qp_i if intra else self.cfg.qp
 
         if intra:
-            modes_l, zzs, recs = self._i_step(y, u, v)
+            modes_l, zzs, recs = self._i_step(y, u, v, qp)
         else:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
-            maps, zzs, recs = self._p_step(y, u, v, *refs)
+            maps, zzs, recs = self._p_step(y, u, v, *refs, qp=qp)
 
         parts = []
         for i in range(3):
@@ -217,7 +223,7 @@ class FractalCodec:
             sse = ((recs[i] - orgs[i]).astype(jnp.float32) ** 2).sum()
             parts.append(jax.lax.bitcast_convert_type(sse, jnp.int32).reshape(1))
         packed = self._pack_jit(parts)
-        return dict(intra=intra, dims=dims, packed=packed, recs=recs)
+        return dict(intra=intra, dims=dims, packed=packed, recs=recs, qp=qp)
 
     def finalize_frame(self, pending: dict):
         """Fetch the packed buffer (one tunnel round-trip) and entropy-code.
@@ -234,6 +240,7 @@ class FractalCodec:
 
         w = BitWriter()
         w.u(0 if intra else 1, 8)
+        w.u(int(pending["qp"]), 8)
         for i, (ph, pw) in enumerate(dims):
             if intra:
                 FS.write_intra_modes(w, h[f"{i}_modes"])
@@ -254,20 +261,24 @@ class FractalCodec:
         res = FrameResult(
             frame_type="I" if intra else "P", psnr_y=psnrs[0],
             psnr_u=psnrs[1], psnr_v=psnrs[2], bits=len(payload) * 8,
-            recon=rec_np)
+            recon=rec_np, qp=int(pending["qp"]))
         res.recon_dev = pending["recs"]
         return res, payload
 
-    def encode_frame(self, yuv, ref=None, frame_idx: int = 0):
+    def encode_frame(self, yuv, ref=None, frame_idx: int = 0, qp: int = None):
         """Encode one frame; returns (FrameResult, frame_payload_bytes)."""
-        return self.finalize_frame(self.dispatch_frame(yuv, ref, frame_idx))
+        return self.finalize_frame(self.dispatch_frame(yuv, ref, frame_idx, qp))
 
     def encode_sequence(self, frames, verbose: bool = False):
         """Encode an iterable of (Y, U, V) uint8 frames.
 
         Software-pipelined: frame N's host entropy packing overlaps frame
-        N+1's device compute (the recon feedback stays on-device).
+        N+1's device compute (the recon feedback stays on-device).  With
+        cfg.rate_control the loop runs sequentially instead (frame N's bits
+        feed frame N+1's QP).
         Returns (results, bitstream bytes)."""
+        if self.cfg.rate_control and self.cfg.target_bitrate > 0:
+            return self._encode_sequence_rc(frames, verbose)
         results = []
         payloads = []
         pending = None
@@ -284,6 +295,31 @@ class FractalCodec:
         FS.write_header(hdr, self.cfg, len(results))
         stream = hdr.to_bytes() + b"".join(payloads)
         return results, stream
+
+    def _encode_sequence_rc(self, frames, verbose: bool):
+        """Rate-controlled sequence encode (quadratic model, models/ratectl)."""
+        from .ratectl import QuadraticRateControl
+        cfg = self.cfg
+        rc = QuadraticRateControl(cfg.target_bitrate, cfg.frame_rate, cfg.qp)
+        results = []
+        payloads = []
+        ref = None
+        for idx, yuv in enumerate(frames):
+            intra = self.is_intra(idx) or ref is None
+            qp = cfg.qp_i if intra else rc.frame_qp()
+            res, payload = self.encode_frame(yuv, ref, idx, qp=qp)
+            ref = res.recon_dev
+            results.append(res)
+            payloads.append(payload)
+            if not intra:
+                mse_y = 255.0 ** 2 / (10.0 ** (res.psnr_y / 10.0))
+                rc.update(res.bits, qp, float(np.sqrt(mse_y)))
+            if verbose:
+                print(f"frame {idx:3d} {res.frame_type} qp {qp:2d}  "
+                      f"PSNR Y {res.psnr_y:6.2f}  bits {res.bits}")
+        hdr = BitWriter()
+        FS.write_header(hdr, self.cfg, len(results))
+        return results, hdr.to_bytes() + b"".join(payloads)
 
     def _emit(self, pending, payloads, verbose):
         res, payload = self.finalize_frame(pending)
@@ -359,9 +395,9 @@ class FractalDecoder:
 
     def _p_plane_fn(self, key):
         if key not in self._dec_p_plane:
-            h, w, qp, use_hp, deblock, luma = key
+            h, w, use_hp, deblock, luma = key
 
-            def fn(a, beta, dx, dy, refidx, shape, zz, ref):
+            def fn(a, beta, dx, dy, refidx, shape, zz, ref, qp):
                 maps = dict(a=a, beta=beta, dx=dx, dy=dy, ref=refidx, shape=shape)
                 refp = _pad16(ref)
                 hp, wp = refp.shape
@@ -382,9 +418,9 @@ class FractalDecoder:
 
     def _i_plane_fn(self, key):
         if key not in self._dec_i_plane:
-            h, w, qp, deblock, luma = key
+            h, w, deblock, luma = key
 
-            def fn(modes, zz):
+            def fn(modes, zz, qp):
                 rec = IN.decode_plane(modes, zz, h, w, qp)
                 if deblock:
                     bs_v, bs_h = DB.strengths_intra(h, w)
@@ -398,14 +434,11 @@ class FractalDecoder:
         r = BitReader(stream)
         hdr = FS.read_header(r)
         W, H = hdr["width"], hdr["height"]
-        qp = hdr["qp"]
-        cqp = T.chroma_qp(qp)
         sr = hdr["search_range"]
         use_hp = hdr["use_halfpel"]
         dbl = hdr["deblock"]
         cw, ch = W // 2, H // 2
-        plane_dims = [(H, W, qp, True), (ch, cw, cqp, False),
-                      (ch, cw, cqp, False)]
+        plane_dims = [(H, W, True), (ch, cw, False), (ch, cw, False)]
 
         n_views = max(hdr.get("views", 1), 1)
 
@@ -413,24 +446,28 @@ class FractalDecoder:
             """Parse + reconstruct one view payload; ref = its reference
             frame planes (None for intra)."""
             ftype = r.u(8)
+            fqp = r.u(8)
+            cqp = T.chroma_qp(fqp)
+            qps = (fqp, cqp, cqp)
             planes = []
             if ftype == 0:
-                for (h, w, q, luma) in plane_dims:
+                for (h, w, luma), q in zip(plane_dims, qps):
                     modes = FS.read_intra_modes(r, h // 4, w // 4)
                     zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
-                    rec = self._i_plane_fn((h, w, q, dbl, luma))(
-                        jnp.asarray(modes, jnp.int32), jnp.asarray(zz, jnp.int32))
+                    rec = self._i_plane_fn((h, w, dbl, luma))(
+                        jnp.asarray(modes, jnp.int32),
+                        jnp.asarray(zz, jnp.int32), q)
                     planes.append(np.asarray(rec, np.uint8))
             else:
-                for pi, (h, w, q, luma) in enumerate(plane_dims):
+                for pi, ((h, w, luma), q) in enumerate(zip(plane_dims, qps)):
                     hp, wp = _pad16_np(h, w)
                     maps = FS.read_tree(r, hp, wp, sr, use_hp)
                     zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
-                    fn = self._p_plane_fn((h, w, q, use_hp, dbl, luma))
+                    fn = self._p_plane_fn((h, w, use_hp, dbl, luma))
                     rec = fn(*(jnp.asarray(maps[k], jnp.int32) for k in
                                ("a", "beta", "dx", "dy", "ref", "shape")),
                              jnp.asarray(zz, jnp.int32),
-                             jnp.asarray(ref[pi], jnp.int32))
+                             jnp.asarray(ref[pi], jnp.int32), q)
                     planes.append(np.asarray(rec, np.uint8))
             r.byte_align()
             return ftype, tuple(planes)

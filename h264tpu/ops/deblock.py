@@ -56,9 +56,10 @@ def _filter_edge_lines(p3, p2, p1, p0, q0, q1, q2, q3, bs, qp: int, luma: bool):
     bs: per-line boundary strength 0..4.  Returns the 6 possibly-modified
     values (p2', p1', p0', q0', q1', q2').
     """
-    alpha = int(ALPHA_TABLE[qp])
-    beta = int(BETA_TABLE[qp])
-    tc0_tab = jnp.asarray(CLIP_TAB[qp])
+    qp = jnp.asarray(qp, jnp.int32)
+    alpha = jnp.asarray(ALPHA_TABLE)[qp]
+    beta = jnp.asarray(BETA_TABLE)[qp]
+    tc0_tab = jnp.asarray(CLIP_TAB)[qp]
     tc0 = tc0_tab[jnp.clip(bs, 0, 4)]
 
     d0 = jnp.abs(p0 - q0)

@@ -169,9 +169,11 @@ def predict_modes_4x4(A: jnp.ndarray, L: jnp.ndarray, avail_top, avail_left,
     return jnp.stack(preds, axis=1), jnp.stack(allowed, axis=1)
 
 
-def _lambda_penalty(qp: int) -> int:
-    """JM-style non-RDO penalty for coding a non-most-probable mode."""
-    return max(1, int(round(4 * 0.85 * 2.0 ** ((qp - 12) / 3.0))))
+def _lambda_penalty(qp):
+    """JM-style non-RDO penalty for coding a non-most-probable mode.
+    Works for Python ints and traced scalars alike."""
+    p = jnp.round(4.0 * 0.85 * jnp.exp2((jnp.asarray(qp, jnp.float32) - 12.0) / 3.0))
+    return jnp.maximum(1, p).astype(jnp.int32)
 
 
 def _wavefront_scan(H, W, qp, org=None, modes_in=None, levels_in=None):

@@ -73,28 +73,32 @@ def fdct4x4(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ij,...jk,lk->...il", cf, x.astype(jnp.int32), cf)
 
 
-def quant4x4(w: jnp.ndarray, qp: int, intra: bool = False) -> jnp.ndarray:
+def quant4x4(w: jnp.ndarray, qp, intra: bool = False) -> jnp.ndarray:
     """Quantize transform coefficients.
 
     ``level = sign(w) * ((|w| * MF[qp%6] + qp_const) >> q_bits)``.
     The reference codec uses ``qp_const = (1<<q_bits)/3`` for BOTH intra and
     inter (``FR/src/block.c:862-865`` has /3 in both branches); we keep an
     ``intra`` arg for future JM-18.5 parity (which uses /6 for inter) but
-    default to the reference behavior.
+    default to the reference behavior.  ``qp`` may be a Python int or a
+    traced int32 scalar (rate control changes it per frame without
+    recompiling).
     """
     del intra  # reference uses the intra constant unconditionally
+    qp = jnp.asarray(qp, jnp.int32)
     qp_per, qp_rem = qp // 6, qp % 6
     q_bits = Q_BITS + qp_per
-    qp_const = (1 << q_bits) // 3
-    mf = jnp.asarray(QUANT_COEF[qp_rem])
+    qp_const = (jnp.int32(1) << q_bits) // 3
+    mf = jnp.asarray(QUANT_COEF)[qp_rem]
     lev = (jnp.abs(w) * mf + qp_const) >> q_bits
     return jnp.sign(w) * lev
 
 
-def dequant4x4(level: jnp.ndarray, qp: int) -> jnp.ndarray:
+def dequant4x4(level: jnp.ndarray, qp) -> jnp.ndarray:
     """Dequantize: ``ilev = level * V[qp%6] << (qp//6)`` (FR/src/block.c:959)."""
+    qp = jnp.asarray(qp, jnp.int32)
     qp_per, qp_rem = qp // 6, qp % 6
-    v = jnp.asarray(DEQUANT_COEF[qp_rem])
+    v = jnp.asarray(DEQUANT_COEF)[qp_rem]
     return (level * v) << qp_per
 
 
@@ -237,12 +241,22 @@ def coeff_cost_4x4(zz: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(nz, per, 0).sum(axis=-1)
 
 
-def chroma_qp(qp: int, offset: int = 0) -> int:
-    """Chroma QP mapping (H.264 Table 8-15 / JM QP_SCALE_CR)."""
-    table = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
-             37, 38, 38, 38, 39, 39, 39, 39]
-    q = min(max(qp + offset, 0), 51)
-    return q if q < 30 else table[q - 30]
+_QP_SCALE_CR_TAIL = np.array(
+    [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
+     37, 38, 38, 38, 39, 39, 39, 39], dtype=np.int32)
+
+
+def chroma_qp(qp, offset: int = 0):
+    """Chroma QP mapping (H.264 Table 8-15 / JM QP_SCALE_CR).
+
+    Accepts a Python int (returns int) or a traced scalar (returns traced).
+    """
+    if isinstance(qp, (int, np.integer)):
+        q = min(max(qp + offset, 0), 51)
+        return int(q if q < 30 else _QP_SCALE_CR_TAIL[q - 30])
+    q = jnp.clip(qp + offset, 0, 51)
+    return jnp.where(q < 30, q,
+                     jnp.asarray(_QP_SCALE_CR_TAIL)[jnp.maximum(q - 30, 0)])
 
 
 def residual_code_plane(org: jnp.ndarray, pred: jnp.ndarray, qp: int,
