@@ -102,6 +102,7 @@ class BitReader:
     """
 
     def __init__(self, data: bytes):
+        self.data = bytes(data)
         self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
         self.pos = 0
 

@@ -53,6 +53,13 @@ def write_residual(w: BitWriter, zz: np.ndarray, cy: int, cx: int, mode: int):
 
 def read_residual(r: BitReader, cy: int, cx: int, mode: int) -> np.ndarray:
     if mode == ENTROPY_CAVLC:
+        from . import native
+        out = native.cavlc_decode_plane(r.data, len(r._bits), r.pos, cy, cx) \
+            if native.available() else None
+        if out is not None:
+            zz, newpos = out
+            r.pos = newpos
+            return zz
         return cavlc.decode_plane(r, cy, cx)
     return read_coeff_set(r, cy * cx)
 
@@ -179,6 +186,11 @@ def read_intra_modes(r: BitReader, cy: int, cx: int) -> np.ndarray:
     use = r.u_array(cy * cx, 1).astype(bool).reshape(cy, cx)
     n_rem = int((~use).sum())
     rem = r.u_array(n_rem, 3) if n_rem else np.zeros(0, np.int64)
+    from . import native
+    if native.available():
+        out = native.resolve_intra_modes(use, rem, cy, cx)
+        if out is not None:
+            return out
     modes = np.zeros((cy, cx), dtype=np.int64)
     it = iter(rem.tolist())
     for y in range(cy):

@@ -1,0 +1,235 @@
+// Native host-side bit machinery for the h264tpu framework.
+//
+// The TPU handles all pixel compute; what remains on the host is inherently
+// bit-serial work: CAVLC variable-length decoding and MPM intra-mode
+// resolution (the encoder side is vectorized numpy and needs no native
+// help).  This mirrors the role of the reference's C entropy decoders
+// (FR/src/vlc.c:1504-2508 readSyntaxElement_*_dec) in our architecture.
+//
+// All VLC tables are passed in from Python so there is exactly one source of
+// truth for the spec constants (h264tpu/entropy/cavlc.py).
+//
+// Build: make -C native    (g++ -O2 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t pos;    // bit position
+  int64_t end;    // total bits
+
+  int read1() {
+    if (pos >= end) return -1;
+    int b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+    pos++;
+    return b;
+  }
+  int64_t read(int n) {
+    int64_t v = 0;
+    for (int i = 0; i < n; i++) {
+      int b = read1();
+      if (b < 0) return -1;
+      v = (v << 1) | b;
+    }
+    return v;
+  }
+};
+
+// Decode one prefix code by incremental matching against (len, code) tables
+// laid out as len[rows][16] / code[rows][16]; returns the matched column or
+// -1.  maxlen bounds the search.
+int read_vlc_row(BitReader& br, const uint8_t* lens, const int32_t* codes,
+                 int ncols, int maxlen) {
+  int len = 0;
+  int64_t code = 0;
+  while (len < maxlen) {
+    int b = br.read1();
+    if (b < 0) return -1;
+    code = (code << 1) | b;
+    len++;
+    for (int j = 0; j < ncols; j++) {
+      if (lens[j] == len && codes[j] == code) return j;
+    }
+  }
+  return -1;
+}
+
+int read_level(BitReader& br, int vlcnum) {
+  int prefix = 0;
+  for (;;) {
+    int b = br.read1();
+    if (b < 0) return INT32_MIN;
+    if (b) break;
+    if (++prefix > 48) return INT32_MIN;
+  }
+  int shift = vlcnum > 0 ? vlcnum - 1 : 0;
+  int64_t labs, sign;
+  if (vlcnum == 0) {
+    if (prefix < 14) {
+      labs = (prefix >> 1) + 1;
+      sign = prefix & 1;
+    } else if (prefix == 14) {
+      int64_t suf = br.read(4);
+      labs = 8 + (suf >> 1);
+      sign = suf & 1;
+    } else {
+      int nbits = prefix - 15 + 12;
+      int64_t full = (int64_t(1) << nbits) | br.read(nbits);
+      labs = (full >> 1) - 2032;
+      sign = full & 1;
+    }
+  } else {
+    if (prefix < 15) {
+      int64_t suffix = shift ? br.read(shift) : 0;
+      sign = br.read(1);
+      labs = (int64_t(prefix) << shift) + suffix + 1;
+    } else {
+      int nbits = prefix - 15 + 12;
+      int64_t full = (int64_t(1) << nbits) | br.read(nbits);
+      labs = (full >> 1) - 2048 + (int64_t(15) << shift) + 1;
+      sign = full & 1;
+    }
+  }
+  return (int)(sign ? -labs : labs);
+}
+
+const int64_t INC_VLC[7] = {0, 3, 6, 12, 24, 48, 32768};
+
+}  // namespace
+
+extern "C" {
+
+// Decode a CAVLC-coded plane of cy*cx 4x4 blocks.
+// Tables (from h264tpu.entropy.cavlc):
+//   tok_len  uint8 [3*4*17], tok_code int32 [3*4*17]
+//   tz_len   uint8 [15*16],  tz_code  int32 [15*16]
+//   rb_len   uint8 [7*16],   rb_code  int32 [7*16]
+// zz_out: int32 [cy*cx*16].  Returns the new bit position, or -1 on error.
+int64_t cavlc_decode_plane(const uint8_t* data, int64_t nbits, int64_t bitpos,
+                           int cy, int cx, const uint8_t* tok_len,
+                           const int32_t* tok_code, const uint8_t* tz_len,
+                           const int32_t* tz_code, const uint8_t* rb_len,
+                           const int32_t* rb_code, int32_t* zz_out,
+                           int32_t* total_scratch) {
+  BitReader br{data, bitpos, nbits};
+  std::memset(zz_out, 0, sizeof(int32_t) * cy * cx * 16);
+  // total_scratch: int32 [cy*cx] workspace for the nC context
+  for (int by = 0; by < cy; by++) {
+    for (int bx = 0; bx < cx; bx++) {
+      int nA = bx > 0 ? total_scratch[by * cx + bx - 1] : 0;
+      int nB = by > 0 ? total_scratch[(by - 1) * cx + bx] : 0;
+      int nc;
+      if (bx > 0 && by > 0) nc = (nA + nB + 1) >> 1;
+      else if (bx > 0) nc = nA;
+      else if (by > 0) nc = nB;
+      else nc = 0;
+
+      int total, t1;
+      if (nc >= 8) {
+        int64_t code = br.read(6);
+        if (code < 0) return -1;
+        if (code == 3) { total = 0; t1 = 0; }
+        else { total = (int)(code >> 2) + 1; t1 = (int)(code & 3); }
+      } else {
+        int vt = nc < 2 ? 0 : (nc < 4 ? 1 : 2);
+        // search the 4x17 (t1, total) grid: flatten to find by (len, code)
+        int len = 0;
+        int64_t code = 0;
+        total = -1;
+        while (len < 17 && total < 0) {
+          int b = br.read1();
+          if (b < 0) return -1;
+          code = (code << 1) | b;
+          len++;
+          for (int tt = 0; tt < 4 && total < 0; tt++) {
+            for (int to = 0; to < 17; to++) {
+              int idx = (vt * 4 + tt) * 17 + to;
+              if (tok_len[idx] == len && tok_code[idx] == code) {
+                total = to;
+                t1 = tt;
+                break;
+              }
+            }
+          }
+        }
+        if (total < 0) return -1;
+      }
+      total_scratch[by * cx + bx] = total;
+      if (total == 0) continue;
+
+      int32_t levels[16];
+      for (int j = 0; j < t1; j++) {
+        int s = br.read1();
+        if (s < 0) return -1;
+        levels[total - 1 - j] = s ? -1 : 1;
+      }
+      int vlcnum = (total > 10 && t1 < 3) ? 1 : 0;
+      bool first = true;
+      for (int k = total - 1 - t1; k >= 0; k--) {
+        int lv = read_level(br, vlcnum);
+        if (lv == INT32_MIN) return -1;
+        if (first && !(total > 3 && t1 == 3)) lv = lv > 0 ? lv + 1 : lv - 1;
+        first = false;
+        levels[k] = lv;
+        int64_t alv = lv < 0 ? -(int64_t)lv : lv;
+        if (alv > INC_VLC[vlcnum < 6 ? vlcnum : 6]) vlcnum++;
+        if (k == total - 1 - t1 && alv > 3 && vlcnum < 2) vlcnum = 2;
+      }
+
+      int tz = 0;
+      if (total < 16) {
+        tz = read_vlc_row(br, tz_len + (total - 1) * 16,
+                          tz_code + (total - 1) * 16, 16, 9);
+        if (tz < 0) return -1;
+      }
+      int runs[16];
+      int zerosleft = tz;
+      for (int k = total - 1; k >= 1; k--) {
+        int rb = 0;
+        if (zerosleft > 0) {
+          int row = zerosleft - 1 < 6 ? zerosleft - 1 : 6;
+          rb = read_vlc_row(br, rb_len + row * 16, rb_code + row * 16, 16, 11);
+          if (rb < 0) return -1;
+        }
+        runs[k] = rb;
+        zerosleft -= rb;
+      }
+      runs[0] = zerosleft;
+
+      int pos = -1;
+      int32_t* blk = zz_out + (by * cx + bx) * 16;
+      for (int k = 0; k < total; k++) {
+        pos += runs[k] + 1;
+        if (pos > 15) return -1;
+        blk[pos] = levels[k];
+      }
+    }
+  }
+  return br.pos;
+}
+
+// Resolve MPM-coded intra modes: flags uint8 [cy*cx] (1 = use mpm),
+// rem uint8 [n_rem] consumed in raster order for flag==0 blocks.
+// modes_out int32 [cy*cx].
+void resolve_intra_modes(const uint8_t* flags, const uint8_t* rem, int cy,
+                         int cx, int32_t* modes_out) {
+  int64_t ri = 0;
+  for (int y = 0; y < cy; y++) {
+    for (int x = 0; x < cx; x++) {
+      int left = x > 0 ? modes_out[y * cx + x - 1] : 2;
+      int top = y > 0 ? modes_out[(y - 1) * cx + x] : 2;
+      int mpm = left < top ? left : top;
+      if (flags[y * cx + x]) {
+        modes_out[y * cx + x] = mpm;
+      } else {
+        int v = rem[ri++];
+        modes_out[y * cx + x] = v < mpm ? v : v + 1;
+      }
+    }
+  }
+}
+
+}  // extern "C"
