@@ -29,6 +29,7 @@ from ..ops import fractal as F
 from ..ops import transform as T
 from ..ops import intra as IN
 from ..ops import deblock as DB
+from ..ops import me as ME
 from ..entropy.bitio import BitWriter, BitReader
 from ..entropy import fractal_syntax as FS
 
@@ -115,6 +116,7 @@ class FractalCodec:
         self._maps_jit = jax.jit(F.leaf_maps, static_argnums=(1, 2))
         self._intra_jit = jax.jit(IN.encode_plane)
         self._deblock_jit = jax.jit(DB.deblock_plane, static_argnums=(4,))
+        self._c_step = jax.jit(self._c_step_impl)
         self._packers = {}
         self._pack_jit = jax.jit(
             lambda parts: jnp.concatenate([p.astype(jnp.int32).reshape(-1)
@@ -130,8 +132,11 @@ class FractalCodec:
                 if kind == "p":
                     for f in ("a", "beta", "dx", "dy", "ref", "shape"):
                         specs.append((f"{i}_{f}", (hp // 4, wp // 4)))
-                else:
+                elif kind == "i":
                     specs.append((f"{i}_modes", (h // 4, w // 4)))
+                elif kind == "c" and i == 0:
+                    specs.append(("mvx", (h // 16, w // 16)))
+                    specs.append(("mvy", (h // 16, w // 16)))
                 specs.append((f"{i}_zz", ((h // 4) * (w // 4), 16)))
                 specs.append((f"{i}_rec", (h, w)))
                 specs.append((f"{i}_sse", (1,)))
@@ -183,6 +188,46 @@ class FractalCodec:
             recs.append(rec)
         return tuple(all_maps), tuple(zzs), tuple(recs)
 
+    # -- classic H.264-style inter step (ops/me.py; SURVEY J6) ---------------
+    def _c_step_impl(self, y, u, v, ref_y, ref_u, ref_v, qp):
+        cfg = self.cfg
+        cqp = T.chroma_qp(qp)
+        sr = cfg.me_search_range
+        lam = 1  # flat MV-cost weight; lambda-per-qp refinement on roadmap
+        h, w = y.shape
+
+        up_y = ME.sixtap_halfpel(ref_y)
+        me0 = ME.full_search_int(y, ref_y, 16, sr, lam)
+        me1 = ME.subpel_refine(y, up_y, me0, 16, lam)
+        pred_y = ME.motion_compensate(up_y, me1.mv_x, me1.mv_y, 16, h, w)
+        zz_y, rec_y = T.residual_code_plane(y, pred_y, qp, False, True)
+
+        zzs, recs = [zz_y], [rec_y]
+        mv_cx = me1.mv_x >> 1          # luma 1/4-pel -> chroma 1/4-pel approx
+        mv_cy = me1.mv_y >> 1
+        for org, ref in ((u, ref_u), (v, ref_v)):
+            hc, wc = org.shape
+            up_c = ME.sixtap_halfpel(ref)
+            pred = ME.motion_compensate(up_c, mv_cx, mv_cy, 8, hc, wc)
+            zz, rec = T.residual_code_plane(org, pred, cqp, False, False)
+            zzs.append(zz)
+            recs.append(rec)
+
+        if cfg.deblock:
+            nzy = (zz_y != 0).any(axis=-1).reshape(h // 4, w // 4)
+            mvx_c = jnp.repeat(jnp.repeat(me1.mv_x, 4, 0), 4, 1)
+            mvy_c = jnp.repeat(jnp.repeat(me1.mv_y, 4, 0), 4, 1)
+            bs_v, bs_h = DB.strengths_inter(mvx_c, mvy_c, nzy)
+            recs[0] = DB.deblock_plane(recs[0], bs_v, bs_h, qp, True)
+            for i, org in ((1, u), (2, v)):
+                hc, wc = recs[i].shape
+                nzc = (zzs[i] != 0).any(axis=-1).reshape(hc // 4, wc // 4)
+                mvxc = jnp.repeat(jnp.repeat(mv_cx, 2, 0), 2, 1)
+                mvyc = jnp.repeat(jnp.repeat(mv_cy, 2, 0), 2, 1)
+                bs_v, bs_h = DB.strengths_inter(mvxc, mvyc, nzc)
+                recs[i] = DB.deblock_plane(recs[i], bs_v, bs_h, cqp, False)
+        return (me1.mv_x, me1.mv_y), tuple(zzs), tuple(recs)
+
     # -- frame / sequence ----------------------------------------------------
     def is_intra(self, frame_idx: int) -> bool:
         if frame_idx == 0:
@@ -205,8 +250,12 @@ class FractalCodec:
         if qp is None:
             qp = self.cfg.qp_i if intra else self.cfg.qp
 
+        classic = (not intra) and self.cfg.inter_mode == "classic"
         if intra:
             modes_l, zzs, recs = self._i_step(y, u, v, qp)
+        elif classic:
+            refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
+            mvs, zzs, recs = self._c_step(y, u, v, *refs, qp)
         else:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
             maps, zzs, recs = self._p_step(y, u, v, *refs, qp=qp)
@@ -215,6 +264,9 @@ class FractalCodec:
         for i in range(3):
             if intra:
                 parts.append(modes_l[i])
+            elif classic:
+                if i == 0:
+                    parts.extend(mvs)
             else:
                 for f in ("a", "beta", "dx", "dy", "ref", "shape"):
                     parts.append(maps[i][f])
@@ -223,7 +275,9 @@ class FractalCodec:
             sse = ((recs[i] - orgs[i]).astype(jnp.float32) ** 2).sum()
             parts.append(jax.lax.bitcast_convert_type(sse, jnp.int32).reshape(1))
         packed = self._pack_jit(parts)
-        return dict(intra=intra, dims=dims, packed=packed, recs=recs, qp=qp)
+        kind = "i" if intra else ("c" if classic else "p")
+        return dict(intra=intra, kind=kind, dims=dims, packed=packed,
+                    recs=recs, qp=qp)
 
     def finalize_frame(self, pending: dict):
         """Fetch the packed buffer (one tunnel round-trip) and entropy-code.
@@ -231,19 +285,24 @@ class FractalCodec:
         Returns (FrameResult, payload bytes)."""
         cfg = self.cfg
         intra = pending["intra"]
+        kind = pending.get("kind", "i" if intra else "p")
         dims = pending["dims"]
         from ..utils.config import EntropyMode
         ent = (FS.ENTROPY_CAVLC if cfg.entropy == EntropyMode.CAVLC
                else FS.ENTROPY_EG)
-        packer = self._packer("i" if intra else "p", dims)
+        packer = self._packer(kind, dims)
         h = packer.unpack(np.asarray(pending["packed"]))
 
         w = BitWriter()
-        w.u(0 if intra else 1, 8)
+        w.u({"i": 0, "p": 1, "c": 2}[kind], 8)
         w.u(int(pending["qp"]), 8)
         for i, (ph, pw) in enumerate(dims):
-            if intra:
+            if kind == "i":
                 FS.write_intra_modes(w, h[f"{i}_modes"])
+            elif kind == "c":
+                if i == 0:
+                    w.se(h["mvx"].reshape(-1))
+                    w.se(h["mvy"].reshape(-1))
             else:
                 FS.write_tree(w, {f: h[f"{i}_{f}"] for f in
                                   ("a", "beta", "dx", "dy", "ref", "shape")},
@@ -392,6 +451,30 @@ class FractalDecoder:
     def __init__(self):
         self._dec_p_plane = {}
         self._dec_i_plane = {}
+        self._dec_c_plane = {}
+
+    def _c_plane_fn(self, key):
+        if key not in self._dec_c_plane:
+            h, w, deblock, luma = key
+            bs = 16 if luma else 8
+            cell = 4 if luma else 2
+
+            def fn(mvx, mvy, zz, ref, qp):
+                up = ME.sixtap_halfpel(ref)
+                pred = ME.motion_compensate(up, mvx, mvy, bs, h, w)
+                deq = T.dequant4x4(T.zigzag_unscan(zz), qp)
+                rec = T.reconstruct(T.frame_to_blocks(pred, 4), T.idct4x4(deq))
+                rec = T.blocks_to_frame(rec, h, w)
+                if deblock:
+                    nz = (zz != 0).any(axis=-1).reshape(h // 4, w // 4)
+                    mvxc = jnp.repeat(jnp.repeat(mvx, cell, 0), cell, 1)
+                    mvyc = jnp.repeat(jnp.repeat(mvy, cell, 0), cell, 1)
+                    bs_v, bs_h = DB.strengths_inter(mvxc, mvyc, nz)
+                    rec = DB.deblock_plane(rec, bs_v, bs_h, qp, luma)
+                return rec
+
+            self._dec_c_plane[key] = jax.jit(fn)
+        return self._dec_c_plane[key]
 
     def _p_plane_fn(self, key):
         if key not in self._dec_p_plane:
@@ -457,6 +540,19 @@ class FractalDecoder:
                     rec = self._i_plane_fn((h, w, dbl, luma))(
                         jnp.asarray(modes, jnp.int32),
                         jnp.asarray(zz, jnp.int32), q)
+                    planes.append(np.asarray(rec, np.uint8))
+            elif ftype == 2:
+                nmby, nmbx = H // 16, W // 16
+                mvx = jnp.asarray(
+                    r.se_array(nmby * nmbx).reshape(nmby, nmbx), jnp.int32)
+                mvy = jnp.asarray(
+                    r.se_array(nmby * nmbx).reshape(nmby, nmbx), jnp.int32)
+                for pi, ((h, w, luma), q) in enumerate(zip(plane_dims, qps)):
+                    zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
+                    fn = self._c_plane_fn((h, w, dbl, luma))
+                    mx, my = (mvx, mvy) if luma else (mvx >> 1, mvy >> 1)
+                    rec = fn(mx, my, jnp.asarray(zz, jnp.int32),
+                             jnp.asarray(ref[pi], jnp.int32), q)
                     planes.append(np.asarray(rec, np.uint8))
             else:
                 for pi, ((h, w, luma), q) in enumerate(zip(plane_dims, qps)):

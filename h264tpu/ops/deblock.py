@@ -157,6 +157,25 @@ def strengths_intra(h: int, w: int):
     return jnp.asarray(bs_v, jnp.int32), jnp.asarray(bs_h, jnp.int32)
 
 
+def strengths_inter(mvx_q: jnp.ndarray, mvy_q: jnp.ndarray,
+                    nz_cells: jnp.ndarray):
+    """bS maps for a classic (H.264 ME) P frame: per-4x4-cell quarter-pel MV
+    maps; bS = 2 with coded coefficients, 1 when the MV difference across the
+    edge reaches 4 quarter-pel units (one integer pel), else 0."""
+    nz = nz_cells.astype(bool)
+
+    def edge(axis):
+        def sh(x):
+            return jnp.roll(x, 1, axis=axis)
+
+        coeff = nz | sh(nz)
+        moved = (jnp.abs(mvx_q - sh(mvx_q)) >= 4) | \
+                (jnp.abs(mvy_q - sh(mvy_q)) >= 4)
+        return jnp.where(coeff, 2, jnp.where(moved, 1, 0)).astype(jnp.int32)
+
+    return edge(1), edge(0)
+
+
 def strengths_fractal(maps: dict, nz_cells: jnp.ndarray):
     """bS maps for a fractal P frame from leaf maps + nonzero-coeff cells.
 

@@ -262,85 +262,159 @@ def _pool_cells(x: jnp.ndarray, ch: int, cw: int) -> jnp.ndarray:
     return r.sum(axis=(-3, -1), dtype=x.dtype)
 
 
-def best_for_shape(org_c1, org_c2, ref_planes, cross4_stack, shape,
-                   offsets, H, W, halo=0, y_lo=None, y_hi=None):
-    """Evaluate every (block, offset, ref) candidate for one shape.
+SHAPE_LIST = ((16, 16), (8, 8), (4, 8), (8, 4), (4, 4))
+_PRI_SENTINEL = np.int32(2**31 - 1)
 
-    org_c1/org_c2: [H/4, W/4] range cell sums.  ref_planes: [R, H+2*halo, W]
-    int32 (halo context rows for sharded row-tiles).  cross4_stack:
-    [R, nOff, H/4, W/4].  shape: (bh, bw).  y_lo/y_hi bound valid domain-row
-    starts in org coordinates (may be traced scalars under shard_map);
-    default [0, H].
-    Returns a ShapeBest with the offset+ref axes reduced, following the
-    reference's tie-break: lowest rms, then earliest reference (C,H,M,N,
-    cf. the sequential strict-< cascade at FR/src/block_enc.c:560-830), then
-    earliest spiral position.
+
+def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
+                       chunk: int = 16):
+    """Evaluate every (shape, block, offset, ref) candidate with a chunked
+    scan over spiral offsets carrying the running best per shape.
+
+    Never materializes the full candidate lattice: per scan step only
+    ``chunk`` shifted reference slices live, domain sums come from strided
+    slices of precomputed sliding-window maps, and the carry holds one
+    best-candidate record per block.  Tie-break matches the reference
+    exactly — lexicographic (rms, reference, spiral position), cf. the
+    strict-< cascades of full_search (FR/src/block_enc.c:1933) and the
+    C→H→M→N chain (:560-830).
     """
-    bh, bw = shape
-    n = bh * bw
-    ch, cw = bh // 4, bw // 4
-    nby, nbx = H // bh, W // bw
+    n_ref = refs.shape[0]
+    sr = int(np.abs(offsets).max())
     n_off = offsets.shape[0]
-    n_ref = ref_planes.shape[0]
-    if y_lo is None:
-        y_lo = 0
-    if y_hi is None:
-        y_hi = H
+    n_pad = (-n_off) % chunk
+    offs = np.concatenate([offsets, np.zeros((n_pad, 2), np.int32)])
+    off_ok = np.concatenate([np.ones(n_off, bool), np.zeros(n_pad, bool)])
+    n_steps = offs.shape[0] // chunk
+    offs_j = jnp.asarray(offs.reshape(n_steps, chunk, 2))
+    ok_j = jnp.asarray(off_ok.reshape(n_steps, chunk))
+    spiral_j = jnp.asarray(
+        np.arange(offs.shape[0], dtype=np.int64).reshape(n_steps, chunk))
 
-    s_r = _pool_cells(org_c1, ch, cw)                             # [nby, nbx]
-    s_r2 = _pool_cells(org_c2, ch, cw)
+    org = org.astype(jnp.int32)
+    oc1, oc2 = range_cell_sums(org)
+    rng_sums = {}
+    for code, (bh, bw) in enumerate(SHAPE_LIST):
+        rng_sums[code] = (_pool_cells(oc1, bh // 4, bw // 4),
+                          _pool_cells(oc2, bh // 4, bw // 4))
 
-    # Σrd per (ref, off, block)
-    s_rd = _pool_cells(cross4_stack, ch, cw)                      # [R, nOff, nby, nbx]
-    s_rd = jnp.moveaxis(s_rd, 1, -1)                              # [R, nby, nbx, nOff]
-
-    # domain sums at (block origin + offset) for every ref
-    offs = jnp.asarray(offsets)                                   # [nOff, 2]
-    by = jnp.arange(nby, dtype=jnp.int32) * bh
-    bx = jnp.arange(nbx, dtype=jnp.int32) * bw
-    ys = by[:, None, None] + offs[None, None, :, 1]               # [nby, 1, nOff]
-    xs = bx[None, :, None] + offs[None, None, :, 0]               # [1, nbx, nOff]
-    valid = (ys >= y_lo) & (ys + bh <= y_hi) & (xs >= 0) & (xs <= W - bw)
-    ysc = jnp.clip(ys, -halo, H + halo - bh) + halo               # ext coords
-    xsc = jnp.clip(xs, 0, W - bw)
-
-    def dom_sums(ref):
+    # sliding-window domain sums per (ref, shape, moment), padded by sr rows
+    # and cols so any (dy, dx) shift is a static-size dynamic_slice
+    def maps_for_ref(ref):
         ii1 = integral_image(ref)
         ii2 = integral_image(ref * ref)
-        d1 = window_sums(ii1, bh, bw)
-        d2 = window_sums(ii2, bh, bw)
-        return d1[ysc, xsc], d2[ysc, xsc]                         # [nby, nbx, nOff]
+        out = []
+        for bh, bw in SHAPE_LIST:
+            d1 = jnp.pad(window_sums(ii1, bh, bw), sr)
+            d2 = jnp.pad(window_sums(ii2, bh, bw), sr)
+            out.append((d1, d2))
+        return out
 
-    d1s, d2s = jax.vmap(dom_sums)(ref_planes)                     # [R, nby, nbx, nOff]
+    dom_maps = jax.vmap(
+        lambda r: [jnp.stack(p) for p in maps_for_ref(r)])(refs)
+    # dom_maps: list per shape of [R, 2, Hp, Wp]
 
-    a, beta, rms = fit_and_rms(
-        n, s_r[None, :, :, None], s_r2[None, :, :, None], d1s, d2s, s_rd)
-    rms = jnp.where(valid[None], rms, INF_RMS)
+    padded_refs = jnp.pad(refs, ((0, 0), (sr, sr), (sr, sr)))
 
-    # reduce (ref, off) with lexicographic tie-break (rms, ref, spiral idx):
-    # flatten ref-major so argmax-of-first-minimum picks earliest ref then
-    # earliest spiral position.
-    def flat(arr):
-        return arr.transpose(1, 2, 0, 3).reshape(nby, nbx, n_ref * n_off)
+    # tie the init to a traced input so the carry is "varying" under
+    # shard_map (a constant init has a different manual-axes type)
+    vary0 = (org[0, 0] * 0).astype(jnp.int32)
 
-    rms_f = flat(rms)
-    best_rms = jnp.min(rms_f, axis=-1)
-    pri_idx = jnp.argmax(rms_f == best_rms[..., None], axis=-1)   # [nby, nbx]
-    ref_idx = (pri_idx // n_off).astype(jnp.int32)
-    off_idx = (pri_idx % n_off).astype(jnp.int32)
+    def init_best(code):
+        bh, bw = SHAPE_LIST[code]
+        nby, nbx = H // bh, W // bw
+        z = jnp.zeros((nby, nbx), jnp.int32) + vary0
+        return dict(rms=jnp.full((nby, nbx), INF_RMS) + vary0.astype(jnp.float32),
+                    a=z, beta=z, dx=z, dy=z, ref=z, s_d=z,
+                    pri=jnp.full((nby, nbx), _PRI_SENTINEL, jnp.int32) + vary0)
 
-    def take(arr):
-        return jnp.take_along_axis(flat(arr), pri_idx[..., None], axis=-1)[..., 0]
+    carry0 = tuple(init_best(c) for c in range(len(SHAPE_LIST)))
 
-    return ShapeBest(
-        rms=best_rms,
-        a=take(a),
-        beta=take(beta),
-        dx=offs[off_idx, 0],
-        dy=offs[off_idx, 1],
-        ref=ref_idx,
-        s_d=take(jnp.broadcast_to(d1s, rms.shape).astype(jnp.int32)),
-    )
+    def step(carry, xs):
+        offs_c, ok_c, spiral_c = xs          # [chunk,2], [chunk], [chunk]
+
+        def shifted(ref_pad, dy, dx):
+            return jax.lax.dynamic_slice(ref_pad, (sr + halo + dy, sr + dx),
+                                         (H, W))
+
+        # cross products at cell granularity for all (ref, chunk)
+        def per_ref(ref_pad):
+            def per_off(o):
+                s = shifted(ref_pad, o[1], o[0])
+                return (org * s).reshape(H // 4, 4, W // 4, 4).sum(
+                    axis=(1, 3), dtype=jnp.int32)
+            return jax.vmap(per_off)(offs_c)                  # [chunk, H/4, W/4]
+
+        cross = jax.vmap(per_ref)(padded_refs)                # [R, chunk, cy, cx]
+
+        new_carry = []
+        for code, (bh, bw) in enumerate(SHAPE_LIST):
+            n = bh * bw
+            ch, cw = bh // 4, bw // 4
+            nby, nbx = H // bh, W // bw
+            s_r, s_r2 = rng_sums[code]
+            s_rd = _pool_cells(cross, ch, cw)                 # [R, chunk, nby, nbx]
+
+            def dom_slice(maps_rs, o):
+                # maps_rs: [2, Hp, Wp]; values at block origins + (dy, dx)
+                sl = jax.lax.dynamic_slice(
+                    maps_rs, (0, sr + halo + o[1], sr + o[0]), (2, H, W))
+                return sl[:, ::bh, ::bw][:, :nby, :nbx]       # [2, nby, nbx]
+
+            dm = jax.vmap(lambda m: jax.vmap(lambda o: dom_slice(m, o))(offs_c)
+                          )(dom_maps[code])                   # [R, chunk, 2, nby, nbx]
+            d1s, d2s = dm[:, :, 0], dm[:, :, 1]
+
+            a, beta, rms = fit_and_rms(
+                n, s_r[None, None], s_r2[None, None], d1s, d2s, s_rd)
+
+            # validity: domain inside [y_lo, y_hi) x [0, W); padded offsets off
+            by = jnp.arange(nby, dtype=jnp.int32)[None, :] * bh   # [1, nby]
+            bx = jnp.arange(nbx, dtype=jnp.int32)[None, :] * bw
+            dy = offs_c[:, 1:2]
+            dx = offs_c[:, 0:1]
+            vy = ((by + dy >= y_lo) & (by + dy + bh <= y_hi))     # [chunk, nby]
+            vx = ((bx + dx >= 0) & (bx + dx <= W - bw))           # [chunk, nbx]
+            valid = (vy[:, :, None] & vx[:, None, :] & ok_c[:, None, None])
+            rms = jnp.where(valid[None], rms, INF_RMS)
+
+            # reduce (ref, chunk) by (rms, priority = ref*n_off + spiral)
+            pri = (jnp.arange(n_ref, dtype=jnp.int32)[:, None] * (n_off + n_pad)
+                   + spiral_c[None, :].astype(jnp.int32))          # [R, chunk]
+            rms_f = rms.reshape(n_ref * chunk, nby, nbx)
+            pri_f = pri.reshape(n_ref * chunk)
+            best_rms = jnp.min(rms_f, axis=0)
+            is_best = rms_f == best_rms[None]
+            # among equals pick smallest priority
+            pri_masked = jnp.where(is_best, pri_f[:, None, None], _PRI_SENTINEL)
+            best_pri = jnp.min(pri_masked, axis=0)
+            sel = jnp.argmin(pri_masked, axis=0)                  # [nby, nbx]
+
+            def take(arr):
+                return jnp.take_along_axis(
+                    arr.reshape(n_ref * chunk, nby, nbx), sel[None], axis=0)[0]
+
+            cand = dict(rms=best_rms, a=take(a), beta=take(beta),
+                        dx=offs_c[(sel % chunk), 0],
+                        dy=offs_c[(sel % chunk), 1],
+                        ref=(sel // chunk).astype(jnp.int32),
+                        s_d=take(d1s), pri=best_pri)
+
+            old = carry[code]
+            win = (cand["rms"] < old["rms"]) | (
+                (cand["rms"] == old["rms"]) & (cand["pri"] < old["pri"]))
+            merged = {k: jnp.where(win, cand[k], old[k]) for k in old}
+            new_carry.append(merged)
+        return tuple(new_carry), None
+
+    carry, _ = jax.lax.scan(step, carry0, (offs_j, ok_j, spiral_j))
+    out = []
+    for code in range(len(SHAPE_LIST)):
+        b = carry[code]
+        out.append(ShapeBest(rms=b["rms"], a=b["a"], beta=b["beta"],
+                             dx=b["dx"], dy=b["dy"], ref=b["ref"],
+                             s_d=b["s_d"]))
+    return out
 
 
 class TransTree(NamedTuple):
@@ -378,7 +452,7 @@ def chun_correlation(org, ref_c):
 
 def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
                  tol16: float, tol8: float, use_halfpel: bool = True,
-                 cross_chunk: int = 32, halo: int = 0, y_lo=None,
+                 cross_chunk: int = 64, halo: int = 0, y_lo=None,
                  y_hi=None) -> TransTree:
     """Full fractal search of one plane against the previous reconstruction.
 
@@ -393,19 +467,13 @@ def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
     org = org.astype(jnp.int32)
     refs = build_reference_stack(ref_ctx, use_halfpel)
     offsets = spiral_offsets(search_range)
+    if y_lo is None:
+        y_lo = 0
+    if y_hi is None:
+        y_hi = H
 
-    oc1, oc2 = range_cell_sums(org)
-    cross4 = jax.vmap(
-        lambda r: cross_cell_sums(org, r, offsets, cross_chunk, halo))(refs)
-
-    bs = functools.partial(best_for_shape, oc1, oc2, refs, cross4,
-                           offsets=offsets, H=H, W=W, halo=halo,
-                           y_lo=y_lo, y_hi=y_hi)
-    s16 = bs((16, 16))
-    s8 = bs((8, 8))
-    s84 = bs((4, 8))   # 8 wide x 4 high halves of an 8x8 (bh, bw) = (4, 8)
-    s48 = bs((8, 4))   # 4 wide x 8 high halves       (bh, bw) = (8, 4)
-    s44 = bs((4, 4))
+    s16, s8, s84, s48, s44 = _search_all_shapes(
+        org, refs, offsets, H, W, halo, y_lo, y_hi, chunk=cross_chunk)
 
     # --- decision tree ---
     chun = chun_correlation(org, refs[0][halo:halo + H])

@@ -82,6 +82,8 @@ class CodecConfig:
     hadamard: bool = True
     num_ref_frames: int = 1
     me_search_range: int = 16
+    # --- P-frame engine: "fractal" (thesis PIFS) or "classic" (H.264 ME) ---
+    inter_mode: str = "fractal"
     # --- fractal engine ---
     fractal: FractalConfig = FractalConfig()
     # --- stereo / multi-view (FR: input->right/left) ---
