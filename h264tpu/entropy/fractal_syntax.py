@@ -39,14 +39,28 @@ from ..ops.fractal import SHAPES
 
 MAGIC = 0x46564331  # 'FVC1'
 
-# residual entropy modes; aligned with utils.config.EntropyMode (CABAC=1 reserved)
+# residual entropy modes; aligned with utils.config.EntropyMode
 ENTROPY_CAVLC = 0   # H.264 CAVLC (default)
+ENTROPY_CABAC = 1   # H.264 M-coder arithmetic coding (entropy/cabac_eng.py)
 ENTROPY_EG = 2      # interim Exp-Golomb coefficient sets
 
 
 def write_residual(w: BitWriter, zz: np.ndarray, cy: int, cx: int, mode: int):
     if mode == ENTROPY_CAVLC:
         cavlc.encode_plane(np.asarray(zz), cy, cx, w)
+    elif mode == ENTROPY_CABAC:
+        from . import native
+        payload = native.cabac_encode_plane(zz, cy, cx) \
+            if native.available() else None
+        if payload is None:
+            from . import cabac_eng
+            payload = cabac_eng.encode_plane(np.asarray(zz), cy, cx)
+        pad = (-w.bit_length()) % 8
+        if pad:
+            w.u(0, pad)
+        w.u(len(payload), 32)
+        if payload:
+            w.u(np.frombuffer(payload, np.uint8), 8)
     else:
         write_coeff_set(w, np.asarray(zz))
 
@@ -61,6 +75,19 @@ def read_residual(r: BitReader, cy: int, cx: int, mode: int) -> np.ndarray:
             r.pos = newpos
             return zz
         return cavlc.decode_plane(r, cy, cx)
+    if mode == ENTROPY_CABAC:
+        from . import native
+        r.byte_align()
+        n = r.u(32)
+        payload = np.packbits(
+            r._bits[r.pos:r.pos + 8 * n]).tobytes() if n else b""
+        r.pos += 8 * n
+        out = native.cabac_decode_plane(payload, cy, cx) \
+            if native.available() else None
+        if out is None:
+            from . import cabac_eng
+            out = cabac_eng.decode_plane(payload, cy, cx)
+        return out
     return read_coeff_set(r, cy * cx)
 
 

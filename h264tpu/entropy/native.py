@@ -40,6 +40,18 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.cabac_encode_plane.restype = ctypes.c_int64
+        lib.cabac_encode_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.cabac_decode_plane.restype = ctypes.c_int64
+        lib.cabac_decode_plane.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.resolve_intra_modes.restype = None
         lib.resolve_intra_modes.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -97,6 +109,58 @@ def cavlc_decode_plane(data: bytes, nbits: int, bitpos: int, cy: int, cx: int):
     if newpos < 0:
         raise ValueError("native CAVLC decode error")
     return zz.astype(np.int64), int(newpos)
+
+
+_cabac_tables = None
+
+
+def _get_cabac_tables():
+    global _cabac_tables
+    if _cabac_tables is None:
+        from . import cabac_eng as C
+        _cabac_tables = (
+            np.ascontiguousarray(C.RLPS_64x4, np.uint8),
+            np.ascontiguousarray(C.NEXT_MPS, np.uint8),
+            np.ascontiguousarray(C.NEXT_LPS, np.uint8),
+        )
+    return _cabac_tables
+
+
+def cabac_encode_plane(zz: np.ndarray, cy: int, cx: int):
+    """Returns encoded bytes, or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rlps, nmps, nlps = _get_cabac_tables()
+    zz32 = np.ascontiguousarray(np.asarray(zz).reshape(-1), np.int32)
+    cap = max(4096, zz32.size * 8)
+    out = np.zeros(cap, np.uint8)
+    scratch = np.zeros(cy * cx, np.uint8)
+    n = lib.cabac_encode_plane(
+        zz32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cy, cx,
+        _u8(rlps), _u8(nmps), _u8(nlps),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if n < 0:
+        raise ValueError("native CABAC encode overflow")
+    return out[:n].tobytes()
+
+
+def cabac_decode_plane(data: bytes, cy: int, cx: int):
+    """Returns zz [cy*cx,16] int64, or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rlps, nmps, nlps = _get_cabac_tables()
+    zz = np.zeros(cy * cx * 16, np.int32)
+    scratch = np.zeros(cy * cx, np.uint8)
+    rc = lib.cabac_decode_plane(
+        data, len(data), cy, cx, _u8(rlps), _u8(nmps), _u8(nlps),
+        zz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("native CABAC decode error")
+    return zz.reshape(cy * cx, 16).astype(np.int64)
 
 
 def resolve_intra_modes(flags: np.ndarray, rem: np.ndarray, cy: int, cx: int):

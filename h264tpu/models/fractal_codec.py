@@ -287,9 +287,7 @@ class FractalCodec:
         intra = pending["intra"]
         kind = pending.get("kind", "i" if intra else "p")
         dims = pending["dims"]
-        from ..utils.config import EntropyMode
-        ent = (FS.ENTROPY_CAVLC if cfg.entropy == EntropyMode.CAVLC
-               else FS.ENTROPY_EG)
+        ent = int(cfg.entropy)  # EntropyMode values == stream entropy ids
         packer = self._packer(kind, dims)
         h = packer.unpack(np.asarray(pending["packed"]))
 

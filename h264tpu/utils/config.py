@@ -19,6 +19,7 @@ from typing import Optional
 class EntropyMode(enum.IntEnum):
     CAVLC = 0
     CABAC = 1
+    EXP_GOLOMB = 2   # interim vectorized Exp-Golomb coefficient sets
 
 
 class ProfileIDC(enum.IntEnum):

@@ -211,6 +211,252 @@ int64_t cavlc_decode_plane(const uint8_t* data, int64_t nbits, int64_t bitpos,
   return br.pos;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CABAC (H.264 M-coder) residual plane codec — fast path for
+// h264tpu/entropy/cabac_eng.py (bit-exact mirror; spec tables passed in).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kHalf = 0x200, kQuarter = 0x100;
+// context layout (cabac_eng.py): 4 CBF + 15 SIG + 15 LAST + 10 ABS
+constexpr int kCtxCbf = 0, kCtxSig = 4, kCtxLast = 19, kCtxAbs = 34,
+              kNumCtx = 44;
+
+struct CabacEnc {
+  const uint8_t* rlps;      // [64*4]
+  const uint8_t* next_mps;  // [64]
+  const uint8_t* next_lps;  // [64]
+  uint8_t* out;
+  int64_t cap, n = 0;
+  uint32_t low = 0, range = kHalf - 2;
+  int64_t bits_to_follow = 0;
+  uint32_t buf = 0;
+  int nbuf = 0;
+  bool first = true;
+  uint8_t state[kNumCtx] = {0}, mps[kNumCtx] = {0};
+  bool overflow = false;
+
+  void putbit(int b) {
+    if (first) { first = false; return; }
+    buf = (buf << 1) | b;
+    if (++nbuf == 8) {
+      if (n >= cap) { overflow = true; nbuf = 0; return; }
+      out[n++] = (uint8_t)buf;
+      buf = 0;
+      nbuf = 0;
+    }
+  }
+  void put_outstanding(int b) {
+    putbit(b);
+    while (bits_to_follow > 0) { bits_to_follow--; putbit(!b); }
+  }
+  void renorm() {
+    while (range < kQuarter) {
+      if (low >= kHalf) { put_outstanding(1); low -= kHalf; }
+      else if (low < kQuarter) put_outstanding(0);
+      else { bits_to_follow++; low -= kQuarter; }
+      low <<= 1;
+      range <<= 1;
+    }
+  }
+  void bit(int ctx, int b) {
+    int st = state[ctx];
+    uint32_t r = rlps[st * 4 + ((range >> 6) & 3)];
+    range -= r;
+    if (b != mps[ctx]) {
+      low += range;
+      range = r;
+      if (st == 0) mps[ctx] = !mps[ctx];
+      state[ctx] = next_lps[st];
+    } else {
+      state[ctx] = next_mps[st];
+    }
+    renorm();
+  }
+  void bypass(int b) {
+    low <<= 1;
+    if (b) low += range;
+    if (low >= 2 * kHalf) { put_outstanding(1); low -= 2 * kHalf; }
+    else if (low < kHalf) put_outstanding(0);
+    else { bits_to_follow++; low -= kHalf; }
+  }
+  int64_t flush() {
+    range -= 2;           // terminate decision (rLPS=2 path)
+    low += range;
+    range = 2;
+    renorm();
+    put_outstanding((low >> 9) & 1);
+    putbit((low >> 8) & 1);
+    putbit(1);
+    while (nbuf) putbit(0);
+    return overflow ? -1 : n;
+  }
+};
+
+struct CabacDec {
+  const uint8_t* rlps;
+  const uint8_t* next_mps;
+  const uint8_t* next_lps;
+  const uint8_t* data;
+  int64_t nbytes, bitpos = 0;
+  uint32_t value = 0, range = kHalf - 2;
+  uint8_t state[kNumCtx] = {0}, mps[kNumCtx] = {0};
+
+  void init() {
+    for (int i = 0; i < 9; i++) value = (value << 1) | read1();
+  }
+  int read1() {
+    int64_t p = bitpos++;
+    if ((p >> 3) >= nbytes) return 0;
+    return (data[p >> 3] >> (7 - (p & 7))) & 1;
+  }
+  int bit(int ctx) {
+    int st = state[ctx];
+    uint32_t r = rlps[st * 4 + ((range >> 6) & 3)];
+    range -= r;
+    int b;
+    if (value < range) {
+      b = mps[ctx];
+      state[ctx] = next_mps[st];
+    } else {
+      b = !mps[ctx];
+      value -= range;
+      range = r;
+      if (st == 0) mps[ctx] = !mps[ctx];
+      state[ctx] = next_lps[st];
+    }
+    while (range < kQuarter) {
+      range <<= 1;
+      value = (value << 1) | read1();
+    }
+    return b;
+  }
+  int bypass() {
+    value = (value << 1) | read1();
+    if (value >= range) { value -= range; return 1; }
+    return 0;
+  }
+};
+
+inline int imin(int a, int b) { return a < b ? a : b; }
+
+}  // namespace
+
+extern "C" {
+
+// Encode a plane of cy*cx 4x4 zig-zag level blocks (int32 [cy*cx*16]).
+// Returns the number of bytes written into out, or -1 on overflow.
+int64_t cabac_encode_plane(const int32_t* zz, int cy, int cx,
+                           const uint8_t* rlps, const uint8_t* next_mps,
+                           const uint8_t* next_lps, uint8_t* out,
+                           int64_t out_cap, uint8_t* cbf_scratch) {
+  CabacEnc e{rlps, next_mps, next_lps, out, out_cap};
+  for (int by = 0; by < cy; by++) {
+    for (int bx = 0; bx < cx; bx++) {
+      const int32_t* blk = zz + (int64_t)(by * cx + bx) * 16;
+      int last = -1;
+      for (int i = 15; i >= 0; i--)
+        if (blk[i]) { last = i; break; }
+      int cbf = last >= 0;
+      int ca = bx > 0 ? cbf_scratch[by * cx + bx - 1] : 0;
+      int cb = by > 0 ? cbf_scratch[(by - 1) * cx + bx] : 0;
+      e.bit(kCtxCbf + ca + 2 * cb, cbf);
+      cbf_scratch[by * cx + bx] = (uint8_t)cbf;
+      if (!cbf) continue;
+      for (int i = 0; i < 15; i++) {
+        int sig = blk[i] != 0;
+        e.bit(kCtxSig + i, sig);
+        if (sig) {
+          e.bit(kCtxLast + i, i == last);
+          if (i == last) break;
+        }
+      }
+      int num_eq1 = 0, num_gt1 = 0;
+      for (int i = last; i >= 0; i--) {
+        if (!blk[i]) continue;
+        int v = blk[i];
+        int a = (v < 0 ? -v : v) - 1;
+        int c0 = num_gt1 ? kCtxAbs : kCtxAbs + imin(4, 1 + num_eq1);
+        int cn = kCtxAbs + 5 + imin(4, num_gt1);
+        if (a == 0) {
+          e.bit(c0, 0);
+        } else {
+          e.bit(c0, 1);
+          for (int j = 0; j < imin(a, 14) - 1; j++) e.bit(cn, 1);
+          if (a < 14) {
+            e.bit(cn, 0);
+          } else {
+            int x = a - 14, k = 0;
+            while (x >= (1 << k)) { e.bypass(1); x -= 1 << k; k++; }
+            e.bypass(0);
+            for (int i2 = k - 1; i2 >= 0; i2--) e.bypass((x >> i2) & 1);
+          }
+        }
+        e.bypass(v < 0);
+        if (a == 0) num_eq1++; else num_gt1++;
+      }
+    }
+  }
+  return e.flush();
+}
+
+// Decode cy*cx blocks from data into zz_out (int32 [cy*cx*16], pre-zeroed
+// by the caller).  Returns 0, or -1 on error.
+int64_t cabac_decode_plane(const uint8_t* data, int64_t nbytes, int cy, int cx,
+                           const uint8_t* rlps, const uint8_t* next_mps,
+                           const uint8_t* next_lps, int32_t* zz_out,
+                           uint8_t* cbf_scratch) {
+  CabacDec d{rlps, next_mps, next_lps, data, nbytes};
+  d.init();
+  for (int by = 0; by < cy; by++) {
+    for (int bx = 0; bx < cx; bx++) {
+      int ca = bx > 0 ? cbf_scratch[by * cx + bx - 1] : 0;
+      int cb = by > 0 ? cbf_scratch[(by - 1) * cx + bx] : 0;
+      int cbf = d.bit(kCtxCbf + ca + 2 * cb);
+      cbf_scratch[by * cx + bx] = (uint8_t)cbf;
+      if (!cbf) continue;
+      int32_t* blk = zz_out + (int64_t)(by * cx + bx) * 16;
+      uint8_t sig[16] = {0};
+      int last = 15;
+      bool found_last = false;
+      for (int i = 0; i < 15; i++) {
+        if (d.bit(kCtxSig + i)) {
+          sig[i] = 1;
+          if (d.bit(kCtxLast + i)) { last = i; found_last = true; break; }
+        }
+      }
+      if (!found_last) sig[15] = 1;
+      int num_eq1 = 0, num_gt1 = 0;
+      for (int i = last; i >= 0; i--) {
+        if (!sig[i]) continue;
+        int c0 = num_gt1 ? kCtxAbs : kCtxAbs + imin(4, 1 + num_eq1);
+        int cn = kCtxAbs + 5 + imin(4, num_gt1);
+        int a;
+        if (d.bit(c0) == 0) {
+          a = 0;
+        } else {
+          a = 1;
+          while (a < 14 && d.bit(cn)) a++;
+          if (a == 14) {
+            int k = 0;
+            while (d.bypass()) { a += 1 << k; k++; }
+            int x = 0;
+            for (int j = 0; j < k; j++) x = (x << 1) | d.bypass();
+            a += x;
+          }
+        }
+        int sign = d.bypass();
+        blk[i] = sign ? -(a + 1) : (a + 1);
+        if (a == 0) num_eq1++; else num_gt1++;
+      }
+    }
+  }
+  return 0;
+}
+
 // Resolve MPM-coded intra modes: flags uint8 [cy*cx] (1 = use mpm),
 // rem uint8 [n_rem] consumed in raster order for flag==0 blocks.
 // modes_out int32 [cy*cx].
