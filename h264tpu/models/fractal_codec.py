@@ -348,10 +348,7 @@ class FractalCodec:
             pending = disp
         if pending is not None:
             results.append(self._emit(pending, payloads, verbose))
-        hdr = BitWriter()
-        FS.write_header(hdr, self.cfg, len(results))
-        stream = hdr.to_bytes() + b"".join(payloads)
-        return results, stream
+        return results, self._assemble(payloads, len(results))
 
     def _encode_sequence_rc(self, frames, verbose: bool):
         """Rate-controlled sequence encode (quadratic model, models/ratectl)."""
@@ -374,9 +371,24 @@ class FractalCodec:
             if verbose:
                 print(f"frame {idx:3d} {res.frame_type} qp {qp:2d}  "
                       f"PSNR Y {res.psnr_y:6.2f}  bits {res.bits}")
+        return results, self._assemble(payloads, len(results))
+
+    def _assemble(self, payloads, num_frames: int, views: int = None) -> bytes:
+        """Wrap frame payloads in the configured container (cfg.container):
+        raw FVC concatenation, Annex-B NAL stream, or an RTP packet file."""
+        cfg = self.cfg
+        if views is not None and views != cfg.views:
+            cfg = dataclasses.replace(cfg, views=views)
         hdr = BitWriter()
-        FS.write_header(hdr, self.cfg, len(results))
-        return results, hdr.to_bytes() + b"".join(payloads)
+        FS.write_header(hdr, cfg, num_frames)
+        header_bytes = hdr.to_bytes()
+        if cfg.container == "annexb":
+            from ..bitstream import nal
+            return nal.wrap_stream(cfg, header_bytes, payloads)
+        if cfg.container == "rtp":
+            from ..bitstream import rtp
+            return rtp.packetize(cfg, header_bytes, payloads)
+        return header_bytes + b"".join(payloads)
 
     def _emit(self, pending, payloads, verbose):
         res, payload = self.finalize_frame(pending)
@@ -425,10 +437,7 @@ class FractalCodec:
                 self._emit_views(queue.pop(0), results, payloads, verbose)
         while queue:
             self._emit_views(queue.pop(0), results, payloads, verbose)
-        hdr = BitWriter()
-        FS.write_header(hdr, dataclasses.replace(self.cfg, views=n_views),
-                        num_frames)
-        return results, hdr.to_bytes() + b"".join(payloads)
+        return results, self._assemble(payloads, num_frames, views=n_views)
 
     def _emit_views(self, disps, results, payloads, verbose):
         for vi, disp in enumerate(disps):
@@ -511,9 +520,37 @@ class FractalDecoder:
             self._dec_i_plane[key] = jax.jit(fn)
         return self._dec_i_plane[key]
 
+    @staticmethod
+    def detect_container(stream: bytes) -> str:
+        if stream[:4] == b"FVC1":
+            return "fvc"
+        if stream[:3] == b"\x00\x00\x01" or stream[:4] == b"\x00\x00\x00\x01":
+            return "annexb"
+        return "rtp"
+
     def decode(self, stream: bytes, verbose: bool = False):
-        r = BitReader(stream)
-        hdr = FS.read_header(r)
+        """Decode a stream in any container (auto-detected).  For Annex-B/RTP
+        containers, lost frame NALUs/packets are concealed by frame copy
+        (the simplest mode of the reference's inter concealment,
+        ``erc_do_p.c`` / ``FR/src/erc_do_p.c``)."""
+        kind = self.detect_container(stream)
+        if kind == "fvc":
+            r = BitReader(stream)
+            hdr = FS.read_header(r)
+            unit_reader = lambda i: r           # shared sequential reader
+        else:
+            if kind == "annexb":
+                from ..bitstream import nal
+                _, _, header_bytes, payloads = nal.unwrap_stream(stream)
+            else:
+                from ..bitstream import rtp
+                _, _, header_bytes, payloads = rtp.depacketize(stream)
+            hdr = FS.read_header(BitReader(header_bytes))
+            unit_reader = lambda i: (BitReader(payloads[i])
+                                     if i in payloads else None)
+        return self._decode_units(hdr, unit_reader, verbose)
+
+    def _decode_units(self, hdr: dict, unit_reader, verbose: bool = False):
         W, H = hdr["width"], hdr["height"]
         sr = hdr["search_range"]
         use_hp = hdr["use_halfpel"]
@@ -523,9 +560,19 @@ class FractalDecoder:
 
         n_views = max(hdr.get("views", 1), 1)
 
-        def decode_one(ref):
+        def conceal(ref):
+            """Frame-copy concealment for a lost unit (erc_do_p analogue);
+            mid-gray planes when there is no reference yet (erc_do_i)."""
+            if ref is not None:
+                return 1, tuple(np.array(p, np.uint8) for p in ref)
+            return 0, tuple(np.full((h, w), 128, np.uint8)
+                            for (h, w, _l) in plane_dims)
+
+        def decode_one(r, ref):
             """Parse + reconstruct one view payload; ref = its reference
             frame planes (None for intra)."""
+            if r is None:
+                return conceal(ref)
             ftype = r.u(8)
             fqp = r.u(8)
             cqp = T.chroma_qp(fqp)
@@ -569,12 +616,13 @@ class FractalDecoder:
         frames = [[] for _ in range(n_views)]
         ref_c = None
         for fi in range(hdr["num_frames"]):
-            ftype, planes_c = decode_one(ref_c)
+            ftype, planes_c = decode_one(unit_reader(fi * n_views), ref_c)
             ref_c = planes_c
             frames[0].append(planes_c)
             for vi in range(1, n_views):
                 # side views reference the center view's current frame
-                _, planes_v = decode_one(planes_c)
+                _, planes_v = decode_one(unit_reader(fi * n_views + vi),
+                                         planes_c)
                 frames[vi].append(planes_v)
             if verbose:
                 print(f"decoded frame {fi} type {'I' if ftype == 0 else 'P'}")

@@ -91,6 +91,9 @@ class CodecConfig:
     views: int = 1               # 1 = center only; 3 = C/R/L
     # --- region/object-based coding (FR: num_regions) ---
     num_regions: int = 1
+    # --- stream container: "fvc" (raw), "annexb" (NAL + start codes,
+    #     FR/src/annexb.c), "rtp" (JM packet file, FR/src/rtp_.c) ---
+    container: str = "fvc"
     # --- rate control ---
     rate_control: bool = False
     target_bitrate: float = 0.0

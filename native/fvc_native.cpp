@@ -457,6 +457,38 @@ int64_t cabac_decode_plane(const uint8_t* data, int64_t nbytes, int cy, int cx,
   return 0;
 }
 
+// Emulation prevention (Annex-B EBSP), semantics of the reference's
+// RBSPtoEBSP (FR/src/nal.c) / EBSPtoRBSP (decoder half): insert 0x03 after
+// any 00 00 when the next byte is <= 0x03; stripping removes it.  Out buffer
+// must hold n + n/2 + 16 bytes.  Returns output length.
+int64_t ep_insert(const uint8_t* in, int64_t n, uint8_t* out) {
+  int64_t j = 0;
+  int zeros = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (zeros == 2 && in[i] <= 3) {
+      out[j++] = 3;
+      zeros = 0;
+    }
+    out[j++] = in[i];
+    zeros = in[i] == 0 ? zeros + 1 : 0;
+  }
+  return j;
+}
+
+int64_t ep_strip(const uint8_t* in, int64_t n, uint8_t* out) {
+  int64_t j = 0;
+  int zeros = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (zeros == 2 && in[i] == 3) {
+      zeros = 0;
+      continue;  // drop the emulation-prevention byte
+    }
+    out[j++] = in[i];
+    zeros = in[i] == 0 ? zeros + 1 : 0;
+  }
+  return j;
+}
+
 // Resolve MPM-coded intra modes: flags uint8 [cy*cx] (1 = use mpm),
 // rem uint8 [n_rem] consumed in raster order for flag==0 blocks.
 // modes_out int32 [cy*cx].
