@@ -98,7 +98,8 @@ class FractalCodec:
         fr = cfg.fractal
         self._search = functools.partial(
             F.search_plane, search_range=fr.search_range, tol16=fr.tol_16,
-            tol8=fr.tol_8, use_halfpel=fr.use_halfpel_refs)
+            tol8=fr.tol_8, use_halfpel=fr.use_halfpel_refs,
+            search_mode=int(fr.search_mode))
         # Per-plane, per-stage jits: search / reconstruct / residual are
         # separate XLA executables.  Fusing them into one graph crashes the
         # axon TPU backend at CIF+ sizes (worker "kernel fault"); split they

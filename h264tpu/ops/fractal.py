@@ -168,6 +168,57 @@ def spiral_offsets(search_range: int) -> np.ndarray:
     return np.asarray(out, dtype=np.int32)
 
 
+def candidate_offsets(search_range: int, mode: int = 0) -> np.ndarray:
+    """Candidate (dx, dy) set for one of the reference's four search modes
+    (``search_mode``, FR/src/code.c:87: 0=full, 1=new-hex, 2=UMHex, 3=hex).
+
+    TPU-first re-expression: the reference's hexagon searches
+    (``hexagon_block_search`` FR/src/block_enc.c:2647,
+    ``new_hexagon_block_search`` :2374, ``UMHEXIntegerPelBlockMotionSearch``
+    :2925) are iterative descents whose next probe depends on the last
+    winner — serial, data-dependent control flow that cannot batch.  Here
+    each mode is a STATIC subsampled lattice with the same coverage
+    philosophy, evaluated in one batched pass with the running-best carry:
+
+    - mode 3 (hex): dense 3x3 core + hexagonal lattice (1/4 density) over
+      the +-SR window — the positions reachable by repeated big-hex hops.
+    - mode 1 (new-hex): hex lattice plus dense horizontal/vertical cross
+      arms (the "new" variant's extended cross step).
+    - mode 2 (UMHex): UMHexagonS-style uneven multi-hexagon grid — dense
+      +-2 square, every-2nd-pel cross arms to +-SR, and 16-point hexagons
+      at scales k = 1..SR/4.
+
+    Candidates are ordered by spiral priority (center first) so the
+    lexicographic (rms, ref, position) tie-break keeps the reference's
+    "earlier spiral position wins" semantics within the subset.
+    """
+    spiral = spiral_offsets(search_range)
+    if mode == 0:
+        return spiral
+    sel = []
+    for idx, (x, y) in enumerate(spiral):
+        x, y = int(x), int(y)
+        keep = max(abs(x), abs(y)) <= 1                       # dense core
+        if mode == 3 or mode == 1:
+            keep |= (y % 2 == 0) and ((x + y // 2) % 2 == 0)  # hex lattice
+            if mode == 1:
+                keep |= (x == 0) or (y == 0)                  # cross arms
+        elif mode == 2:
+            keep |= max(abs(x), abs(y)) <= 2                  # dense square
+            keep |= (x == 0 or y == 0) and (x % 2 == 0 and y % 2 == 0)
+            for k in range(1, search_range // 4 + 1):
+                hexpts = {(4 * k, 0), (-4 * k, 0), (0, 4 * k), (0, -4 * k),
+                          (2 * k, 3 * k), (2 * k, -3 * k),
+                          (-2 * k, 3 * k), (-2 * k, -3 * k),
+                          (4 * k, 2 * k), (4 * k, -2 * k),
+                          (-4 * k, 2 * k), (-4 * k, -2 * k),
+                          (4 * k, k), (-4 * k, k), (4 * k, -k), (-4 * k, -k)}
+                keep |= (x, y) in hexpts
+        if keep:
+            sel.append(idx)
+    return spiral[np.asarray(sel, dtype=np.int64)]
+
+
 def cross_cell_sums(org: jnp.ndarray, ref_ctx: jnp.ndarray, offsets: np.ndarray,
                     chunk: int = 32, halo: int = 0) -> jnp.ndarray:
     """Σ r·d over each aligned 4x4 cell for every candidate offset.
@@ -453,7 +504,7 @@ def chun_correlation(org, ref_c):
 def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
                  tol16: float, tol8: float, use_halfpel: bool = True,
                  cross_chunk: int = 64, halo: int = 0, y_lo=None,
-                 y_hi=None) -> TransTree:
+                 y_hi=None, search_mode: int = 0) -> TransTree:
     """Full fractal search of one plane against the previous reconstruction.
 
     The TPU expression of ``encode_one_macroblock`` (FR/src/block_enc.c:508)
@@ -466,7 +517,7 @@ def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
     assert H % 16 == 0 and W % 16 == 0
     org = org.astype(jnp.int32)
     refs = build_reference_stack(ref_ctx, use_halfpel)
-    offsets = spiral_offsets(search_range)
+    offsets = candidate_offsets(search_range, search_mode)
     if y_lo is None:
         y_lo = 0
     if y_hi is None:

@@ -220,3 +220,49 @@ def test_recon_improves_over_copy(rng):
     err_fract = np.mean((rec.astype(np.float64) - org) ** 2)
     err_copy = np.mean((ref.astype(np.float64) - org) ** 2)
     assert err_fract < err_copy * 0.5, (err_fract, err_copy)
+
+
+# ---------------------------------------------------------------------------
+# Search-mode candidate lattices (F7: hex / new-hex / UMHex)
+# ---------------------------------------------------------------------------
+
+def test_candidate_offsets_modes():
+    from h264tpu.ops.fractal import candidate_offsets, spiral_offsets
+    sr = 7
+    full = candidate_offsets(sr, 0)
+    np.testing.assert_array_equal(full, spiral_offsets(sr))
+    for mode in (1, 2, 3):
+        sub = candidate_offsets(sr, mode)
+        # proper subset of the full window, center first, unique points
+        assert tuple(sub[0]) == (0, 0)
+        assert len({(int(x), int(y)) for x, y in sub}) == len(sub)
+        assert len(sub) < len(full)
+        assert np.abs(sub).max() <= sr
+        # dense core always present
+        pts = {(int(x), int(y)) for x, y in sub}
+        for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            assert d in pts
+        # subset preserves spiral (priority) order
+        order = {(int(x), int(y)): i for i, (x, y) in enumerate(full)}
+        pri = [order[(int(x), int(y))] for x, y in sub]
+        assert pri == sorted(pri)
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_search_mode_roundtrip(foreman_qcif, mode):
+    """Every search mode must yield a decodable stream with near-full quality
+    (the lattice covers fewer candidates, so PSNR may dip slightly)."""
+    from h264tpu.utils.config import CodecConfig, FractalConfig, SearchMode
+    from h264tpu.models.fractal_codec import FractalCodec, FractalDecoder
+    cfg = CodecConfig(width=176, height=144, qp=28, intra_period=12,
+                      fractal=FractalConfig(search_range=4,
+                                            search_mode=SearchMode(mode)))
+    codec = FractalCodec(cfg)
+    frames = [foreman_qcif.read(i) for i in range(2)]
+    results, stream = codec.encode_sequence(frames)
+    assert results[1].frame_type == "P" and results[1].psnr_y > 30.0
+    dec = FractalDecoder()
+    drec = dec.decode(stream)
+    for r, d in zip(results, drec):
+        for p in range(3):
+            np.testing.assert_array_equal(r.recon[p], d[p])
