@@ -311,3 +311,46 @@ def read_header(r: BitReader) -> dict:
                use_halfpel=bool(r.u(8)), deblock=bool(r.u(8)),
                entropy=r.u(8), views=r.u(8), num_frames=r.u(32))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Region-coded frame params (SURVEY F24) — per-object 16x16 grids
+# ---------------------------------------------------------------------------
+
+def write_region_params(w: BitWriter, params: dict, search_range: int,
+                        use_halfpel: bool):
+    """Serialize per-object MB-grid fractal params (ops/region search output).
+
+    Layout per object (0 = background, 1 = object), field-major over the MB
+    raster: [ref (2b, if half-pel refs)] dx dy (fixed-width, offset by SR)
+    alpha index (7b, (a+235)/5) beta index (6b, (beta+60)/5).  Mirrors the
+    reference's per-block x/y/alpha/beta/ref stream fields
+    (FR/src/macroblock.c:3786 `writeXYAndSOInfo2NAL_fract`, region branch).
+    """
+    sr = search_range
+    mvb = _mv_bits(sr)
+    for obj in range(2):
+        if use_halfpel:
+            w.u(np.asarray(params["ref"][obj]).reshape(-1), 2)
+        w.u(np.asarray(params["dx"][obj]).reshape(-1) + sr, mvb)
+        w.u(np.asarray(params["dy"][obj]).reshape(-1) + sr, mvb)
+        w.u((np.asarray(params["a"][obj]).reshape(-1) + 235) // 5, 7)
+        w.u((np.asarray(params["beta"][obj]).reshape(-1) + 60) // 5, 6)
+
+
+def read_region_params(r: BitReader, nmby: int, nmbx: int, search_range: int,
+                       use_halfpel: bool) -> dict:
+    """Inverse of :func:`write_region_params`; returns [2, nmby, nmbx] maps."""
+    sr = search_range
+    mvb = _mv_bits(sr)
+    n = nmby * nmbx
+    out = {k: [] for k in ("ref", "dx", "dy", "a", "beta")}
+    for _ in range(2):
+        ref = r.u_array(n, 2) if use_halfpel else np.zeros(n, np.int64)
+        out["ref"].append(ref)
+        out["dx"].append(r.u_array(n, mvb) - sr)
+        out["dy"].append(r.u_array(n, mvb) - sr)
+        out["a"].append(r.u_array(n, 7) * 5 - 235)
+        out["beta"].append(r.u_array(n, 6) * 5 - 60)
+    return {k: np.stack(v).reshape(2, nmby, nmbx).astype(np.int32)
+            for k, v in out.items()}
