@@ -1,0 +1,120 @@
+"""SPS / PPS / slice headers for the conformant AVC path (spec 7.3.2/7.3.3).
+
+Generates exactly the syntax ldecod needs for Baseline-profile progressive
+CAVLC streams (reference: ``JM/lencod/src/parset.c`` GenerateParameterSets,
+``JM/lencod/src/header.c`` SliceHeader).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..entropy.bitio import BitWriter
+from ..bitstream.nal import NALU, NAL_SPS, NAL_PPS, NAL_IDR, NAL_SLICE, annexb_write
+
+# slice_type codes (Table 7-6); +5 variants mean "all slices in pic same type"
+SLICE_P, SLICE_B, SLICE_I = 0, 1, 2
+
+
+@dataclasses.dataclass
+class AVCParams:
+    width: int = 176
+    height: int = 144
+    qp: int = 28
+    profile_idc: int = 66          # Baseline (CAVLC only)
+    level_idc: int = 30
+    log2_max_frame_num: int = 8
+    num_ref_frames: int = 1
+    deblock: bool = True           # in-loop filter on (disable_idc = 0/1)
+    chroma_qp_offset: int = 0
+
+    @property
+    def mb_w(self):
+        return self.width // 16
+
+    @property
+    def mb_h(self):
+        return self.height // 16
+
+
+def _trail(w: BitWriter) -> bytes:
+    w.u(1, 1)
+    return w.to_bytes()
+
+
+def write_sps(p: AVCParams) -> bytes:
+    w = BitWriter()
+    w.u(p.profile_idc, 8)
+    w.u(0, 8)                      # constraint flags + reserved zero
+    w.u(p.level_idc, 8)
+    w.ue(0)                        # sps_id
+    w.ue(p.log2_max_frame_num - 4)
+    w.ue(2)                        # pic_order_cnt_type = 2 (decode order)
+    w.ue(p.num_ref_frames)
+    w.u(0, 1)                      # gaps_in_frame_num_value_allowed_flag
+    w.ue(p.mb_w - 1)
+    w.ue(p.mb_h - 1)
+    w.u(1, 1)                      # frame_mbs_only_flag
+    w.u(1, 1)                      # direct_8x8_inference_flag
+    w.u(0, 1)                      # frame_cropping_flag
+    w.u(0, 1)                      # vui_parameters_present_flag
+    return _trail(w)
+
+
+def write_pps(p: AVCParams) -> bytes:
+    w = BitWriter()
+    w.ue(0)                        # pps_id
+    w.ue(0)                        # sps_id
+    w.u(0, 1)                      # entropy_coding_mode_flag (CAVLC)
+    w.u(0, 1)                      # bottom_field_pic_order_in_frame_present
+    w.ue(0)                        # num_slice_groups_minus1
+    w.ue(0)                        # num_ref_idx_l0_default_active_minus1
+    w.ue(0)                        # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)                      # weighted_pred_flag
+    w.u(0, 2)                      # weighted_bipred_idc
+    w.se(p.qp - 26)                # pic_init_qp_minus26
+    w.se(0)                        # pic_init_qs_minus26
+    w.se(p.chroma_qp_offset)       # chroma_qp_index_offset
+    w.u(1, 1)                      # deblocking_filter_control_present_flag
+    w.u(0, 1)                      # constrained_intra_pred_flag
+    w.u(0, 1)                      # redundant_pic_cnt_present_flag
+    return _trail(w)
+
+
+def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
+                       frame_num: int, idr: bool, slice_qp: int,
+                       first_mb: int = 0, idr_pic_id: int = 0,
+                       num_ref_idx_l0: int = 1):
+    """Slice header bits into ``w`` (spec 7.3.3; poc_type=2, frame coding)."""
+    w.ue(first_mb)
+    w.ue(slice_type + 5)           # all slices of the picture share the type
+    w.ue(0)                        # pps_id
+    w.u(frame_num % (1 << p.log2_max_frame_num), p.log2_max_frame_num)
+    if idr:
+        w.ue(idr_pic_id)
+    if slice_type == SLICE_P:
+        w.u(num_ref_idx_l0 != 1, 1)   # num_ref_idx_active_override_flag
+        if num_ref_idx_l0 != 1:
+            w.ue(num_ref_idx_l0 - 1)
+        w.u(0, 1)                  # ref_pic_list_modification_flag_l0
+    if idr:
+        w.u(0, 1)                  # no_output_of_prior_pics_flag
+        w.u(0, 1)                  # long_term_reference_flag
+    elif slice_type == SLICE_P:
+        w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
+    w.se(slice_qp - p.qp)          # slice_qp_delta
+    w.ue(0 if p.deblock else 1)    # disable_deblocking_filter_idc
+    if p.deblock:
+        w.se(0)                    # slice_alpha_c0_offset_div2
+        w.se(0)                    # slice_beta_offset_div2
+
+
+def assemble_stream(p: AVCParams, slices) -> bytes:
+    """Annex-B byte stream: SPS, PPS, then coded slices.
+
+    ``slices``: list of (idr: bool, rbsp: bytes).
+    """
+    nalus = [NALU(NAL_SPS, 3, write_sps(p)), NALU(NAL_PPS, 3, write_pps(p))]
+    for idr, rbsp in slices:
+        nalus.append(NALU(NAL_IDR if idr else NAL_SLICE, 3, rbsp))
+    return annexb_write(nalus)

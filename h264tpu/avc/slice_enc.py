@@ -1,0 +1,411 @@
+"""Conformant H.264 I-slice encoder (host reference model, numpy).
+
+Encodes a frame as one IDR I slice in real H.264 syntax (CAVLC, Baseline):
+MBs in raster order, intra 4x4 (9 modes) + intra 16x16 (4 modes) with
+Lagrangian RD mode decision, chroma 8x8 intra, per-spec CBP / mb_qp_delta /
+residual ordering, and per-spec nC (TotalCoeff) neighbor contexts.
+
+The output decodes bit-exactly in JM 18.5 ``ldecod`` (conformance oracle;
+tests/test_avc_conformance.py).  Reference call stack: SURVEY §3.1 —
+``i_encode_one_macroblock`` FR/src/rdopt.c:1682, ``write_one_macroblock``
+FR/src/macroblock.c:2487; JM 18.5 twins ``JM/lencod/src/macroblock.c``,
+``JM/ldecod/src/mb_read.c:1139``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.bitio import BitWriter
+from . import quant as Q
+from . import intra_pred as IP
+from . import cavlc as CV
+from .tables import (BLOCK_SCAN, BLOCK_SCAN_INV, CBP_TO_CODENUM_INTRA,
+                     mb_type_i16, MB_I4x4)
+from .params import AVCParams, write_slice_header, SLICE_I
+
+
+def lambda_mode(qp: int) -> float:
+    """Lagrangian multiplier for mode decision (JM: 0.85 * 2^((QP-12)/3))."""
+    return 0.85 * 2.0 ** ((qp - 12) / 3.0)
+
+
+class FrameState:
+    """Per-frame reconstruction + entropy-context state (one slice)."""
+
+    def __init__(self, p: AVCParams):
+        self.p = p
+        h, w = p.height, p.width
+        self.rec_y = np.zeros((h, w), np.int64)
+        self.rec_u = np.zeros((h // 2, w // 2), np.int64)
+        self.rec_v = np.zeros((h // 2, w // 2), np.int64)
+        # TotalCoeff per 4x4 block (decoder-visible nnz bookkeeping)
+        self.nnz_y = np.zeros((p.mb_h * 4, p.mb_w * 4), np.int64)
+        self.nnz_c = np.zeros((2, p.mb_h * 2, p.mb_w * 2), np.int64)
+        # intra 4x4 mode per block; -1 = "not coded in Intra_4x4" (spec -> DC)
+        self.i4_modes = np.full((p.mb_h * 4, p.mb_w * 4), -1, np.int64)
+        self.mb_qp = np.full((p.mb_h, p.mb_w), p.qp, np.int64)
+        self.mb_intra = np.zeros((p.mb_h, p.mb_w), bool)
+
+
+def _nc_luma(st: FrameState, by: int, bx: int) -> int:
+    """nC for the luma 4x4 block at plane block coords (by, bx)."""
+    has_a, has_b = bx > 0, by > 0
+    na = int(st.nnz_y[by, bx - 1]) if has_a else 0
+    nb = int(st.nnz_y[by - 1, bx]) if has_b else 0
+    if has_a and has_b:
+        return (na + nb + 1) >> 1
+    return na if has_a else (nb if has_b else 0)
+
+
+def _nc_chroma(st: FrameState, comp: int, by: int, bx: int) -> int:
+    has_a, has_b = bx > 0, by > 0
+    na = int(st.nnz_c[comp, by, bx - 1]) if has_a else 0
+    nb = int(st.nnz_c[comp, by - 1, bx]) if has_b else 0
+    if has_a and has_b:
+        return (na + nb + 1) >> 1
+    return na if has_a else (nb if has_b else 0)
+
+
+def _gather_i4_neighbors(rec: np.ndarray, y: int, x: int, avail_tr: bool):
+    """top9 / left4 / corner samples for a 4x4 block at pixel (y, x)."""
+    H, W = rec.shape
+    top9 = np.zeros(8, np.int64)
+    if y > 0:
+        hi = min(x + 8, W)
+        top9[:hi - x] = rec[y - 1, x:hi]
+        if hi - x < 8:
+            top9[hi - x:] = rec[y - 1, hi - 1]
+    left4 = rec[y:y + 4, x - 1] if x > 0 else np.zeros(4, np.int64)
+    corner = rec[y - 1, x - 1] if (y > 0 and x > 0) else 0
+    return top9, left4, corner
+
+
+def _code_4x4(org: np.ndarray, pred: np.ndarray, qp: int):
+    """Transform/quant/recon one 4x4 residual (intra).  -> (zz16, recon)."""
+    w = Q.fdct4x4(org - pred)
+    lev = Q.quant4x4(w, qp, intra=True)
+    rec = Q.reconstruct(pred, Q.idct4x4(Q.dequant4x4(lev, qp)))
+    return Q.zigzag(lev), rec
+
+
+def encode_i4x4_mb(st: FrameState, org_y: np.ndarray, mby: int, mbx: int,
+                   qp: int, lam: float):
+    """Intra 4x4 coding of one MB.  Returns dict with modes, zz levels,
+    recon written into st.rec_y, total RD cost and bits."""
+    p = st.p
+    y0, x0 = mby * 16, mbx * 16
+    modes = np.zeros(16, np.int64)
+    zzs = np.zeros((16, 16), np.int64)
+    flags = []          # (prev_flag, rem) pairs in coding order
+    ssd_total = 0
+    bits_total = 0
+
+    for k in range(16):
+        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+        by, bx = mby * 4 + y4, mbx * 4 + x4
+        y, x = y0 + y4 * 4, x0 + x4 * 4
+        avail_t = by > 0
+        avail_l = bx > 0
+        # top-right 4x4 (spec 6.4.11.4): inside the picture AND already
+        # decoded — an above MB row is always decoded; a same-row MB to the
+        # right is not; within the current MB compare coding-order indices
+        tr_by, tr_bx = by - 1, bx + 1
+        if tr_by < 0 or tr_bx >= p.mb_w * 4:
+            avail_tr = False
+        elif tr_by // 4 < mby:
+            avail_tr = True
+        elif tr_bx // 4 > mbx:
+            avail_tr = False
+        else:
+            avail_tr = int(BLOCK_SCAN_INV[y4 - 1, x4 + 1]) < k
+
+        top9, left4, corner = _gather_i4_neighbors(st.rec_y, y, x, avail_tr)
+        preds, allowed = IP.pred4x4_all(top9, left4, corner,
+                                        avail_t, avail_l, avail_tr)
+        # most probable mode (spec 8.3.1.1)
+        ma = int(st.i4_modes[by, bx - 1]) if avail_l else -2
+        mb_ = int(st.i4_modes[by - 1, bx]) if avail_t else -2
+        if ma == -2 or mb_ == -2:
+            mpm = 2
+        else:
+            mpm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+
+        org = org_y[y:y + 4, x:x + 4].astype(np.int64)
+        nc = _nc_luma(st, by, bx)
+        best = None
+        for m in range(9):
+            if not allowed[m]:
+                continue
+            zz, rec = _code_4x4(org, preds[m], qp)
+            ssd = int(((org - rec) ** 2).sum())
+            mode_bits = 1 if m == mpm else 4
+            coeff_bits = CV.block_bits(zz, nc, 16)
+            cost = ssd + lam * (mode_bits + coeff_bits)
+            if best is None or cost < best[0]:
+                best = (cost, m, zz, rec, mode_bits + coeff_bits, ssd)
+        _, m, zz, rec, bits, ssd = best
+        modes[k] = m
+        zzs[k] = zz
+        st.rec_y[y:y + 4, x:x + 4] = rec
+        st.i4_modes[by, bx] = m
+        st.nnz_y[by, bx] = int((zz != 0).sum())
+        if m == mpm:
+            flags.append((1, None))
+        else:
+            flags.append((0, m - (1 if m > mpm else 0)))
+        ssd_total += ssd
+        bits_total += bits
+    return dict(modes=modes, zzs=zzs, flags=flags,
+                cost=ssd_total + lam * bits_total, ssd=ssd_total)
+
+
+def encode_i16_mb(st: FrameState, org_y: np.ndarray, mby: int, mbx: int,
+                  qp: int, lam: float):
+    """Intra 16x16 coding of one MB (all 4 modes, RD pick).
+
+    Returns dict with i16mode, dc_zz (16 scan levels), ac_zzs [16,15],
+    cbp_luma flag, recon (16x16), cost."""
+    p = st.p
+    y0, x0 = mby * 16, mbx * 16
+    avail_t, avail_l = mby > 0, mbx > 0
+    top16 = st.rec_y[y0 - 1, x0:x0 + 16] if avail_t else np.zeros(16, np.int64)
+    left16 = st.rec_y[y0:y0 + 16, x0 - 1] if avail_l else np.zeros(16, np.int64)
+    corner = st.rec_y[y0 - 1, x0 - 1] if (avail_t and avail_l) else 0
+    preds, allowed = IP.pred16x16_all(top16, left16, corner, avail_t, avail_l)
+    org = org_y[y0:y0 + 16, x0:x0 + 16].astype(np.int64)
+
+    best = None
+    for m in range(4):
+        if not allowed[m]:
+            continue
+        res = org - preds[m]
+        blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)  # [y4][x4][4][4]
+        w = Q.fdct4x4(blocks)
+        dc = w[:, :, 0, 0]
+        had = Q.hadamard4x4_fwd(dc)
+        dc_lev = Q.quant_dc16(had, qp)
+        dc_deq = Q.dequant_dc16(dc_lev, qp)
+
+        ac_lev = Q.quant4x4(w, qp, intra=True)
+        ac_lev[:, :, 0, 0] = 0
+        ac_zz_all = Q.zigzag(ac_lev)[:, :, 1:]                   # [4,4,15]
+        cbp_luma = bool((ac_zz_all != 0).any())
+        deq = Q.dequant4x4(ac_lev, qp) if cbp_luma else np.zeros_like(w)
+        deq[:, :, 0, 0] = dc_deq
+        rec_b = Q.reconstruct(preds[m].reshape(4, 4, 4, 4).transpose(0, 2, 1, 3),
+                              Q.idct4x4(deq))
+        rec = rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+        ssd = int(((org - rec) ** 2).sum())
+
+        # dc scan levels in 4x4 zig-zag over the DC block
+        dc_zz = Q.zigzag(dc_lev.reshape(1, 4, 4))[0]
+        # bits: mb_type (depends on cbp -> accounted by caller), residual
+        bits = 0
+        # order ac zz by coding order for bit counting (nC needs state; use
+        # in-MB approximation nc=0 for cost only — exact bits are written later)
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            if cbp_luma:
+                bits += CV.block_bits(ac_zz_all[y4, x4], 0, 15)
+        bits += CV.block_bits(dc_zz, 0, 16)
+        cost = ssd + lam * bits
+        if best is None or cost < best[0]:
+            best = (cost, m, dc_zz, ac_zz_all, cbp_luma, rec, ssd)
+    cost, m, dc_zz, ac_zz_all, cbp_luma, rec, ssd = best
+    return dict(i16mode=m, dc_zz=dc_zz, ac_zzs=ac_zz_all, cbp_luma=cbp_luma,
+                rec=rec, cost=cost, ssd=ssd)
+
+
+def encode_chroma_mb(st: FrameState, org_u, org_v, mby: int, mbx: int,
+                     qpc: int):
+    """Chroma intra coding for one MB: mode decision (SAD) + residual.
+
+    Returns dict with mode, per-component dc levels [4], ac_zzs [2,2,2,15],
+    recons, cbp_chroma."""
+    y0, x0 = mby * 8, mbx * 8
+    avail_t, avail_l = mby > 0, mbx > 0
+    comps = []
+    for rec_p, org_p in ((st.rec_u, org_u), (st.rec_v, org_v)):
+        top8 = rec_p[y0 - 1, x0:x0 + 8] if avail_t else np.zeros(8, np.int64)
+        left8 = rec_p[y0:y0 + 8, x0 - 1] if avail_l else np.zeros(8, np.int64)
+        corner = rec_p[y0 - 1, x0 - 1] if (avail_t and avail_l) else 0
+        preds, allowed = IP.pred_chroma_all(top8, left8, corner,
+                                            avail_t, avail_l)
+        org = org_p[y0:y0 + 8, x0:x0 + 8].astype(np.int64)
+        comps.append((preds, allowed, org))
+
+    best_mode, best_sad = None, None
+    for m in range(4):
+        if not (comps[0][1][m] and comps[1][1][m]):
+            continue
+        sad = sum(int(np.abs(c[2] - c[0][m]).sum()) for c in comps)
+        if best_sad is None or sad < best_sad:
+            best_mode, best_sad = m, sad
+
+    dc_levels = np.zeros((2, 4), np.int64)
+    ac_zzs = np.zeros((2, 2, 2, 15), np.int64)
+    recs = []
+    any_dc = False
+    any_ac = False
+    for ci, (preds, _allowed, org) in enumerate(comps):
+        pred = preds[best_mode]
+        res = org - pred
+        blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)   # [2][2][4][4]
+        w = Q.fdct4x4(blocks)
+        dc = w[:, :, 0, 0]                                       # [2,2]
+        had = Q.hadamard2x2_fwd(dc)                              # [4]
+        dc_lev = Q.quant_dc_chroma(had, qpc, intra=True)
+        dc_deq = Q.dequant_dc_chroma(dc_lev, qpc)                # [2,2]
+        ac_lev = Q.quant4x4(w, qpc, intra=True)
+        ac_lev[:, :, 0, 0] = 0
+        ac_zz = Q.zigzag(ac_lev)[:, :, 1:]
+        any_ac |= bool((ac_zz != 0).any())
+        any_dc |= bool((dc_lev != 0).any())
+        dc_levels[ci] = dc_lev
+        ac_zzs[ci] = ac_zz
+        recs.append((pred, ac_lev, dc_deq))
+
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    out_recs = []
+    for pred, ac_lev, dc_deq in recs:
+        deq = Q.dequant4x4(ac_lev, qpc) if cbp_chroma == 2 else \
+            np.zeros_like(ac_lev)
+        deq[:, :, 0, 0] = dc_deq if cbp_chroma >= 1 else 0
+        rec_b = Q.reconstruct(pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3),
+                              Q.idct4x4(deq))
+        out_recs.append(rec_b.transpose(0, 2, 1, 3).reshape(8, 8))
+    if cbp_chroma < 2:
+        ac_zzs[:] = 0
+    if cbp_chroma < 1:
+        dc_levels[:] = 0
+    return dict(mode=best_mode, dc_levels=dc_levels, ac_zzs=ac_zzs,
+                recs=out_recs, cbp_chroma=cbp_chroma)
+
+
+def write_intra_mb(w: BitWriter, st: FrameState, mby: int, mbx: int,
+                   luma, chroma, use_i16: bool, qp_delta: int = 0):
+    """Emit macroblock_layer() for one intra MB (spec 7.3.5), updating nnz."""
+    p = st.p
+    if use_i16:
+        cbp_luma_bits = 15 if luma["cbp_luma"] else 0
+        w.ue(mb_type_i16(luma["i16mode"], chroma["cbp_chroma"],
+                         luma["cbp_luma"]))
+    else:
+        w.ue(MB_I4x4)
+        for flag, rem in luma["flags"]:
+            w.u(flag, 1)
+            if not flag:
+                w.u(rem, 3)
+    w.ue(chroma["mode"])
+    if not use_i16:
+        # coding order groups blocks by 8x8: block k belongs to b8 = k // 4
+        cbp_luma_bits = 0
+        for b8 in range(4):
+            if (luma["zzs"][4 * b8:4 * b8 + 4] != 0).any():
+                cbp_luma_bits |= 1 << b8
+        cbp = cbp_luma_bits | (chroma["cbp_chroma"] << 4)
+        w.ue(int(CBP_TO_CODENUM_INTRA[cbp]))
+    else:
+        cbp = cbp_luma_bits | (chroma["cbp_chroma"] << 4)
+
+    if cbp > 0 or use_i16:
+        w.se(qp_delta)
+
+    # ---- residual() ----
+    if use_i16:
+        nc = _nc_luma(st, mby * 4, mbx * 4)
+        CV.write_block(w, luma["dc_zz"], nc, 16)
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            by, bx = mby * 4 + y4, mbx * 4 + x4
+            if luma["cbp_luma"]:
+                nc = _nc_luma(st, by, bx)
+                tot = CV.write_block(w, luma["ac_zzs"][y4, x4], nc, 15)
+                st.nnz_y[by, bx] = tot
+            else:
+                st.nnz_y[by, bx] = 0
+    else:
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            by, bx = mby * 4 + y4, mbx * 4 + x4
+            b8 = (y4 // 2) * 2 + (x4 // 2)
+            if cbp_luma_bits & (1 << b8):
+                nc = _nc_luma(st, by, bx)
+                tot = CV.write_block(w, luma["zzs"][k], nc, 16)
+                st.nnz_y[by, bx] = tot
+            else:
+                st.nnz_y[by, bx] = 0
+
+    if chroma["cbp_chroma"] > 0:
+        for ci in range(2):
+            CV.write_block(w, chroma["dc_levels"][ci], -1, 4)
+    for ci in range(2):
+        for by4 in range(2):
+            for bx4 in range(2):
+                cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                if chroma["cbp_chroma"] == 2:
+                    nc = _nc_chroma(st, ci, cby, cbx)
+                    tot = CV.write_block(w, chroma["ac_zzs"][ci, by4, bx4],
+                                         nc, 15)
+                    st.nnz_c[ci, cby, cbx] = tot
+                else:
+                    st.nnz_c[ci, cby, cbx] = 0
+
+
+def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
+                   idr: bool = True, idr_pic_id: int = 0):
+    """Encode one frame as a single IDR I slice.
+
+    org_yuv: (Y [H,W], U, V) uint8 arrays.
+    Returns (rbsp bytes, (rec_y, rec_u, rec_v) BEFORE deblocking, stats dict).
+    The caller applies the spec deblocking filter (avc.deblock) to get the
+    decoder-output reconstruction.
+    """
+    qp = p.qp if qp is None else qp
+    qpc = Q.chroma_qp(qp, p.chroma_qp_offset)
+    lam = lambda_mode(qp)
+    org_y, org_u, org_v = (np.asarray(x, np.int64) for x in org_yuv)
+    st = FrameState(p)
+    st.mb_intra[:] = True
+    st.mb_qp[:] = qp
+
+    w = BitWriter()
+    write_slice_header(w, p, SLICE_I, frame_num, idr, qp,
+                       idr_pic_id=idr_pic_id)
+
+    n_i16 = 0
+    for mby in range(p.mb_h):
+        for mbx in range(p.mb_w):
+            # evaluate I16 first on the current recon state, then I4 (which
+            # mutates rec_y block by block); restore if I16 wins
+            i16 = encode_i16_mb(st, org_y, mby, mbx, qp, lam)
+            saved_rec = st.rec_y[mby * 16:mby * 16 + 16,
+                                 mbx * 16:mbx * 16 + 16].copy()
+            saved_modes = st.i4_modes[mby * 4:mby * 4 + 4,
+                                      mbx * 4:mbx * 4 + 4].copy()
+            saved_nnz = st.nnz_y[mby * 4:mby * 4 + 4,
+                                 mbx * 4:mbx * 4 + 4].copy()
+            i4 = encode_i4x4_mb(st, org_y, mby, mbx, qp, lam)
+            # syntax-bit difference: I4 pays CBP + 16 mode flags; I16 pays
+            # mb_type range; both folded into the per-mode bit counts above
+            use_i16 = i16["cost"] < i4["cost"]
+            if use_i16:
+                st.rec_y[mby * 16:mby * 16 + 16,
+                         mbx * 16:mbx * 16 + 16] = i16["rec"]
+                st.i4_modes[mby * 4:mby * 4 + 4,
+                            mbx * 4:mbx * 4 + 4] = -1
+                st.nnz_y[mby * 4:mby * 4 + 4,
+                         mbx * 4:mbx * 4 + 4] = saved_nnz  # rewritten below
+                n_i16 += 1
+            ch = encode_chroma_mb(st, org_u, org_v, mby, mbx, qpc)
+            st.rec_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch["recs"][0]
+            st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch["recs"][1]
+            write_intra_mb(w, st, mby, mbx, i16 if use_i16 else i4, ch,
+                           use_i16)
+            del saved_rec, saved_modes
+    w.u(1, 1)      # rbsp_stop_one_bit (rbsp_slice_trailing_bits)
+    rbsp = w.to_bytes()
+    stats = dict(bits=len(rbsp) * 8, n_i16=n_i16,
+                 n_mb=p.mb_h * p.mb_w)
+    return rbsp, (st.rec_y, st.rec_u, st.rec_v), stats

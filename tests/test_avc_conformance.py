@@ -1,0 +1,138 @@
+"""Conformance of the standard-H.264 path against JM 18.5 ldecod.
+
+The oracle is the real JM 18.5 decoder built from the reference checkout
+(tools/build_jm.sh).  Criteria (VERDICT round-1 item 1 / SURVEY §4(b)):
+our Annex-B stream must decode in ldecod with output YUV BIT-EXACT equal to
+our encoder-side reconstruction, and PSNR/bitrate must be within 5% of
+lencod on BASELINE config 1 (foreman QCIF all-intra).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JM_BIN = os.path.join(REPO, ".jm", "JM", "bin")
+LDECOD = os.path.join(JM_BIN, "ldecod.exe")
+LENCOD = os.path.join(JM_BIN, "lencod.exe")
+
+
+@pytest.fixture(scope="session")
+def jm_tools():
+    if not (os.path.exists(LDECOD) and os.path.exists(LENCOD)):
+        r = subprocess.run(["sh", os.path.join(REPO, "tools", "build_jm.sh")],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"JM oracle build failed: {r.stderr[-400:]}")
+    return JM_BIN
+
+
+def ldecod_decode(tmp_path, stream: bytes) -> bytes:
+    b264 = tmp_path / "t.264"
+    byuv = tmp_path / "t_dec.yuv"
+    b264.write_bytes(stream)
+    r = subprocess.run([LDECOD, "-p", f"InputFile={b264}",
+                        "-p", f"OutputFile={byuv}"],
+                       capture_output=True, text=True, cwd=tmp_path,
+                       timeout=120)
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-400:]
+    return byuv.read_bytes()
+
+
+def encode_intra_frames(frames, qp, deblock=True):
+    from h264tpu.avc.params import AVCParams, assemble_stream
+    from h264tpu.avc.slice_enc import encode_i_frame
+    from h264tpu.avc.deblock import DeblockContext, deblock_frame
+
+    p = AVCParams(width=176, height=144, qp=qp, deblock=deblock)
+    slices, recs, bits = [], [], 0
+    for i, (y, u, v) in enumerate(frames):
+        rbsp, rec, stats = encode_i_frame((y, u, v), p, frame_num=0,
+                                          idr=True, idr_pic_id=i)
+        if deblock:
+            rec = deblock_frame(*rec, DeblockContext(p.mb_w, p.mb_h, qp))
+        recs.append(rec)
+        slices.append((True, rbsp))
+        bits += stats["bits"]
+    return assemble_stream(p, slices), recs, bits
+
+
+def recon_bytes(recs) -> bytes:
+    out = bytearray()
+    for fr in recs:
+        for pl in fr:
+            out += np.asarray(pl, np.uint8).tobytes()
+    return bytes(out)
+
+
+def psnr(a, b):
+    mse = ((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2).mean()
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
+@pytest.mark.parametrize("qp,deblock", [(28, True), (28, False), (36, True)])
+def test_ldecod_bit_exact(jm_tools, foreman_qcif, tmp_path, qp, deblock):
+    frames = [foreman_qcif.read(i) for i in range(2)]
+    stream, recs, _ = encode_intra_frames(frames, qp, deblock)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes(recs)
+
+
+def test_parity_vs_lencod_baseline_config1(jm_tools, foreman_qcif, tmp_path):
+    """BASELINE config 1: foreman QCIF all-intra CAVLC QP28 within 5% of JM."""
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    stream, recs, _ = encode_intra_frames(frames, 28, deblock=True)
+
+    # run lencod on the same 3 frames
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_baseline.cfg"),
+         "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+         "-p", "FramesToBeEncoded=3", "-p", "SourceWidth=176",
+         "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+         "-p", "OutputHeight=144", "-p", "IntraPeriod=1", "-p", "IDRPeriod=1",
+         "-p", "QPISlice=28", "-p", "SymbolMode=0", "-p", "OutFileMode=0",
+         "-p", f"OutputFile={tmp_path/'jm.264'}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=1", "-p", "RDOptimization=1"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=300)
+    assert r.returncode == 0, r.stdout[-800:]
+    jm_bits = os.path.getsize(tmp_path / "jm.264") * 8
+
+    our_bits = len(stream) * 8
+    our_psnr = np.mean([psnr(fr[0], rec[0])
+                        for fr, rec in zip(frames, recs)])
+    jm_rec = np.frombuffer((tmp_path / "jm_rec.yuv").read_bytes(), np.uint8)
+    n = 176 * 144
+    jm_psnr = np.mean([psnr(frames[i][0],
+                            jm_rec[i * n * 3 // 2:i * n * 3 // 2 + n]
+                            .reshape(144, 176)) for i in range(3)])
+    assert our_bits <= jm_bits * 1.05, (our_bits, jm_bits)
+    assert our_psnr >= jm_psnr - 0.5, (our_psnr, jm_psnr)
+
+
+def test_own_decoder_cavlc_block_roundtrip(rng):
+    """avc.cavlc read_block inverts write_block for random blocks."""
+    from h264tpu.entropy.bitio import BitWriter, BitReader
+    from h264tpu.avc import cavlc as CV
+
+    for max_coeff, nc in [(16, 0), (16, 1), (16, 5), (16, 9), (15, 3),
+                          (4, -1)]:
+        blocks = []
+        w = BitWriter()
+        for _ in range(200):
+            zz = np.zeros(max_coeff, np.int64)
+            nnz = rng.integers(0, max_coeff + 1)
+            pos = rng.permutation(max_coeff)[:nnz]
+            zz[pos] = rng.integers(-2000, 2000, nnz)
+            # bias towards small trailing levels like real data
+            if nnz and rng.random() < 0.7:
+                zz[pos] = np.clip(zz[pos], -3, 3)
+                zz[pos][zz[pos] == 0] = 1
+            blocks.append(zz)
+            CV.write_block(w, zz, nc, max_coeff)
+        r = BitReader(w.to_bytes())
+        for zz in blocks:
+            got = CV.read_block(r, nc, max_coeff)
+            assert np.array_equal(got, zz), (zz, got)
