@@ -409,3 +409,420 @@ def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
     stats = dict(bits=len(rbsp) * 8, n_i16=n_i16,
                  n_mb=p.mb_h * p.mb_w)
     return rbsp, (st.rec_y, st.rec_u, st.rec_v), stats
+
+
+# ===========================================================================
+# P slices (conformant inter path; spec 7.3.5 / 8.4)
+# ===========================================================================
+
+from ..ops.transform import COEFF_COST as _COEFF_COST          # noqa: E402
+from .tables import CBP_TO_CODENUM_INTER                        # noqa: E402
+from .params import SLICE_P                                     # noqa: E402
+from . import inter as INTER                                    # noqa: E402
+
+
+def lambda_me(qp: int) -> float:
+    """Motion-search multiplier: sqrt(lambda_mode) (JM get_lambdas)."""
+    return lambda_mode(qp) ** 0.5
+
+
+def _coeff_cost_zz(zz: np.ndarray) -> int:
+    """JM run-based single-coefficient cost of one 4x4 block (zig-zag)."""
+    cost, run = 0, 0
+    for v in zz:
+        if v == 0:
+            run += 1
+        else:
+            cost += 999999 if abs(v) > 1 else int(_COEFF_COST[min(run, 15)])
+            run = 0
+    return cost
+
+
+def code_inter_luma_mb(org16: np.ndarray, pred16: np.ndarray, qp: int):
+    """Inter luma residual: 4x4 T/Q + JM coefficient-cost thresholding
+    (drop an 8x8 when cost<=4, the MB when total<=5;
+    FR/src/macroblock.c:995-1166 semantics).  Returns (zz [16,16] in coding
+    order, recon 16x16, cbp_luma_bits)."""
+    res = org16 - pred16
+    blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+    w = Q.fdct4x4(blocks)
+    lev = Q.quant4x4(w, qp, intra=False)
+    zz = Q.zigzag(lev)                     # [y4][x4][16]
+
+    cost8 = np.zeros(4, np.int64)
+    for b8 in range(4):
+        for k in range(4):
+            y4 = (b8 >> 1) * 2 + (k >> 1)
+            x4 = (b8 & 1) * 2 + (k & 1)
+            cost8[b8] += _coeff_cost_zz(zz[y4, x4])
+    drop8 = cost8 <= 4
+    if int(np.where(drop8, 0, cost8).sum()) <= 5:
+        drop8[:] = True
+    for b8 in range(4):
+        if drop8[b8]:
+            y4g, x4g = (b8 >> 1) * 2, (b8 & 1) * 2
+            zz[y4g:y4g + 2, x4g:x4g + 2] = 0
+            lev[y4g:y4g + 2, x4g:x4g + 2] = 0
+
+    deq = Q.dequant4x4(lev, qp)
+    rec_b = Q.reconstruct(pred16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3),
+                          Q.idct4x4(deq))
+    rec = rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+    cbp_bits = 0
+    for b8 in range(4):
+        if not drop8[b8]:
+            y4g, x4g = (b8 >> 1) * 2, (b8 & 1) * 2
+            if (zz[y4g:y4g + 2, x4g:x4g + 2] != 0).any():
+                cbp_bits |= 1 << b8
+    # reorder to coding order [k, 16]
+    zz_coding = np.zeros((16, 16), np.int64)
+    for k in range(16):
+        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+        zz_coding[k] = zz[y4, x4]
+    return zz_coding, rec, cbp_bits
+
+
+def code_inter_chroma_mb(org_u8, org_v8, pred_u8, pred_v8, qpc: int):
+    """Inter chroma residual (DC 2x2 Hadamard path).  Returns
+    (dc_levels [2,4], ac_zzs [2,2,2,15], recons, cbp_chroma)."""
+    dc_levels = np.zeros((2, 4), np.int64)
+    ac_zzs = np.zeros((2, 2, 2, 15), np.int64)
+    deqs = []
+    any_dc = any_ac = False
+    for ci, (org, pred) in enumerate(((org_u8, pred_u8), (org_v8, pred_v8))):
+        res = org.astype(np.int64) - pred
+        blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        w = Q.fdct4x4(blocks)
+        had = Q.hadamard2x2_fwd(w[:, :, 0, 0])
+        dc_lev = Q.quant_dc_chroma(had, qpc, intra=False)
+        ac_lev = Q.quant4x4(w, qpc, intra=False)
+        ac_lev[:, :, 0, 0] = 0
+        ac_zz = Q.zigzag(ac_lev)[:, :, 1:]
+        # JM chroma AC coefficient-cost threshold (_CHROMA_COEFF_COST_ = 4)
+        c_cost = sum(_coeff_cost_zz(ac_zz[j, i])
+                     for j in range(2) for i in range(2))
+        if c_cost < 4:
+            ac_zz[:] = 0
+            ac_lev[:] = 0
+        any_dc |= bool((dc_lev != 0).any())
+        any_ac |= bool((ac_zz != 0).any())
+        dc_levels[ci] = dc_lev
+        ac_zzs[ci] = ac_zz
+        deqs.append((pred, ac_lev, Q.dequant_dc_chroma(dc_lev, qpc)))
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    recs = []
+    for pred, ac_lev, dc_deq in deqs:
+        deq = Q.dequant4x4(ac_lev, qpc) if cbp_chroma == 2 else \
+            np.zeros_like(ac_lev)
+        deq[:, :, 0, 0] = dc_deq if cbp_chroma >= 1 else 0
+        rec_b = Q.reconstruct(
+            np.asarray(pred).reshape(2, 4, 2, 4).transpose(0, 2, 1, 3),
+            Q.idct4x4(deq))
+        recs.append(rec_b.transpose(0, 2, 1, 3).reshape(8, 8))
+    if cbp_chroma < 2:
+        ac_zzs[:] = 0
+    if cbp_chroma < 1:
+        dc_levels[:] = 0
+    return dc_levels, ac_zzs, recs, cbp_chroma
+
+
+def _write_inter_residual(w: BitWriter, st: FrameState, mby, mbx, zz_coding,
+                          cbp_luma_bits, dc_levels, ac_zzs, cbp_chroma):
+    for k in range(16):
+        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+        by, bx = mby * 4 + y4, mbx * 4 + x4
+        b8 = (y4 // 2) * 2 + (x4 // 2)
+        if cbp_luma_bits & (1 << b8):
+            nc = _nc_luma(st, by, bx)
+            st.nnz_y[by, bx] = CV.write_block(w, zz_coding[k], nc, 16)
+        else:
+            st.nnz_y[by, bx] = 0
+    if cbp_chroma > 0:
+        for ci in range(2):
+            CV.write_block(w, dc_levels[ci], -1, 4)
+    for ci in range(2):
+        for by4 in range(2):
+            for bx4 in range(2):
+                cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                if cbp_chroma == 2:
+                    nc = _nc_chroma(st, ci, cby, cbx)
+                    st.nnz_c[ci, cby, cbx] = CV.write_block(
+                        w, ac_zzs[ci, by4, bx4], nc, 15)
+                else:
+                    st.nnz_c[ci, cby, cbx] = 0
+
+
+def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
+                   qp: int = None, frame_num: int = 1, sr: int = 16,
+                   try_intra: bool = True, force_intra_mask=None):
+    """Encode one frame as a single P slice against one reference frame.
+
+    Modes per MB: P_Skip, P_16x16, P_16x8, P_8x16, intra 4x4 / 16x16
+    (``try_intra``); RD pick by SAD/SSD + lambda*bits.  ``force_intra_mask``
+    [mb_h, mb_w] bool forces intra coding per MB (errdo / intra-refresh hook,
+    ref FR/src/intrarefresh.c + errdo force-intra semantics).
+    Returns (rbsp, recon_before_deblock, deblock ctx, stats).
+    """
+    qp = p.qp if qp is None else qp
+    qpc = Q.chroma_qp(qp, p.chroma_qp_offset)
+    lam = lambda_mode(qp)
+    lam_me = lambda_me(qp)
+    org_y, org_u, org_v = (np.asarray(x, np.int64) for x in org_yuv)
+    st = FrameState(p)
+    mvf = INTER.MVField(p.mb_h, p.mb_w)
+
+    w = BitWriter()
+    write_slice_header(w, p, SLICE_P, frame_num, False, qp)
+    skip_run = 0
+    n_skip = n_intra = 0
+
+    for mby in range(p.mb_h):
+        for mbx in range(p.mb_w):
+            y0, x0 = mby * 16, mbx * 16
+            by, bx = mby * 4, mbx * 4
+            org16 = org_y[y0:y0 + 16, x0:x0 + 16]
+            forced = bool(force_intra_mask is not None and
+                          force_intra_mask[mby, mbx])
+
+            cands = []
+            if not forced:
+                # ---- P_16x16 ----
+                pmv = mvf.predict(by, bx, 4, 4, 0)
+                mv16, _ = INTER.full_search_block(org_y, ref, y0, x0, 16, 16,
+                                                  sr, pmv, lam_me)
+                pred16 = ref.luma_block(y0, x0, 16, 16, int(mv16[0]),
+                                        int(mv16[1]))
+                sad16 = int(np.abs(org16 - pred16).sum())
+                bits16 = 1 + INTER.mvd_bits(int(mv16[0] - pmv[0]),
+                                            int(mv16[1] - pmv[1]))
+                cands.append(("16x16", sad16 + lam * bits16,
+                              dict(mvs=[mv16], pmvs=[pmv], pred=pred16)))
+
+                # ---- P_16x8 / P_8x16 ----
+                for mode, parts in (
+                    ("16x8", [((by, bx, 4, 2), "16x8_top"),
+                              ((by + 2, bx, 4, 2), "16x8_bot")]),
+                    ("8x16", [((by, bx, 2, 4), "8x16_left"),
+                              ((by, bx + 2, 2, 4), "8x16_right")]),
+                ):
+                    scratch = (mvf.mv.copy(), mvf.ref.copy(),
+                               mvf.decoded.copy())
+                    mvs, pmvs = [], []
+                    pred = np.zeros((16, 16), np.int64)
+                    sad = 0
+                    bits = 3        # ue(1)/ue(2) mb_type
+                    for (pby, pbx, w4, h4), tag in parts:
+                        pm = mvf.predict(pby, pbx, w4, h4, 0, tag)
+                        py, px = pby * 4, pbx * 4
+                        mv, _ = INTER.full_search_block(
+                            org_y, ref, py, px, h4 * 4, w4 * 4, sr, pm, lam_me)
+                        blk = ref.luma_block(py, px, h4 * 4, w4 * 4,
+                                             int(mv[0]), int(mv[1]))
+                        pred[py - y0:py - y0 + h4 * 4,
+                             px - x0:px - x0 + w4 * 4] = blk
+                        sad += int(np.abs(
+                            org_y[py:py + h4 * 4, px:px + w4 * 4] - blk).sum())
+                        bits += INTER.mvd_bits(int(mv[0] - pm[0]),
+                                               int(mv[1] - pm[1]))
+                        mvf.set_partition(pby, pbx, w4, h4, mv, 0)
+                        mvs.append(mv)
+                        pmvs.append(pm)
+                    mvf.mv, mvf.ref, mvf.decoded = scratch
+                    cands.append((mode, sad + lam * bits,
+                                  dict(mvs=mvs, pmvs=pmvs, pred=pred)))
+
+            # ---- intra candidates ----
+            i4 = i16 = None
+            if try_intra or forced:
+                i16 = encode_i16_mb(st, org_y, mby, mbx, qp, lam)
+                saved_rec = st.rec_y[y0:y0 + 16, x0:x0 + 16].copy()
+                saved_modes = st.i4_modes[by:by + 4, bx:bx + 4].copy()
+                saved_nnz = st.nnz_y[by:by + 4, bx:bx + 4].copy()
+                i4 = encode_i4x4_mb(st, org_y, mby, mbx, qp, lam)
+                # undo I4 state; re-applied if I4 wins
+                i4_rec = st.rec_y[y0:y0 + 16, x0:x0 + 16].copy()
+                i4_modes_mb = st.i4_modes[by:by + 4, bx:bx + 4].copy()
+                st.rec_y[y0:y0 + 16, x0:x0 + 16] = saved_rec
+                st.i4_modes[by:by + 4, bx:bx + 4] = saved_modes
+                st.nnz_y[by:by + 4, bx:bx + 4] = saved_nnz
+                # intra mb_type in P pays ~ue(5+) bits
+                cands.append(("i16", i16["cost"] + lam * 11, dict()))
+                cands.append(("i4", i4["cost"] + lam * 9, dict()))
+            if forced:
+                cands = [c for c in cands if c[0] in ("i16", "i4")]
+
+            cands.sort(key=lambda c: c[1])
+            mode, _, info = cands[0]
+
+            if mode in ("i16", "i4"):
+                n_intra += 1
+                use_i16 = mode == "i16"
+                if use_i16:
+                    st.rec_y[y0:y0 + 16, x0:x0 + 16] = i16["rec"]
+                    st.i4_modes[by:by + 4, bx:bx + 4] = -1
+                else:
+                    st.rec_y[y0:y0 + 16, x0:x0 + 16] = i4_rec
+                    st.i4_modes[by:by + 4, bx:bx + 4] = i4_modes_mb
+                ch = encode_chroma_mb(st, org_u, org_v, mby, mbx, qpc)
+                st.rec_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch["recs"][0]
+                st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch["recs"][1]
+                w.ue(skip_run)
+                skip_run = 0
+                # intra mb_type in P slices = 5 + I-slice mb_type
+                if use_i16:
+                    w.ue(5 + mb_type_i16(i16["i16mode"], ch["cbp_chroma"],
+                                         i16["cbp_luma"]))
+                    w.ue(ch["mode"])
+                    w.se(0)      # mb_qp_delta (I16 always)
+                    # residual
+                    nc = _nc_luma(st, by, bx)
+                    CV.write_block(w, i16["dc_zz"], nc, 16)
+                    for k in range(16):
+                        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                        bby, bbx = by + y4, bx + x4
+                        if i16["cbp_luma"]:
+                            nc = _nc_luma(st, bby, bbx)
+                            st.nnz_y[bby, bbx] = CV.write_block(
+                                w, i16["ac_zzs"][y4, x4], nc, 15)
+                        else:
+                            st.nnz_y[bby, bbx] = 0
+                    if ch["cbp_chroma"] > 0:
+                        for ci in range(2):
+                            CV.write_block(w, ch["dc_levels"][ci], -1, 4)
+                    for ci in range(2):
+                        for by4 in range(2):
+                            for bx4 in range(2):
+                                cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                                if ch["cbp_chroma"] == 2:
+                                    nc = _nc_chroma(st, ci, cby, cbx)
+                                    st.nnz_c[ci, cby, cbx] = CV.write_block(
+                                        w, ch["ac_zzs"][ci, by4, bx4], nc, 15)
+                                else:
+                                    st.nnz_c[ci, cby, cbx] = 0
+                else:
+                    w.ue(5 + MB_I4x4)
+                    for flag, rem in i4["flags"]:
+                        w.u(flag, 1)
+                        if not flag:
+                            w.u(rem, 3)
+                    w.ue(ch["mode"])
+                    cbp_luma_bits = 0
+                    for b8 in range(4):
+                        if (i4["zzs"][4 * b8:4 * b8 + 4] != 0).any():
+                            cbp_luma_bits |= 1 << b8
+                    cbp = cbp_luma_bits | (ch["cbp_chroma"] << 4)
+                    w.ue(int(CBP_TO_CODENUM_INTRA[cbp]))
+                    if cbp > 0:
+                        w.se(0)
+                    for k in range(16):
+                        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                        bby, bbx = by + y4, bx + x4
+                        b8 = (y4 // 2) * 2 + (x4 // 2)
+                        if cbp_luma_bits & (1 << b8):
+                            nc = _nc_luma(st, bby, bbx)
+                            st.nnz_y[bby, bbx] = CV.write_block(
+                                w, i4["zzs"][k], nc, 16)
+                        else:
+                            st.nnz_y[bby, bbx] = 0
+                    if ch["cbp_chroma"] > 0:
+                        for ci in range(2):
+                            CV.write_block(w, ch["dc_levels"][ci], -1, 4)
+                    for ci in range(2):
+                        for by4 in range(2):
+                            for bx4 in range(2):
+                                cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                                if ch["cbp_chroma"] == 2:
+                                    nc = _nc_chroma(st, ci, cby, cbx)
+                                    st.nnz_c[ci, cby, cbx] = CV.write_block(
+                                        w, ch["ac_zzs"][ci, by4, bx4], nc, 15)
+                                else:
+                                    st.nnz_c[ci, cby, cbx] = 0
+                mvf.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+                st.mb_intra[mby, mbx] = True
+                continue
+
+            # ---- inter coding path ----
+            st.mb_intra[mby, mbx] = False
+            pred16 = info["pred"]
+            zz_coding, rec16, cbp_luma_bits = code_inter_luma_mb(
+                org16, pred16, qp)
+            mv0 = info["mvs"][0]
+            pred_u = ref.chroma_block("u", mby * 8, mbx * 8, 8, 8,
+                                      int(mv0[0]), int(mv0[1]))
+            pred_v = ref.chroma_block("v", mby * 8, mbx * 8, 8, 8,
+                                      int(mv0[0]), int(mv0[1]))
+            if mode != "16x16":
+                # chroma prediction per partition
+                pred_u = np.zeros((8, 8), np.int64)
+                pred_v = np.zeros((8, 8), np.int64)
+                part_geo = ([(0, 0, 8, 4), (4, 0, 8, 4)] if mode == "16x8"
+                            else [(0, 0, 4, 8), (0, 4, 4, 8)])
+                for (dy, dx, pw, ph), mv in zip(part_geo, info["mvs"]):
+                    pred_u[dy:dy + ph, dx:dx + pw] = ref.chroma_block(
+                        "u", mby * 8 + dy, mbx * 8 + dx, ph, pw,
+                        int(mv[0]), int(mv[1]))
+                    pred_v[dy:dy + ph, dx:dx + pw] = ref.chroma_block(
+                        "v", mby * 8 + dy, mbx * 8 + dx, ph, pw,
+                        int(mv[0]), int(mv[1]))
+            dc_levels, ac_zzs, ch_recs, cbp_chroma = code_inter_chroma_mb(
+                org_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8],
+                org_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8],
+                pred_u, pred_v, qpc)
+            cbp = cbp_luma_bits | (cbp_chroma << 4)
+
+            # ---- P_Skip check ----
+            skip_mv = mvf.skip_mv(by, bx)
+            if (mode == "16x16" and cbp == 0 and
+                    int(info["mvs"][0][0]) == int(skip_mv[0]) and
+                    int(info["mvs"][0][1]) == int(skip_mv[1])):
+                skip_run += 1
+                n_skip += 1
+                st.rec_y[y0:y0 + 16, x0:x0 + 16] = pred16
+                st.rec_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pred_u
+                st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pred_v
+                st.nnz_y[by:by + 4, bx:bx + 4] = 0
+                st.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+                st.i4_modes[by:by + 4, bx:bx + 4] = -1
+                mvf.set_partition(by, bx, 4, 4, info["mvs"][0], 0)
+                continue
+
+            st.rec_y[y0:y0 + 16, x0:x0 + 16] = rec16
+            st.rec_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch_recs[0]
+            st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch_recs[1]
+            st.i4_modes[by:by + 4, bx:bx + 4] = -1
+
+            w.ue(skip_run)
+            skip_run = 0
+            mb_type = {"16x16": 0, "16x8": 1, "8x16": 2}[mode]
+            w.ue(mb_type)
+            for mv, pm in zip(info["mvs"], info["pmvs"]):
+                w.se(int(mv[0] - pm[0]))
+                w.se(int(mv[1] - pm[1]))
+            w.ue(int(CBP_TO_CODENUM_INTER[cbp]))
+            if cbp > 0:
+                w.se(0)
+                _write_inter_residual(w, st, mby, mbx, zz_coding,
+                                      cbp_luma_bits, dc_levels, ac_zzs,
+                                      cbp_chroma)
+            else:
+                st.nnz_y[by:by + 4, bx:bx + 4] = 0
+                st.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+
+            # commit MV field
+            if mode == "16x16":
+                mvf.set_partition(by, bx, 4, 4, info["mvs"][0], 0)
+            elif mode == "16x8":
+                mvf.set_partition(by, bx, 4, 2, info["mvs"][0], 0)
+                mvf.set_partition(by + 2, bx, 4, 2, info["mvs"][1], 0)
+            else:
+                mvf.set_partition(by, bx, 2, 4, info["mvs"][0], 0)
+                mvf.set_partition(by, bx + 2, 2, 4, info["mvs"][1], 0)
+
+    if skip_run > 0:
+        w.ue(skip_run)
+    w.u(1, 1)
+    rbsp = w.to_bytes()
+    stats = dict(bits=len(rbsp) * 8, n_skip=n_skip, n_intra=n_intra,
+                 n_mb=p.mb_h * p.mb_w)
+    ctx = dict(mvf=mvf, nnz=st.nnz_y.copy(), mb_intra=st.mb_intra.copy())
+    return rbsp, (st.rec_y, st.rec_u, st.rec_v), ctx, stats

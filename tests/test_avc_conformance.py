@@ -136,3 +136,91 @@ def test_own_decoder_cavlc_block_roundtrip(rng):
         for zz in blocks:
             got = CV.read_block(r, nc, max_coeff)
             assert np.array_equal(got, zz), (zz, got)
+
+
+def encode_ippp(frames, qp, p=None, force_intra=None):
+    from h264tpu.avc.params import AVCParams, assemble_stream
+    from h264tpu.avc.slice_enc import encode_i_frame, encode_p_frame
+    from h264tpu.avc.deblock import DeblockContext, deblock_frame
+    from h264tpu.avc.inter import RefPlanes
+
+    p = p or AVCParams(width=176, height=144, qp=qp, deblock=True)
+    slices, recs, ref = [], [], None
+    stats_all = []
+    for i, (y, u, v) in enumerate(frames):
+        ctx = DeblockContext(p.mb_w, p.mb_h, qp)
+        if i == 0:
+            rbsp, rec, stats = encode_i_frame((y, u, v), p, frame_num=0,
+                                              idr=True)
+        else:
+            fim = force_intra(i) if force_intra else None
+            rbsp, rec, pctx, stats = encode_p_frame(
+                (y, u, v), ref, p, qp=qp, frame_num=i, force_intra_mask=fim)
+            ctx.mb_intra = pctx["mb_intra"]
+            ctx.nnz = pctx["nnz"]
+            ctx.mv = pctx["mvf"].mv
+            ctx.ref = pctx["mvf"].ref
+        drec = deblock_frame(*rec, ctx) if p.deblock else rec
+        recs.append(drec)
+        ref = RefPlanes(*drec)
+        slices.append((i == 0, rbsp))
+        stats_all.append(stats)
+    return assemble_stream(p, slices), recs, stats_all
+
+
+def test_ippp_ldecod_bit_exact(jm_tools, foreman_qcif, tmp_path):
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    stream, recs, stats = encode_ippp(frames, 28)
+    assert stats[1]["n_skip"] > 0          # P_Skip path exercised
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes(recs)
+
+
+def test_ippp_forced_intra_refresh(jm_tools, foreman_qcif, tmp_path):
+    """Per-MB forced-intra in P frames (errdo / intra-refresh hook) stays
+    conformant: ldecod decodes the stream bit-exactly and the forced MBs
+    really are intra."""
+    frames = [foreman_qcif.read(i) for i in range(2)]
+
+    def force(i):
+        m = np.zeros((9, 11), bool)
+        m[2:4, 3:6] = True
+        return m
+
+    stream, recs, stats = encode_ippp(frames, 28, force_intra=force)
+    assert stats[1]["n_intra"] >= 6
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes(recs)
+
+
+def test_ippp_parity_vs_lencod(jm_tools, foreman_qcif, tmp_path):
+    """BASELINE config 2 direction: foreman QCIF IPPP CAVLC QP28; our
+    encoder must land within 20% bits at no worse than -0.7 dB vs lencod
+    (16x16/16x8/8x16 partitions vs JM's full toolbox)."""
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    stream, recs, _ = encode_ippp(frames, 28)
+
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_baseline.cfg"),
+         "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+         "-p", "FramesToBeEncoded=3", "-p", "SourceWidth=176",
+         "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+         "-p", "OutputHeight=144", "-p", "IntraPeriod=0", "-p", "IDRPeriod=0",
+         "-p", "QPISlice=28", "-p", "QPPSlice=28", "-p", "SymbolMode=0",
+         "-p", "OutFileMode=0", "-p", f"OutputFile={tmp_path/'jm.264'}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=1", "-p", "RDOptimization=1",
+         "-p", "SearchRange=16"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=300)
+    assert r.returncode == 0, r.stdout[-800:]
+    jm_bits = os.path.getsize(tmp_path / "jm.264") * 8
+    our_bits = len(stream) * 8
+
+    our_psnr = np.mean([psnr(fr[0], rec[0]) for fr, rec in zip(frames, recs)])
+    jm_rec = np.frombuffer((tmp_path / "jm_rec.yuv").read_bytes(), np.uint8)
+    n = 176 * 144
+    jm_psnr = np.mean([psnr(frames[i][0],
+                            jm_rec[i * n * 3 // 2:i * n * 3 // 2 + n]
+                            .reshape(144, 176)) for i in range(3)])
+    assert our_bits <= jm_bits * 1.2, (our_bits, jm_bits)
+    assert our_psnr >= jm_psnr - 0.7, (our_psnr, jm_psnr)
