@@ -1,0 +1,551 @@
+"""Standard H.264 decoder (Baseline/CAVLC subset, host reference model).
+
+Decodes real H.264 Annex-B streams — including JM 18.5 ``lencod`` output —
+bit-exactly: I/IDR and P slices, CAVLC, intra 4x4/16x16/PCM-less, inter
+16x16/16x8/8x16/P8x8 (all sub-partitions), P_Skip, multi-ref sliding-window
+DPB, mb_qp_delta, in-loop deblocking.  Decode twin of our ``slice_enc``; the
+JM counterpart is ``JM/ldecod/src/{image.c:809 decode_one_frame,
+mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c}`` (SURVEY §3.5, J17/J18).
+
+Unsupported (raises): CABAC, fields/MBAFF, B slices, FMO>1 slice groups,
+4:2:2/4:4:4, 8x8 transform, MMCO adaptive marking, data partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.bitio import BitReader
+from ..bitstream.nal import annexb_parse, NAL_SPS, NAL_PPS, NAL_IDR, NAL_SLICE
+from . import quant as Q
+from . import intra_pred as IP
+from . import cavlc as CV
+from . import inter as INTER
+from .tables import BLOCK_SCAN, BLOCK_SCAN_INV, CODENUM_TO_CBP_INTRA, \
+    CODENUM_TO_CBP_INTER, mb_type_i16_parse
+from .deblock import DeblockContext, deblock_frame
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    r = BitReader(rbsp)
+    s = dict(profile_idc=r.u(8))
+    r.u(8)
+    s["level_idc"] = r.u(8)
+    s["sps_id"] = r.ue()
+    if s["profile_idc"] in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise NotImplementedError("high profiles not supported")
+    s["log2_max_frame_num"] = r.ue() + 4
+    s["poc_type"] = r.ue()
+    if s["poc_type"] == 0:
+        s["log2_max_poc_lsb"] = r.ue() + 4
+    elif s["poc_type"] == 1:
+        raise NotImplementedError("poc_type 1")
+    s["num_ref_frames"] = r.ue()
+    r.u(1)
+    s["width"] = (r.ue() + 1) * 16
+    s["height_map_units"] = r.ue() + 1
+    s["frame_mbs_only"] = r.u(1)
+    if not s["frame_mbs_only"]:
+        raise NotImplementedError("interlace")
+    s["height"] = s["height_map_units"] * 16
+    r.u(1)                                  # direct_8x8_inference
+    if r.u(1):                              # frame_cropping
+        s["crop"] = (r.ue(), r.ue(), r.ue(), r.ue())
+    else:
+        s["crop"] = None
+    return s
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    r = BitReader(rbsp)
+    p = dict(pps_id=r.ue(), sps_id=r.ue())
+    p["cabac"] = r.u(1)
+    if p["cabac"]:
+        raise NotImplementedError("CABAC decode")
+    p["pic_order_present"] = r.u(1)
+    if r.ue() != 0:                         # num_slice_groups_minus1
+        raise NotImplementedError("FMO")
+    p["num_ref_idx_l0"] = r.ue() + 1
+    p["num_ref_idx_l1"] = r.ue() + 1
+    if r.u(1):
+        raise NotImplementedError("weighted_pred")
+    r.u(2)                                  # weighted_bipred_idc
+    p["pic_init_qp"] = r.se() + 26
+    r.se()                                  # pic_init_qs
+    p["chroma_qp_offset"] = r.se()
+    p["deblock_ctrl"] = r.u(1)
+    p["constrained_intra"] = r.u(1)
+    if p["constrained_intra"]:
+        raise NotImplementedError("constrained intra pred")
+    p["redundant_pic_cnt"] = r.u(1)
+    return p
+
+
+def _te(r: BitReader, max_val: int) -> int:
+    """te(v): truncated Exp-Golomb (spec 9.1.1); max_val = syntax range max."""
+    if max_val == 1:
+        return 1 - r.u(1)
+    return r.ue()
+
+
+class AVCDecoder:
+    """Sequential H.264 decoder over an Annex-B byte stream."""
+
+    def __init__(self):
+        self.sps = {}
+        self.pps = {}
+        self.dpb = []          # list of (frame_num, (y,u,v) uint8, RefPlanes)
+
+    def decode(self, stream: bytes, max_frames: int = None):
+        """Decode all coded pictures; returns list of (y, u, v) uint8."""
+        out = []
+        for n in annexb_parse(stream):
+            if n.nal_type == NAL_SPS:
+                s = parse_sps(n.rbsp)
+                self.sps[s["sps_id"]] = s
+            elif n.nal_type == NAL_PPS:
+                p = parse_pps(n.rbsp)
+                self.pps[p["pps_id"]] = p
+            elif n.nal_type in (NAL_IDR, NAL_SLICE):
+                fr = self._decode_slice(n.rbsp, n.nal_type == NAL_IDR,
+                                        n.ref_idc)
+                out.append(fr)
+                if max_frames and len(out) >= max_frames:
+                    break
+        return out
+
+    # ------------------------------------------------------------------
+    def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int):
+        r = BitReader(rbsp)
+        first_mb = r.ue()
+        if first_mb != 0:
+            raise NotImplementedError("multi-slice pictures")
+        slice_type = r.ue() % 5
+        if slice_type not in (0, 2):
+            raise NotImplementedError(f"slice_type {slice_type}")
+        pps = self.pps[r.ue()]
+        sps = self.sps[pps["sps_id"]]
+        W, H = sps["width"], sps["height"]
+        mb_w, mb_h = W // 16, H // 16
+        frame_num = r.u(sps["log2_max_frame_num"])
+        if idr:
+            r.ue()                          # idr_pic_id
+            self.dpb = []
+        if sps["poc_type"] == 0:
+            r.u(sps["log2_max_poc_lsb"])    # pic_order_cnt_lsb
+            if pps["pic_order_present"]:
+                r.se()
+        num_ref = pps["num_ref_idx_l0"]
+        if slice_type == 0:                 # P
+            if r.u(1):                      # override flag
+                num_ref = r.ue() + 1
+            if r.u(1):                      # ref_pic_list_modification_l0
+                raise NotImplementedError("ref list reordering")
+        if ref_idc != 0:
+            if idr:
+                r.u(1)                      # no_output_of_prior_pics
+                r.u(1)                      # long_term_reference_flag
+            else:
+                if r.u(1):
+                    raise NotImplementedError("MMCO")
+        qp = pps["pic_init_qp"] + r.se()
+        disable_dbl = 0
+        a_off = b_off = 0
+        if pps["deblock_ctrl"]:
+            disable_dbl = r.ue()
+            if disable_dbl != 1:
+                a_off = r.se() * 2
+                b_off = r.se() * 2
+
+        # reference list 0: decreasing PicNum (sliding window, no LT)
+        refs = [rp for _fn, _fr, rp in sorted(self.dpb, key=lambda t: -t[0])]
+
+        dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
+                            mb_w, mb_h, num_ref)
+        rec = dec.run()
+
+        ctx = DeblockContext(mb_w, mb_h, qp, pps["chroma_qp_offset"])
+        ctx.mb_qp = dec.mb_qp
+        ctx.mb_intra = dec.mb_intra
+        ctx.nnz = dec.st_nnz
+        ctx.mv = dec.mvf.mv
+        ctx.ref = dec.mvf.ref
+        ctx.alpha_off, ctx.beta_off = a_off, b_off
+        if disable_dbl != 1:
+            rec = deblock_frame(*rec, ctx)
+        frame = tuple(np.asarray(pl, np.uint8) for pl in rec)
+        if ref_idc != 0:
+            self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
+            max_refs = max(sps["num_ref_frames"], 1)
+            if len(self.dpb) > max_refs:
+                self.dpb.sort(key=lambda t: t[0])
+                self.dpb.pop(0)             # sliding window
+        return frame
+
+
+class _SliceDecoder:
+    def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
+                 num_ref=1):
+        self.sps, self.pps = sps, pps
+        self.slice_type = slice_type
+        self.qp = qp
+        self.num_ref = num_ref
+        self.refs = refs
+        self.r = r
+        self.mb_w, self.mb_h = mb_w, mb_h
+        W, H = mb_w * 16, mb_h * 16
+        self.rec_y = np.zeros((H, W), np.int64)
+        self.rec_u = np.zeros((H // 2, W // 2), np.int64)
+        self.rec_v = np.zeros((H // 2, W // 2), np.int64)
+        self.st_nnz = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+        self.nnz_c = np.zeros((2, mb_h * 2, mb_w * 2), np.int64)
+        self.i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
+        self.mb_intra = np.zeros((mb_h, mb_w), bool)
+        self.mb_qp = np.full((mb_h, mb_w), qp, np.int64)
+        self.mvf = INTER.MVField(mb_h, mb_w)
+
+    # --- nC contexts (same derivation as the encoder) ---
+    def _nc_luma(self, by, bx):
+        has_a, has_b = bx > 0, by > 0
+        na = int(self.st_nnz[by, bx - 1]) if has_a else 0
+        nb = int(self.st_nnz[by - 1, bx]) if has_b else 0
+        if has_a and has_b:
+            return (na + nb + 1) >> 1
+        return na if has_a else (nb if has_b else 0)
+
+    def _nc_chroma(self, comp, by, bx):
+        has_a, has_b = bx > 0, by > 0
+        na = int(self.nnz_c[comp, by, bx - 1]) if has_a else 0
+        nb = int(self.nnz_c[comp, by - 1, bx]) if has_b else 0
+        if has_a and has_b:
+            return (na + nb + 1) >> 1
+        return na if has_a else (nb if has_b else 0)
+
+    def run(self):
+        n_mb = self.mb_w * self.mb_h
+        mb = 0
+        r = self.r
+        while mb < n_mb:
+            if self.slice_type == 0:
+                skip_run = r.ue()
+                for _ in range(skip_run):
+                    self._decode_skip(mb)
+                    mb += 1
+                if mb >= n_mb:
+                    break
+            self._decode_mb(mb)
+            mb += 1
+        return self.rec_y, self.rec_u, self.rec_v
+
+    # ------------------------------------------------------------------
+    def _decode_skip(self, mb):
+        mby, mbx = mb // self.mb_w, mb % self.mb_w
+        by, bx = mby * 4, mbx * 4
+        mv = self.mvf.skip_mv(by, bx)
+        self._mc_inter(mby, mbx, [((0, 0, 4, 4), mv, 0)])
+        self.mvf.set_partition(by, bx, 4, 4, mv, 0)
+        self.st_nnz[by:by + 4, bx:bx + 4] = 0
+        self.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        self.mb_qp[mby, mbx] = self._prev_qp(mb)
+
+    def _mc_inter(self, mby, mbx, parts):
+        """parts: list of ((dy4, dx4, w4, h4), mv, ref_idx) in 4x4 units
+        relative to the MB; performs luma + chroma MC into the recon."""
+        y0, x0 = mby * 16, mbx * 16
+        for (dy4, dx4, w4, h4), mv, ri in parts:
+            ref = self.refs[ri]
+            py, px = y0 + dy4 * 4, x0 + dx4 * 4
+            self.rec_y[py:py + h4 * 4, px:px + w4 * 4] = ref.luma_block(
+                py, px, h4 * 4, w4 * 4, int(mv[0]), int(mv[1]))
+            cy, cx = py // 2, px // 2
+            ch, cw = h4 * 2, w4 * 2
+            self.rec_u[cy:cy + ch, cx:cx + cw] = ref.chroma_block(
+                "u", cy, cx, ch, cw, int(mv[0]), int(mv[1]))
+            self.rec_v[cy:cy + ch, cx:cx + cw] = ref.chroma_block(
+                "v", cy, cx, ch, cw, int(mv[0]), int(mv[1]))
+
+    # ------------------------------------------------------------------
+    def _decode_mb(self, mb):
+        r = self.r
+        mby, mbx = mb // self.mb_w, mb % self.mb_w
+        by, bx = mby * 4, mbx * 4
+        mb_type = r.ue()
+        p_slice = self.slice_type == 0
+        if p_slice and mb_type >= 5:
+            intra_type = mb_type - 5
+        elif not p_slice:
+            intra_type = mb_type
+        else:
+            intra_type = None
+
+        if intra_type is not None:
+            self._decode_intra_mb(mby, mbx, intra_type)
+            self.mvf.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+            self.mb_intra[mby, mbx] = True
+            return
+
+        self.mb_intra[mby, mbx] = False
+        num_ref = self.num_ref
+        parts = []        # ((dy4,dx4,w4,h4), mv, ref)
+        if mb_type == 0:          # 16x16
+            ri = _te(r, num_ref - 1) if num_ref > 1 else 0
+            pmv = self.mvf.predict(by, bx, 4, 4, ri)
+            mv = pmv + np.array([r.se(), r.se()], np.int64)
+            self.mvf.set_partition(by, bx, 4, 4, mv, ri)
+            parts = [((0, 0, 4, 4), mv, ri)]
+        elif mb_type in (1, 2):   # 16x8 / 8x16
+            geo = ([((0, 0, 4, 2), "16x8_top"), ((2, 0, 4, 2), "16x8_bot")]
+                   if mb_type == 1 else
+                   [((0, 0, 2, 4), "8x16_left"), ((0, 2, 2, 4), "8x16_right")])
+            ris = [(_te(r, num_ref - 1) if num_ref > 1 else 0) for _ in range(2)]
+            for ((dy4, dx4, w4, h4), tag), ri in zip(geo, ris):
+                pmv = self.mvf.predict(by + dy4, bx + dx4, w4, h4, ri, tag)
+                mv = pmv + np.array([r.se(), r.se()], np.int64)
+                self.mvf.set_partition(by + dy4, bx + dx4, w4, h4, mv, ri)
+                parts.append(((dy4, dx4, w4, h4), mv, ri))
+        elif mb_type in (3, 4):   # P8x8 / P8x8ref0
+            subs = [r.ue() for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise ValueError("bad sub_mb_type")
+            ris = []
+            for b8 in range(4):
+                if mb_type == 3 and num_ref > 1:
+                    ris.append(_te(r, num_ref - 1))
+                else:
+                    ris.append(0)
+            for b8 in range(4):
+                dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+                sub = subs[b8]
+                geo = {0: [(0, 0, 2, 2)],
+                       1: [(0, 0, 2, 1), (1, 0, 2, 1)],
+                       2: [(0, 0, 1, 2), (0, 1, 1, 2)],
+                       3: [(0, 0, 1, 1), (0, 1, 1, 1),
+                           (1, 0, 1, 1), (1, 1, 1, 1)]}[sub]
+                for (sy, sx, w4, h4) in geo:
+                    pby, pbx = by + dy8 + sy, bx + dx8 + sx
+                    pmv = self.mvf.predict(pby, pbx, w4, h4, ris[b8])
+                    mv = pmv + np.array([r.se(), r.se()], np.int64)
+                    self.mvf.set_partition(pby, pbx, w4, h4, mv, ris[b8])
+                    parts.append(((dy8 + sy, dx8 + sx, w4, h4), mv, ris[b8]))
+        else:
+            raise NotImplementedError(f"P mb_type {mb_type}")
+
+        self._mc_inter(mby, mbx, parts)
+
+        cbp = int(CODENUM_TO_CBP_INTER[r.ue()])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        qp = self._prev_qp(mby * self.mb_w + mbx)
+        if cbp > 0:
+            qp = (qp + r.se() + 52) % 52    # spec 7.4.5 wraparound
+        self.mb_qp[mby, mbx] = qp
+        self._decode_residual_luma(mby, mbx, cbp_luma, qp, intra16=False)
+        self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
+                                     intra=False)
+
+    def _prev_qp(self, mb):
+        if mb == 0:
+            return self.qp
+        pm_by, pm_bx = (mb - 1) // self.mb_w, (mb - 1) % self.mb_w
+        return int(self.mb_qp[pm_by, pm_bx])
+
+    # ------------------------------------------------------------------
+    def _decode_intra_mb(self, mby, mbx, intra_type):
+        r = self.r
+        by, bx = mby * 4, mbx * 4
+        if intra_type == 0:                  # I4x4
+            modes = np.zeros(16, np.int64)
+            for k in range(16):
+                y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                bby, bbx = by + y4, bx + x4
+                avail_l, avail_t = bbx > 0, bby > 0
+                ma = int(self.i4_modes[bby, bbx - 1]) if avail_l else -2
+                mb_ = int(self.i4_modes[bby - 1, bbx]) if avail_t else -2
+                if ma == -2 or mb_ == -2:
+                    mpm = 2
+                else:
+                    mpm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+                if r.u(1):
+                    m = mpm
+                else:
+                    rem = r.u(3)
+                    m = rem + (1 if rem >= mpm else 0)
+                modes[k] = m
+                self.i4_modes[bby, bbx] = m
+            ch_mode = r.ue()
+            cbp = int(CODENUM_TO_CBP_INTRA[r.ue()])
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            qp = self._prev_qp(mby * self.mb_w + mbx)
+            if cbp > 0:
+                qp = (qp + r.se() + 52) % 52
+            self.mb_qp[mby, mbx] = qp
+            # parse + reconstruct block by block in coding order
+            zzs = np.zeros((16, 16), np.int64)
+            for k in range(16):
+                y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                bby, bbx = by + y4, bx + x4
+                b8 = (y4 // 2) * 2 + (x4 // 2)
+                if cbp_luma & (1 << b8):
+                    nc = self._nc_luma(bby, bbx)
+                    zz = CV.read_block(r, nc, 16)
+                    self.st_nnz[bby, bbx] = int((zz != 0).sum())
+                    zzs[k] = zz
+                else:
+                    self.st_nnz[bby, bbx] = 0
+            for k in range(16):
+                y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                self._recon_i4_block(mby, mbx, y4, x4, int(modes[k]),
+                                     zzs[k], qp)
+            self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
+                                         intra=True, ch_mode=ch_mode)
+        elif 1 <= intra_type <= 24:          # I16x16
+            i16mode, cbp_chroma, cbp_luma_nz = mb_type_i16_parse(intra_type)
+            ch_mode = r.ue()
+            qp = self._prev_qp(mby * self.mb_w + mbx)
+            qp = (qp + r.se() + 52) % 52
+            self.mb_qp[mby, mbx] = qp
+            y0, x0 = mby * 16, mbx * 16
+            avail_t, avail_l = mby > 0, mbx > 0
+            top16 = self.rec_y[y0 - 1, x0:x0 + 16] if avail_t else \
+                np.zeros(16, np.int64)
+            left16 = self.rec_y[y0:y0 + 16, x0 - 1] if avail_l else \
+                np.zeros(16, np.int64)
+            corner = self.rec_y[y0 - 1, x0 - 1] if (avail_t and avail_l) else 0
+            preds, _ = IP.pred16x16_all(top16, left16, corner,
+                                        avail_t, avail_l)
+            pred = preds[i16mode]
+            nc = self._nc_luma(by, bx)
+            dc_zz = CV.read_block(r, nc, 16)
+            dc_lev = Q.unzigzag(dc_zz)
+            dc_deq = Q.dequant_dc16(dc_lev, qp)
+            ac = np.zeros((4, 4, 4, 4), np.int64)
+            for k in range(16):
+                y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                bby, bbx = by + y4, bx + x4
+                if cbp_luma_nz:
+                    nc = self._nc_luma(bby, bbx)
+                    zz15 = CV.read_block(r, nc, 15)
+                    self.st_nnz[bby, bbx] = int((zz15 != 0).sum())
+                    full = np.zeros(16, np.int64)
+                    full[1:] = zz15
+                    ac[y4, x4] = Q.unzigzag(full)
+                else:
+                    self.st_nnz[bby, bbx] = 0
+            deq = Q.dequant4x4(ac, qp)
+            deq[:, :, 0, 0] = dc_deq
+            rec_b = Q.reconstruct(
+                pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3),
+                Q.idct4x4(deq))
+            self.rec_y[y0:y0 + 16, x0:x0 + 16] = \
+                rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+            self.i4_modes[by:by + 4, bx:bx + 4] = -1
+            self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
+                                         intra=True, ch_mode=ch_mode)
+        else:
+            raise NotImplementedError(f"intra mb_type {intra_type} (PCM?)")
+
+    def _recon_i4_block(self, mby, mbx, y4, x4, mode, zz, qp):
+        p_w4 = self.mb_w * 4
+        by, bx = mby * 4 + y4, mbx * 4 + x4
+        y, x = by * 4, bx * 4
+        avail_t, avail_l = by > 0, bx > 0
+        tr_by, tr_bx = by - 1, bx + 1
+        if tr_by < 0 or tr_bx >= p_w4:
+            avail_tr = False
+        elif tr_by // 4 < mby:
+            avail_tr = True
+        elif tr_bx // 4 > mbx:
+            avail_tr = False
+        else:
+            k = int(BLOCK_SCAN_INV[y4, x4])
+            avail_tr = int(BLOCK_SCAN_INV[y4 - 1, x4 + 1]) < k
+        H, W = self.rec_y.shape
+        top9 = np.zeros(8, np.int64)
+        if y > 0:
+            hi = min(x + 8, W)
+            top9[:hi - x] = self.rec_y[y - 1, x:hi]
+            if hi - x < 8:
+                top9[hi - x:] = self.rec_y[y - 1, hi - 1]
+        left4 = self.rec_y[y:y + 4, x - 1] if x > 0 else np.zeros(4, np.int64)
+        corner = self.rec_y[y - 1, x - 1] if (y > 0 and x > 0) else 0
+        preds, _ = IP.pred4x4_all(top9, left4, corner, avail_t, avail_l,
+                                  avail_tr)
+        deq = Q.dequant4x4(Q.unzigzag(zz), qp)
+        self.rec_y[y:y + 4, x:x + 4] = Q.reconstruct(preds[mode],
+                                                     Q.idct4x4(deq))
+
+    # ------------------------------------------------------------------
+    def _decode_residual_luma(self, mby, mbx, cbp_luma, qp, intra16):
+        """Inter luma residual: parse + add to the MC prediction in recon."""
+        r = self.r
+        by, bx = mby * 4, mbx * 4
+        y0, x0 = mby * 16, mbx * 16
+        lev = np.zeros((4, 4, 4, 4), np.int64)
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            bby, bbx = by + y4, bx + x4
+            b8 = (y4 // 2) * 2 + (x4 // 2)
+            if cbp_luma & (1 << b8):
+                nc = self._nc_luma(bby, bbx)
+                zz = CV.read_block(r, nc, 16)
+                self.st_nnz[bby, bbx] = int((zz != 0).sum())
+                lev[y4, x4] = Q.unzigzag(zz)
+            else:
+                self.st_nnz[bby, bbx] = 0
+        if cbp_luma:
+            pred = self.rec_y[y0:y0 + 16, x0:x0 + 16]
+            deq = Q.dequant4x4(lev, qp)
+            rec_b = Q.reconstruct(
+                pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3),
+                Q.idct4x4(deq))
+            self.rec_y[y0:y0 + 16, x0:x0 + 16] = \
+                rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+
+    def _decode_residual_chroma(self, mby, mbx, cbp_chroma, qp, intra,
+                                ch_mode=None):
+        r = self.r
+        qpc = Q.chroma_qp(qp, self.pps["chroma_qp_offset"])
+        cy, cx = mby * 8, mbx * 8
+        if intra:
+            avail_t, avail_l = mby > 0, mbx > 0
+            preds = []
+            for rec_p in (self.rec_u, self.rec_v):
+                top8 = rec_p[cy - 1, cx:cx + 8] if avail_t else \
+                    np.zeros(8, np.int64)
+                left8 = rec_p[cy:cy + 8, cx - 1] if avail_l else \
+                    np.zeros(8, np.int64)
+                corner = rec_p[cy - 1, cx - 1] if (avail_t and avail_l) else 0
+                pr, _ = IP.pred_chroma_all(top8, left8, corner,
+                                           avail_t, avail_l)
+                preds.append(pr[ch_mode])
+        else:
+            preds = [self.rec_u[cy:cy + 8, cx:cx + 8].copy(),
+                     self.rec_v[cy:cy + 8, cx:cx + 8].copy()]
+
+        dc_deqs = [np.zeros((2, 2), np.int64), np.zeros((2, 2), np.int64)]
+        if cbp_chroma > 0:
+            for ci in range(2):
+                dc_zz = CV.read_block(r, -1, 4)
+                dc_deqs[ci] = Q.dequant_dc_chroma(dc_zz, qpc)
+        acs = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
+        for ci in range(2):
+            for by4 in range(2):
+                for bx4 in range(2):
+                    cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                    if cbp_chroma == 2:
+                        nc = self._nc_chroma(ci, cby, cbx)
+                        zz15 = CV.read_block(r, nc, 15)
+                        self.nnz_c[ci, cby, cbx] = int((zz15 != 0).sum())
+                        full = np.zeros(16, np.int64)
+                        full[1:] = zz15
+                        acs[ci][by4, bx4] = Q.unzigzag(full)
+                    else:
+                        self.nnz_c[ci, cby, cbx] = 0
+        for ci, rec_p in ((0, self.rec_u), (1, self.rec_v)):
+            deq = Q.dequant4x4(acs[ci], qpc) if cbp_chroma == 2 else \
+                np.zeros((2, 2, 4, 4), np.int64)
+            deq[:, :, 0, 0] = dc_deqs[ci]
+            rec_b = Q.reconstruct(
+                np.asarray(preds[ci]).reshape(2, 4, 2, 4).transpose(0, 2, 1, 3),
+                Q.idct4x4(deq))
+            rec_p[cy:cy + 8, cx:cx + 8] = \
+                rec_b.transpose(0, 2, 1, 3).reshape(8, 8)

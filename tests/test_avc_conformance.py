@@ -224,3 +224,50 @@ def test_ippp_parity_vs_lencod(jm_tools, foreman_qcif, tmp_path):
                             .reshape(144, 176)) for i in range(3)])
     assert our_bits <= jm_bits * 1.2, (our_bits, jm_bits)
     assert our_psnr >= jm_psnr - 0.7, (our_psnr, jm_psnr)
+
+
+# ---------------------------------------------------------------------------
+# Our own standard-H.264 decoder (J17/J18): decode JM lencod streams
+# ---------------------------------------------------------------------------
+
+def run_lencod(tmp_path, **over):
+    args = [LENCOD, "-d", os.path.join(JM_BIN, "encoder_baseline.cfg"),
+            "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+            "-p", "FramesToBeEncoded=3", "-p", "SourceWidth=176",
+            "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+            "-p", "OutputHeight=144", "-p", "SymbolMode=0",
+            "-p", "OutFileMode=0", "-p", f"OutputFile={tmp_path/'jm.264'}",
+            "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}"]
+    for k, v in over.items():
+        args += ["-p", f"{k}={v}"]
+    r = subprocess.run(args, capture_output=True, text=True, cwd=tmp_path,
+                       timeout=300)
+    assert r.returncode == 0, r.stdout[-800:]
+    return (tmp_path / "jm.264").read_bytes(), \
+        (tmp_path / "jm_rec.yuv").read_bytes()
+
+
+def decode_ours(stream):
+    from h264tpu.avc.slice_dec import AVCDecoder
+    frames = AVCDecoder().decode(stream)
+    return b"".join(np.asarray(pl, np.uint8).tobytes()
+                    for fr in frames for pl in fr)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(IntraPeriod=0, IDRPeriod=0, QPISlice=28, QPPSlice=28,
+         NumberReferenceFrames=2, SearchRange=16, RDOptimization=1),
+    dict(IntraPeriod=1, IDRPeriod=1, QPISlice=36,
+         NumberReferenceFrames=1, RDOptimization=1),
+    dict(IntraPeriod=0, IDRPeriod=0, QPISlice=24, QPPSlice=26,
+         NumberReferenceFrames=1, SearchRange=8, RDOptimization=0),
+])
+def test_decode_lencod_stream_bit_exact(jm_tools, tmp_path, cfg):
+    stream, recon = run_lencod(tmp_path, **cfg)
+    assert decode_ours(stream) == recon
+
+
+def test_decode_own_stream_bit_exact(jm_tools, foreman_qcif):
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    stream, recs, _ = encode_ippp(frames, 30)
+    assert decode_ours(stream) == recon_bytes(recs)
