@@ -288,7 +288,7 @@ def read_coeff_set(r: BitReader, nblocks: int) -> np.ndarray:
 
 def write_header(w: BitWriter, cfg, num_frames: int):
     w.u(MAGIC, 32)
-    w.u(1, 8)
+    w.u(2, 8)
     w.u(cfg.width, 16)
     w.u(cfg.height, 16)
     w.u(cfg.intra_period, 16)
@@ -299,6 +299,8 @@ def write_header(w: BitWriter, cfg, num_frames: int):
     w.u(int(cfg.entropy), 8)
     w.u(cfg.views, 8)
     w.u(num_frames, 32)
+    # v2: deblock row-band count (cfg.tile_rows; shard-invariant grouping)
+    w.u(max(cfg.tile_rows, 1), 8)
 
 
 def read_header(r: BitReader) -> dict:
@@ -310,6 +312,7 @@ def read_header(r: BitReader) -> dict:
                intra_period=r.u(16), qp=r.u(8), search_range=r.u(8),
                use_halfpel=bool(r.u(8)), deblock=bool(r.u(8)),
                entropy=r.u(8), views=r.u(8), num_frames=r.u(32))
+    out["tile_rows"] = r.u(8) if version >= 2 else 1
     return out
 
 

@@ -93,13 +93,28 @@ class _FramePacker:
 class FractalCodec:
     """Sequence encoder with fractal P frames (reference capabilities F1-F10)."""
 
-    def __init__(self, cfg: CodecConfig):
+    def __init__(self, cfg: CodecConfig, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with ('gop', 'tile') axes.
+        When given (and inter_mode == 'fractal'), P frames run the sharded
+        row-tile step (parallel.tiled_search) with ICI halo exchange; the
+        emitted bitstream is byte-identical to the single-device encode
+        because search validity bounds, reconstruction, and the deblock
+        band grid (cfg.tile_rows) are all sharding-independent."""
         self.cfg = cfg.validate()
         fr = cfg.fractal
+        # NOTE on tol_4: faithfully UNUSED.  The reference declares
+        # ``double tol = input->tol_4`` in encode_block_4
+        # (FR/src/block_enc.c:1681) but the comparison is commented out —
+        # 4x4 is the terminal leaf either way.  We reproduce that behavior;
+        # the config field exists for cfg-file parity only.
         self._search = functools.partial(
             F.search_plane, search_range=fr.search_range, tol16=fr.tol_16,
             tol8=fr.tol_8, use_halfpel=fr.use_halfpel_refs,
-            search_mode=int(fr.search_mode))
+            search_mode=int(fr.search_mode),
+            chun_lo=fr.chun_lo, chun_hi=fr.chun_hi,
+            bounds=(int(round(fr.min_alpha * 100)),
+                    int(round(fr.max_alpha * 100)),
+                    int(round(fr.min_beta)), int(round(fr.max_beta))))
         # Per-plane, per-stage jits: search / reconstruct / residual are
         # separate XLA executables.  Fusing them into one graph crashes the
         # axon TPU backend at CIF+ sizes (worker "kernel fault"); split they
@@ -116,8 +131,28 @@ class FractalCodec:
                                      static_argnums=(3, 4))
         self._maps_jit = jax.jit(F.leaf_maps, static_argnums=(1, 2))
         self._intra_jit = jax.jit(IN.encode_plane)
-        self._deblock_jit = jax.jit(DB.deblock_plane, static_argnums=(4,))
+        # deblock in cfg.tile_rows independent row bands (shard-invariant
+        # grouping; DB.deblock_plane_grouped) — groups fixed by config
+        self._deblock_jit = jax.jit(
+            functools.partial(DB.deblock_plane_grouped,
+                              groups=max(cfg.tile_rows, 1)),
+            static_argnums=(4,))
         self._c_step = jax.jit(self._c_step_impl)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import tiled_search as PAR
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            if cfg.tile_rows % mesh.shape["tile"]:
+                raise ValueError("cfg.tile_rows must be a multiple of the "
+                                 "mesh 'tile' axis size")
+            self._tiled = PAR.tiled_p_step(
+                mesh, search_range=fr.search_range, tol16=fr.tol_16,
+                tol8=fr.tol_8, use_halfpel=fr.use_halfpel_refs,
+                deblock=cfg.deblock, tile_rows=cfg.tile_rows,
+                search_mode=int(fr.search_mode),
+                chun_lo=fr.chun_lo, chun_hi=fr.chun_hi,
+                bounds=self._search.keywords["bounds"])
+            self._frame_sharding = NamedSharding(mesh, _P("gop", "tile", None))
         self._packers = {}
         self._pack_jit = jax.jit(
             lambda parts: jnp.concatenate([p.astype(jnp.int32).reshape(-1)
@@ -257,6 +292,14 @@ class FractalCodec:
         elif classic:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
             mvs, zzs, recs = self._c_step(y, u, v, *refs, qp)
+        elif self.mesh is not None:
+            refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
+            args = tuple(jax.device_put(a[None], self._frame_sharding)
+                         for a in orgs + refs)
+            maps_b, zzs_b, recs_b = self._tiled(*args, jnp.int32(qp))
+            maps = [{k: m[0] for k, m in d.items()} for d in maps_b]
+            zzs = tuple(z[0] for z in zzs_b)
+            recs = tuple(r[0] for r in recs_b)
         else:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
             maps, zzs, recs = self._p_step(y, u, v, *refs, qp=qp)
@@ -463,7 +506,7 @@ class FractalDecoder:
 
     def _c_plane_fn(self, key):
         if key not in self._dec_c_plane:
-            h, w, deblock, luma = key
+            h, w, deblock, luma, groups = key
             bs = 16 if luma else 8
             cell = 4 if luma else 2
 
@@ -478,7 +521,8 @@ class FractalDecoder:
                     mvxc = jnp.repeat(jnp.repeat(mvx, cell, 0), cell, 1)
                     mvyc = jnp.repeat(jnp.repeat(mvy, cell, 0), cell, 1)
                     bs_v, bs_h = DB.strengths_inter(mvxc, mvyc, nz)
-                    rec = DB.deblock_plane(rec, bs_v, bs_h, qp, luma)
+                    rec = DB.deblock_plane_grouped(rec, bs_v, bs_h, qp, luma,
+                                                   groups)
                 return rec
 
             self._dec_c_plane[key] = jax.jit(fn)
@@ -486,7 +530,7 @@ class FractalDecoder:
 
     def _p_plane_fn(self, key):
         if key not in self._dec_p_plane:
-            h, w, use_hp, deblock, luma = key
+            h, w, use_hp, deblock, luma, groups = key
 
             def fn(a, beta, dx, dy, refidx, shape, zz, ref, qp):
                 maps = dict(a=a, beta=beta, dx=dx, dy=dy, ref=refidx, shape=shape)
@@ -501,7 +545,8 @@ class FractalDecoder:
                     nz = (zz != 0).any(axis=-1).reshape(h // 4, w // 4)
                     bs_v, bs_h = DB.strengths_fractal(
                         {k: m[:h // 4, :w // 4] for k, m in maps.items()}, nz)
-                    rec = DB.deblock_plane(rec, bs_v, bs_h, qp, luma)
+                    rec = DB.deblock_plane_grouped(rec, bs_v, bs_h, qp, luma,
+                                                   groups)
                 return rec
 
             self._dec_p_plane[key] = jax.jit(fn)
@@ -509,13 +554,14 @@ class FractalDecoder:
 
     def _i_plane_fn(self, key):
         if key not in self._dec_i_plane:
-            h, w, deblock, luma = key
+            h, w, deblock, luma, groups = key
 
             def fn(modes, zz, qp):
                 rec = IN.decode_plane(modes, zz, h, w, qp)
                 if deblock:
                     bs_v, bs_h = DB.strengths_intra(h, w)
-                    rec = DB.deblock_plane(rec, bs_v, bs_h, qp, luma)
+                    rec = DB.deblock_plane_grouped(rec, bs_v, bs_h, qp, luma,
+                                                   groups)
                 return rec
 
             self._dec_i_plane[key] = jax.jit(fn)
@@ -556,6 +602,7 @@ class FractalDecoder:
         sr = hdr["search_range"]
         use_hp = hdr["use_halfpel"]
         dbl = hdr["deblock"]
+        grp = max(hdr.get("tile_rows", 1), 1)
         cw, ch = W // 2, H // 2
         plane_dims = [(H, W, True), (ch, cw, False), (ch, cw, False)]
 
@@ -583,7 +630,7 @@ class FractalDecoder:
                 for (h, w, luma), q in zip(plane_dims, qps):
                     modes = FS.read_intra_modes(r, h // 4, w // 4)
                     zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
-                    rec = self._i_plane_fn((h, w, dbl, luma))(
+                    rec = self._i_plane_fn((h, w, dbl, luma, grp))(
                         jnp.asarray(modes, jnp.int32),
                         jnp.asarray(zz, jnp.int32), q)
                     planes.append(np.asarray(rec, np.uint8))
@@ -595,7 +642,7 @@ class FractalDecoder:
                     r.se_array(nmby * nmbx).reshape(nmby, nmbx), jnp.int32)
                 for pi, ((h, w, luma), q) in enumerate(zip(plane_dims, qps)):
                     zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
-                    fn = self._c_plane_fn((h, w, dbl, luma))
+                    fn = self._c_plane_fn((h, w, dbl, luma, grp))
                     mx, my = (mvx, mvy) if luma else (mvx >> 1, mvy >> 1)
                     rec = fn(mx, my, jnp.asarray(zz, jnp.int32),
                              jnp.asarray(ref[pi], jnp.int32), q)
@@ -605,7 +652,7 @@ class FractalDecoder:
                     hp, wp = _pad16_np(h, w)
                     maps = FS.read_tree(r, hp, wp, sr, use_hp)
                     zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
-                    fn = self._p_plane_fn((h, w, use_hp, dbl, luma))
+                    fn = self._p_plane_fn((h, w, use_hp, dbl, luma, grp))
                     rec = fn(*(jnp.asarray(maps[k], jnp.int32) for k in
                                ("a", "beta", "dx", "dy", "ref", "shape")),
                              jnp.asarray(zz, jnp.int32),

@@ -147,6 +147,30 @@ def deblock_plane(plane: jnp.ndarray, bs_v: jnp.ndarray, bs_h: jnp.ndarray,
     return out
 
 
+def deblock_plane_grouped(plane: jnp.ndarray, bs_v: jnp.ndarray,
+                          bs_h: jnp.ndarray, qp: int, luma: bool = True,
+                          groups: int = 1) -> jnp.ndarray:
+    """Deblock in ``groups`` independent horizontal row bands.
+
+    Each band runs the full V-then-H scan locally; band-boundary horizontal
+    edges are left unfiltered — the FVC-format analogue of H.264's
+    ``disable_deblocking_filter_idc == 2`` (no filtering across slice
+    boundaries), which is what makes row-tile sharding bit-exactly
+    shard-invariant: the band grid is fixed by the CONFIG (cfg.tile_rows),
+    not by the device count, so any sharding that splits on band boundaries
+    reproduces the single-device output.
+    """
+    if groups <= 1:
+        return deblock_plane(plane, bs_v, bs_h, qp, luma)
+    H, W = plane.shape
+    gp = plane.reshape(groups, H // groups, W)
+    cy = bs_v.shape[0]
+    gv = bs_v.reshape(groups, cy // groups, -1)
+    gh = bs_h.reshape(groups, cy // groups, -1)
+    return jax.vmap(lambda p, v, h: deblock_plane(p, v, h, qp, luma))(
+        gp, gv, gh).reshape(H, W)
+
+
 def strengths_intra(h: int, w: int):
     """bS maps for an intra frame: 4 at MB edges, 3 at internal 4x4 edges."""
     cy, cx = h // 4, w // 4

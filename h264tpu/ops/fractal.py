@@ -251,7 +251,9 @@ def cross_cell_sums(org: jnp.ndarray, ref_ctx: jnp.ndarray, offsets: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def fit_and_rms(n: int, s_r: jnp.ndarray, s_r2: jnp.ndarray, s_d: jnp.ndarray,
-                s_d2: jnp.ndarray, s_rd: jnp.ndarray):
+                s_d2: jnp.ndarray, s_rd: jnp.ndarray,
+                a_min: int = A_MIN, a_max: int = A_MAX,
+                beta_min: int = BETA_MIN, beta_max: int = BETA_MAX):
     """Closed-form least-squares fit with exact quantization + RMS.
 
     All inputs exact int32 sums over an N-pixel block (N a power of two);
@@ -279,7 +281,7 @@ def fit_and_rms(n: int, s_r: jnp.ndarray, s_r2: jnp.ndarray, s_d: jnp.ndarray,
     a_raw = jnp.clip(jnp.trunc(alpha * 100.0), -1e6, 1e6).astype(jnp.int32)
     a = jnp.where(det_zero, 0, quan_a(a_raw))
     beta = quan_a(s_r // n)                  # Σr >= 0 so // == C truncation
-    ok = (a >= A_MIN) & (a <= A_MAX) & (beta >= BETA_MIN) & (beta <= BETA_MAX)
+    ok = (a >= a_min) & (a <= a_max) & (beta >= beta_min) & (beta <= beta_max)
 
     aq = a.astype(jnp.float32) / 100.0
     bq = beta.astype(jnp.float32)
@@ -317,8 +319,94 @@ SHAPE_LIST = ((16, 16), (8, 8), (4, 8), (8, 4), (4, 4))
 _PRI_SENTINEL = np.int32(2**31 - 1)
 
 
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: fused cross-correlation core
+# ---------------------------------------------------------------------------
+
+def _plan_row_tiles(H: int, W: int, chunk: int,
+                    budget_bytes: int = 6 << 20) -> int:
+    """Pick a row-tile height TH dividing H so the kernel's output block
+    (chunk x TH/4 x W int32) fits the VMEM budget."""
+    max_th = max(budget_bytes // (chunk * W), 8)
+    best = 8
+    for th in range(8, H + 1, 8):
+        if H % th == 0 and th <= max_th:
+            best = th
+    return best
+
+
+def pallas_cross_rows(org: jnp.ndarray, ref_tiles: jnp.ndarray,
+                      offs_np: np.ndarray, H: int, W: int, sr: int,
+                      TH: int, interpret: bool = False):
+    """Row-pooled cross products for a STATIC chunk of offsets on all refs.
+
+    The fused hot loop of the fractal search (SURVEY §3.2 HOT LOOP #1 —
+    ``compute_rdSum`` FR/src/compute.c:192 for every candidate at once):
+    for each (ref plane, row tile) grid cell the kernel holds the org tile
+    and the padded ref tile in VMEM and, for all chunk offsets, forms
+    org * shifted_ref and reduces rows by 4 (the 4x4-cell row half) without
+    ever materializing the product in HBM.  Offsets are compile-time
+    constants (the spiral is fixed per config), so every shifted view is a
+    static slice — exactly what Mosaic lowers best.
+
+    org: [H, W] int32; ref_tiles: [R, T, TH+2sr, W+2sr] int32 (pre-tiled,
+    halo folded in); offs_np: numpy [chunk, 2] (dx, dy).
+    Returns [R, chunk, H/4, W] int32 (column pooling happens in XLA where a
+    4-way lane reduction fuses for free).
+    """
+    from jax.experimental import pallas as pl
+
+    R = ref_tiles.shape[0]
+    T = H // TH
+    chunk = offs_np.shape[0]
+    org_tiles = org.reshape(T, TH, W)
+
+    # sub-chunk the static unroll so per-call scoped VMEM stays bounded
+    # (each unrolled iteration holds a [TH, W] int32 product temporary)
+    SUB = 8
+    outs = []
+    for s0 in range(0, chunk, SUB):
+        offs_list = [(int(dx), int(dy)) for dx, dy in offs_np[s0:s0 + SUB]]
+        nk = len(offs_list)
+
+        def kern(org_ref, ref_ref, out_ref, offs_list=offs_list):
+            o = org_ref[0]
+            for k, (dx, dy) in enumerate(offs_list):
+                sh = ref_ref[0, 0, sr + dy:sr + dy + TH, sr + dx:sr + dx + W]
+                prod = o * sh
+                out_ref[0, 0, k] = prod.reshape(TH // 4, 4, W).sum(axis=1)
+
+        outs.append(pl.pallas_call(
+            kern,
+            grid=(R, T),
+            in_specs=[
+                pl.BlockSpec((1, TH, W), lambda r, t: (t, 0, 0)),
+                pl.BlockSpec((1, 1, TH + 2 * sr, W + 2 * sr),
+                             lambda r, t: (r, t, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, nk, TH // 4, W),
+                                   lambda r, t: (r, t, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((R, T, nk, TH // 4, W), jnp.int32),
+            interpret=interpret,
+        )(org_tiles, ref_tiles))
+    out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+    # [R, T, chunk, TH/4, W] -> [R, chunk, H/4, W]
+    return out.transpose(0, 2, 1, 3, 4).reshape(R, chunk, H // 4, W)
+
+
+def _build_ref_tiles(refs: jnp.ndarray, H: int, W: int, sr: int, halo: int,
+                     TH: int) -> jnp.ndarray:
+    """[R, H+2halo, W] -> [R, T, TH+2sr, W+2sr] overlapping row windows."""
+    rp = jnp.pad(refs, ((0, 0), (sr, sr), (sr, sr)))
+    T = H // TH
+    tiles = [rp[:, t * TH + halo:t * TH + halo + TH + 2 * sr, :]
+             for t in range(T)]
+    return jnp.stack(tiles, axis=1)
+
+
 def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
-                       chunk: int = 16):
+                       chunk: int = 16, use_pallas: bool = False,
+                       interpret: bool = False, bounds=None):
     """Evaluate every (shape, block, offset, ref) candidate with a chunked
     scan over spiral offsets carrying the running best per shape.
 
@@ -366,6 +454,9 @@ def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
     # dom_maps: list per shape of [R, 2, Hp, Wp]
 
     padded_refs = jnp.pad(refs, ((0, 0), (sr, sr), (sr, sr)))
+    if use_pallas:
+        TH = _plan_row_tiles(H, W, chunk)
+        ref_tiles = _build_ref_tiles(refs, H, W, sr, halo, TH)
 
     # tie the init to a traced input so the carry is "varying" under
     # shard_map (a constant init has a different manual-axes type)
@@ -381,22 +472,28 @@ def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
 
     carry0 = tuple(init_best(c) for c in range(len(SHAPE_LIST)))
 
-    def step(carry, xs):
-        offs_c, ok_c, spiral_c = xs          # [chunk,2], [chunk], [chunk]
-
+    def chunk_step(carry, offs_c, ok_c, spiral_c, offs_np=None):
+        # offs_c [chunk,2], ok_c [chunk], spiral_c [chunk]; offs_np = the
+        # same offsets as STATIC numpy (pallas path: static in-kernel slices)
         def shifted(ref_pad, dy, dx):
             return jax.lax.dynamic_slice(ref_pad, (sr + halo + dy, sr + dx),
                                          (H, W))
 
         # cross products at cell granularity for all (ref, chunk)
-        def per_ref(ref_pad):
-            def per_off(o):
-                s = shifted(ref_pad, o[1], o[0])
-                return (org * s).reshape(H // 4, 4, W // 4, 4).sum(
-                    axis=(1, 3), dtype=jnp.int32)
-            return jax.vmap(per_off)(offs_c)                  # [chunk, H/4, W/4]
+        if offs_np is not None:
+            rows = pallas_cross_rows(org, ref_tiles, offs_np, H, W, sr,
+                                     TH, interpret=interpret)
+            cross = rows.reshape(refs.shape[0], chunk, H // 4,
+                                 W // 4, 4).sum(axis=-1, dtype=jnp.int32)
+        else:
+            def per_ref(ref_pad):
+                def per_off(o):
+                    s = shifted(ref_pad, o[1], o[0])
+                    return (org * s).reshape(H // 4, 4, W // 4, 4).sum(
+                        axis=(1, 3), dtype=jnp.int32)
+                return jax.vmap(per_off)(offs_c)              # [chunk, H/4, W/4]
 
-        cross = jax.vmap(per_ref)(padded_refs)                # [R, chunk, cy, cx]
+            cross = jax.vmap(per_ref)(padded_refs)            # [R, chunk, cy, cx]
 
         new_carry = []
         for code, (bh, bw) in enumerate(SHAPE_LIST):
@@ -406,18 +503,29 @@ def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
             s_r, s_r2 = rng_sums[code]
             s_rd = _pool_cells(cross, ch, cw)                 # [R, chunk, nby, nbx]
 
-            def dom_slice(maps_rs, o):
-                # maps_rs: [2, Hp, Wp]; values at block origins + (dy, dx)
-                sl = jax.lax.dynamic_slice(
-                    maps_rs, (0, sr + halo + o[1], sr + o[0]), (2, H, W))
-                return sl[:, ::bh, ::bw][:, :nby, :nbx]       # [2, nby, nbx]
-
-            dm = jax.vmap(lambda m: jax.vmap(lambda o: dom_slice(m, o))(offs_c)
-                          )(dom_maps[code])                   # [R, chunk, 2, nby, nbx]
-            d1s, d2s = dm[:, :, 0], dm[:, :, 1]
+            # domain sums at block origins + (dy, dx)
+            if offs_np is not None:
+                # static offsets: strided slices (fast; no gather)
+                sls = []
+                for dx_k, dy_k in offs_np:
+                    y0_k = sr + halo + int(dy_k)
+                    x0_k = sr + int(dx_k)
+                    sls.append(dom_maps[code][
+                        :, :, y0_k:y0_k + nby * bh:bh,
+                        x0_k:x0_k + nbx * bw:bw])
+                dm = jnp.stack(sls, axis=2)       # [R, 2, chunk, nby, nbx]
+            else:
+                # traced offsets: one gather for the whole chunk
+                by_pix = jnp.arange(nby, dtype=jnp.int32) * bh
+                bx_pix = jnp.arange(nbx, dtype=jnp.int32) * bw
+                yi = sr + halo + offs_c[:, 1][:, None] + by_pix[None, :]
+                xi = sr + offs_c[:, 0][:, None] + bx_pix[None, :]
+                dm = dom_maps[code][:, :, yi[:, :, None], xi[:, None, :]]
+            d1s, d2s = dm[:, 0], dm[:, 1]                     # [R, chunk, nby, nbx]
 
             a, beta, rms = fit_and_rms(
-                n, s_r[None, None], s_r2[None, None], d1s, d2s, s_rd)
+                n, s_r[None, None], s_r2[None, None], d1s, d2s, s_rd,
+                *(bounds or (A_MIN, A_MAX, BETA_MIN, BETA_MAX)))
 
             # validity: domain inside [y_lo, y_hi) x [0, W); padded offsets off
             by = jnp.arange(nby, dtype=jnp.int32)[None, :] * bh   # [1, nby]
@@ -456,9 +564,19 @@ def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
                 (cand["rms"] == old["rms"]) & (cand["pri"] < old["pri"]))
             merged = {k: jnp.where(win, cand[k], old[k]) for k in old}
             new_carry.append(merged)
-        return tuple(new_carry), None
+        return tuple(new_carry)
 
-    carry, _ = jax.lax.scan(step, carry0, (offs_j, ok_j, spiral_j))
+    if use_pallas:
+        # Python loop: offsets are compile-time constants, so every shifted
+        # view inside the kernel is a static slice
+        carry = carry0
+        for s in range(n_steps):
+            carry = chunk_step(carry, offs_j[s], ok_j[s], spiral_j[s],
+                               offs_np=offs[s * chunk:(s + 1) * chunk])
+    else:
+        carry, _ = jax.lax.scan(
+            lambda c, xs: (chunk_step(c, *xs), None), carry0,
+            (offs_j, ok_j, spiral_j))
     out = []
     for code in range(len(SHAPE_LIST)):
         b = carry[code]
@@ -501,10 +619,18 @@ def chun_correlation(org, ref_c):
     return cov * cov / (var_o * var_d)
 
 
+def default_use_pallas() -> bool:
+    """Use the fused Pallas cross kernel on real TPU backends."""
+    return jax.default_backend() == "tpu"
+
+
 def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
                  tol16: float, tol8: float, use_halfpel: bool = True,
                  cross_chunk: int = 64, halo: int = 0, y_lo=None,
-                 y_hi=None, search_mode: int = 0) -> TransTree:
+                 y_hi=None, search_mode: int = 0,
+                 use_pallas: bool = None, interpret: bool = False,
+                 chun_lo: float = 0.9, chun_hi: float = 1.0,
+                 bounds=None) -> TransTree:
     """Full fractal search of one plane against the previous reconstruction.
 
     The TPU expression of ``encode_one_macroblock`` (FR/src/block_enc.c:508)
@@ -523,14 +649,18 @@ def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
     if y_hi is None:
         y_hi = H
 
+    if use_pallas is None:
+        use_pallas = default_use_pallas()
     s16, s8, s84, s48, s44 = _search_all_shapes(
-        org, refs, offsets, H, W, halo, y_lo, y_hi, chunk=cross_chunk)
+        org, refs, offsets, H, W, halo, y_lo, y_hi, chunk=cross_chunk,
+        use_pallas=use_pallas, interpret=interpret, bounds=bounds)
 
     # --- decision tree ---
     chun = chun_correlation(org, refs[0][halo:halo + H])
     # split only when correlation gate AND tolerance both fail the 16x16
     # (block_enc.c:847: if(chun<=1 && chun>=0.9 && rms > tol^2*no) -> split)
-    mb_split = (chun <= 1.0) & (chun >= 0.9) & (s16.rms > jnp.float32(tol16 * tol16 * 256))
+    mb_split = ((chun <= jnp.float32(chun_hi)) & (chun >= jnp.float32(chun_lo))
+                & (s16.rms > jnp.float32(tol16 * tol16 * 256)))
 
     t8 = jnp.float32(tol8 * tol8 * 64)
     t_rect = jnp.float32(tol8 * tol8 * 32)

@@ -98,7 +98,10 @@ class CodecConfig:
     rate_control: bool = False
     target_bitrate: float = 0.0
     # --- parallel layout ---
-    tile_rows: int = 1           # MB-tile sharding grid (parallel/)
+    # tile_rows also fixes the deblocking row-band grid (bands filter
+    # independently, like slice-boundary filtering off in H.264) so any
+    # sharding that splits on band boundaries is bit-exactly shard-invariant
+    tile_rows: int = 1           # MB row-tile sharding grid (parallel/)
     tile_cols: int = 1
     gop_parallel: int = 1        # concurrent GOPs (data-parallel axis)
 
@@ -125,6 +128,10 @@ class CodecConfig:
             raise ValueError("qp out of [0,51]")
         if self.views not in (1, 3):
             raise ValueError("views must be 1 or 3")
+        if self.tile_rows < 1 or (self.height // 16) % self.tile_rows:
+            raise ValueError("tile_rows must divide the MB-row count")
+        if (self.height // 2) % max(self.tile_rows, 1):
+            raise ValueError("tile_rows must divide the chroma height")
         return self
 
 
