@@ -176,11 +176,28 @@ def mvd_bits(dx: int, dy: int) -> int:
 # Motion estimation (host conformance model)
 # ---------------------------------------------------------------------------
 
-def full_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
-                      bh: int, bw: int, sr: int, pred_mv, lam_sqrt: float):
-    """Integer full search + half/quarter refinement for one block.
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+               np.int64)
 
-    Returns (mv_q [2], cost).  Costs are SAD + lam_sqrt * mvd_bits.
+
+def satd(diff: np.ndarray) -> int:
+    """4x4 Hadamard SATD of a residual block batch (JM me_distortion.c:1565
+    HadamardSAD4x4 semantics: sum |H d H| then (s+1)>>1 per 4x4)."""
+    bh, bw = diff.shape
+    b = diff.reshape(bh // 4, 4, bw // 4, 4).transpose(0, 2, 1, 3)
+    t = np.einsum("ij,...jk,kl->...il", _H4, b, _H4)
+    s = np.abs(t).sum(axis=(-1, -2))
+    return int(((s + 1) >> 1).sum())
+
+
+def full_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
+                      bh: int, bw: int, sr: int, pred_mv, lam_sqrt: float,
+                      use_satd: bool = False):
+    """Integer full search (SAD) + half/quarter refinement for one block.
+
+    Returns (mv_q [2], cost).  Costs are SAD + lam_sqrt * mvd_bits; the
+    subpel refinement optionally uses SATD (JM Hadamard option, cfg
+    ``hadamard``; integer stage stays SAD like JM).
     """
     blk = org[y0:y0 + bh, x0:x0 + bw].astype(np.int64)
     G = ref.G
@@ -198,6 +215,12 @@ def full_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
                 best = (cost, dx * 4, dy * 4)
     _, bx_, by_ = best
 
+    if use_satd:
+        # re-anchor the integer best with the SATD metric before refining
+        pred = ref.luma_block(y0, x0, bh, bw, bx_, by_)
+        best = (satd(blk - pred) + lam_sqrt * mvd_bits(bx_ - pmx, by_ - pmy),
+                bx_, by_)
+
     # subpel refinement: half then quarter (spiral of 8 neighbors each)
     for step in (2, 1):
         center = (bx_, by_)
@@ -207,8 +230,9 @@ def full_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
                     continue
                 mvx, mvy = center[0] + ddx, center[1] + ddy
                 pred = ref.luma_block(y0, x0, bh, bw, mvx, mvy)
-                sad = int(np.abs(pred - blk).sum())
-                cost = sad + lam_sqrt * mvd_bits(mvx - pmx, mvy - pmy)
+                d = satd(blk - pred) if use_satd else \
+                    int(np.abs(pred - blk).sum())
+                cost = d + lam_sqrt * mvd_bits(mvx - pmx, mvy - pmy)
                 if cost < best[0]:
                     best = (cost, mvx, mvy)
         bx_, by_ = best[1], best[2]

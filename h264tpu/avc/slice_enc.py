@@ -552,17 +552,35 @@ def _write_inter_residual(w: BitWriter, st: FrameState, mby, mbx, zz_coding,
                     st.nnz_c[ci, cby, cbx] = 0
 
 
-def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
-                   qp: int = None, frame_num: int = 1, sr: int = 16,
-                   try_intra: bool = True, force_intra_mask=None):
-    """Encode one frame as a single P slice against one reference frame.
+def _te_bits(v: int, num_ref: int) -> int:
+    """Bit cost of ref_idx_l0 as te(v)."""
+    if num_ref <= 1:
+        return 0
+    if num_ref == 2:
+        return 1
+    k = 0
+    while (v + 1) >> (k + 1):
+        k += 1
+    return 2 * k + 1
 
-    Modes per MB: P_Skip, P_16x16, P_16x8, P_8x16, intra 4x4 / 16x16
-    (``try_intra``); RD pick by SAD/SSD + lambda*bits.  ``force_intra_mask``
-    [mb_h, mb_w] bool forces intra coding per MB (errdo / intra-refresh hook,
-    ref FR/src/intrarefresh.c + errdo force-intra semantics).
+
+def encode_p_frame(org_yuv, ref, p: AVCParams,
+                   qp: int = None, frame_num: int = 1, sr: int = 16,
+                   try_intra: bool = True, force_intra_mask=None,
+                   use_satd: bool = False):
+    """Encode one frame as a single P slice.
+
+    ``ref``: one RefPlanes or a list of them (reference list 0, most recent
+    first — multi-ref per JM NumberReferenceFrames).  Modes per MB: P_Skip,
+    P_16x16, P_16x8, P_8x16, P_8x8 (8x8 sub-partitions), intra 4x4 / 16x16
+    (``try_intra``); RD pick by SAD/SSD + lambda*bits, optional SATD subpel
+    metric (JM Hadamard).  ``force_intra_mask`` [mb_h, mb_w] bool forces
+    intra coding per MB (errdo / intra-refresh hook, ref
+    FR/src/intrarefresh.c + errdo force-intra semantics).
     Returns (rbsp, recon_before_deblock, deblock ctx, stats).
     """
+    refs = ref if isinstance(ref, (list, tuple)) else [ref]
+    num_ref = len(refs)
     qp = p.qp if qp is None else qp
     qpc = Q.chroma_qp(qp, p.chroma_qp_offset)
     lam = lambda_mode(qp)
@@ -572,7 +590,8 @@ def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
     mvf = INTER.MVField(p.mb_h, p.mb_w)
 
     w = BitWriter()
-    write_slice_header(w, p, SLICE_P, frame_num, False, qp)
+    write_slice_header(w, p, SLICE_P, frame_num, False, qp,
+                       num_ref_idx_l0=num_ref)
     skip_run = 0
     n_skip = n_intra = 0
 
@@ -586,50 +605,64 @@ def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
 
             cands = []
             if not forced:
-                # ---- P_16x16 ----
-                pmv = mvf.predict(by, bx, 4, 4, 0)
-                mv16, _ = INTER.full_search_block(org_y, ref, y0, x0, 16, 16,
-                                                  sr, pmv, lam_me)
-                pred16 = ref.luma_block(y0, x0, 16, 16, int(mv16[0]),
-                                        int(mv16[1]))
-                sad16 = int(np.abs(org16 - pred16).sum())
-                bits16 = 1 + INTER.mvd_bits(int(mv16[0] - pmv[0]),
-                                            int(mv16[1] - pmv[1]))
-                cands.append(("16x16", sad16 + lam * bits16,
-                              dict(mvs=[mv16], pmvs=[pmv], pred=pred16)))
+                for ri in range(num_ref):
+                    rp = refs[ri]
+                    rbits = _te_bits(ri, num_ref)
+                    # ---- P_16x16 ----
+                    pmv = mvf.predict(by, bx, 4, 4, ri)
+                    mv16, _ = INTER.full_search_block(
+                        org_y, rp, y0, x0, 16, 16, sr, pmv, lam_me,
+                        use_satd=use_satd)
+                    pred16 = rp.luma_block(y0, x0, 16, 16, int(mv16[0]),
+                                           int(mv16[1]))
+                    sad16 = int(np.abs(org16 - pred16).sum())
+                    bits16 = 1 + rbits + INTER.mvd_bits(
+                        int(mv16[0] - pmv[0]), int(mv16[1] - pmv[1]))
+                    cands.append(("16x16", sad16 + lam * bits16,
+                                  dict(mvs=[mv16], pmvs=[pmv], pred=pred16,
+                                       ris=[ri])))
 
-                # ---- P_16x8 / P_8x16 ----
-                for mode, parts in (
-                    ("16x8", [((by, bx, 4, 2), "16x8_top"),
-                              ((by + 2, bx, 4, 2), "16x8_bot")]),
-                    ("8x16", [((by, bx, 2, 4), "8x16_left"),
-                              ((by, bx + 2, 2, 4), "8x16_right")]),
-                ):
-                    scratch = (mvf.mv.copy(), mvf.ref.copy(),
-                               mvf.decoded.copy())
-                    mvs, pmvs = [], []
-                    pred = np.zeros((16, 16), np.int64)
-                    sad = 0
-                    bits = 3        # ue(1)/ue(2) mb_type
-                    for (pby, pbx, w4, h4), tag in parts:
-                        pm = mvf.predict(pby, pbx, w4, h4, 0, tag)
-                        py, px = pby * 4, pbx * 4
-                        mv, _ = INTER.full_search_block(
-                            org_y, ref, py, px, h4 * 4, w4 * 4, sr, pm, lam_me)
-                        blk = ref.luma_block(py, px, h4 * 4, w4 * 4,
-                                             int(mv[0]), int(mv[1]))
-                        pred[py - y0:py - y0 + h4 * 4,
-                             px - x0:px - x0 + w4 * 4] = blk
-                        sad += int(np.abs(
-                            org_y[py:py + h4 * 4, px:px + w4 * 4] - blk).sum())
-                        bits += INTER.mvd_bits(int(mv[0] - pm[0]),
-                                               int(mv[1] - pm[1]))
-                        mvf.set_partition(pby, pbx, w4, h4, mv, 0)
-                        mvs.append(mv)
-                        pmvs.append(pm)
-                    mvf.mv, mvf.ref, mvf.decoded = scratch
-                    cands.append((mode, sad + lam * bits,
-                                  dict(mvs=mvs, pmvs=pmvs, pred=pred)))
+                    # ---- P_16x8 / P_8x16 / P_8x8 ----
+                    for mode, parts in (
+                        ("16x8", [((by, bx, 4, 2), "16x8_top"),
+                                  ((by + 2, bx, 4, 2), "16x8_bot")]),
+                        ("8x16", [((by, bx, 2, 4), "8x16_left"),
+                                  ((by, bx + 2, 2, 4), "8x16_right")]),
+                        ("8x8", [((by, bx, 2, 2), "none"),
+                                 ((by, bx + 2, 2, 2), "none"),
+                                 ((by + 2, bx, 2, 2), "none"),
+                                 ((by + 2, bx + 2, 2, 2), "none")]),
+                    ):
+                        scratch = (mvf.mv.copy(), mvf.ref.copy(),
+                                   mvf.decoded.copy())
+                        mvs, pmvs = [], []
+                        pred = np.zeros((16, 16), np.int64)
+                        sad = 0
+                        # mb_type ue + (P8x8: 4x sub_mb_type ue(0))
+                        bits = {"16x8": 3, "8x16": 3, "8x8": 5 + 4}[mode]
+                        bits += len(parts) * rbits
+                        for (pby, pbx, w4, h4), tag in parts:
+                            pm = mvf.predict(pby, pbx, w4, h4, ri, tag)
+                            py, px = pby * 4, pbx * 4
+                            mv, _ = INTER.full_search_block(
+                                org_y, rp, py, px, h4 * 4, w4 * 4, sr, pm,
+                                lam_me, use_satd=use_satd)
+                            blk = rp.luma_block(py, px, h4 * 4, w4 * 4,
+                                                int(mv[0]), int(mv[1]))
+                            pred[py - y0:py - y0 + h4 * 4,
+                                 px - x0:px - x0 + w4 * 4] = blk
+                            sad += int(np.abs(
+                                org_y[py:py + h4 * 4,
+                                      px:px + w4 * 4] - blk).sum())
+                            bits += INTER.mvd_bits(int(mv[0] - pm[0]),
+                                                   int(mv[1] - pm[1]))
+                            mvf.set_partition(pby, pbx, w4, h4, mv, ri)
+                            mvs.append(mv)
+                            pmvs.append(pm)
+                        mvf.mv, mvf.ref, mvf.decoded = scratch
+                        cands.append((mode, sad + lam * bits,
+                                      dict(mvs=mvs, pmvs=pmvs, pred=pred,
+                                           ris=[ri] * len(parts))))
 
             # ---- intra candidates ----
             i4 = i16 = None
@@ -747,23 +780,24 @@ def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
             zz_coding, rec16, cbp_luma_bits = code_inter_luma_mb(
                 org16, pred16, qp)
             mv0 = info["mvs"][0]
-            pred_u = ref.chroma_block("u", mby * 8, mbx * 8, 8, 8,
-                                      int(mv0[0]), int(mv0[1]))
-            pred_v = ref.chroma_block("v", mby * 8, mbx * 8, 8, 8,
-                                      int(mv0[0]), int(mv0[1]))
-            if mode != "16x16":
-                # chroma prediction per partition
-                pred_u = np.zeros((8, 8), np.int64)
-                pred_v = np.zeros((8, 8), np.int64)
-                part_geo = ([(0, 0, 8, 4), (4, 0, 8, 4)] if mode == "16x8"
-                            else [(0, 0, 4, 8), (0, 4, 4, 8)])
-                for (dy, dx, pw, ph), mv in zip(part_geo, info["mvs"]):
-                    pred_u[dy:dy + ph, dx:dx + pw] = ref.chroma_block(
-                        "u", mby * 8 + dy, mbx * 8 + dx, ph, pw,
-                        int(mv[0]), int(mv[1]))
-                    pred_v[dy:dy + ph, dx:dx + pw] = ref.chroma_block(
-                        "v", mby * 8 + dy, mbx * 8 + dx, ph, pw,
-                        int(mv[0]), int(mv[1]))
+            ris = info["ris"]
+            part_geo = {            # chroma-plane (dy, dx, w, h) per partition
+                "16x16": [(0, 0, 8, 8)],
+                "16x8": [(0, 0, 8, 4), (4, 0, 8, 4)],
+                "8x16": [(0, 0, 4, 8), (0, 4, 4, 8)],
+                "8x8": [(0, 0, 4, 4), (0, 4, 4, 4),
+                        (4, 0, 4, 4), (4, 4, 4, 4)],
+            }[mode]
+            pred_u = np.zeros((8, 8), np.int64)
+            pred_v = np.zeros((8, 8), np.int64)
+            for (dy, dx, pw, ph), mv, ri in zip(part_geo, info["mvs"], ris):
+                rp = refs[ri]
+                pred_u[dy:dy + ph, dx:dx + pw] = rp.chroma_block(
+                    "u", mby * 8 + dy, mbx * 8 + dx, ph, pw,
+                    int(mv[0]), int(mv[1]))
+                pred_v[dy:dy + ph, dx:dx + pw] = rp.chroma_block(
+                    "v", mby * 8 + dy, mbx * 8 + dx, ph, pw,
+                    int(mv[0]), int(mv[1]))
             dc_levels, ac_zzs, ch_recs, cbp_chroma = code_inter_chroma_mb(
                 org_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8],
                 org_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8],
@@ -772,7 +806,7 @@ def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
 
             # ---- P_Skip check ----
             skip_mv = mvf.skip_mv(by, bx)
-            if (mode == "16x16" and cbp == 0 and
+            if (mode == "16x16" and cbp == 0 and ris[0] == 0 and
                     int(info["mvs"][0][0]) == int(skip_mv[0]) and
                     int(info["mvs"][0][1]) == int(skip_mv[1])):
                 skip_run += 1
@@ -793,8 +827,17 @@ def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
 
             w.ue(skip_run)
             skip_run = 0
-            mb_type = {"16x16": 0, "16x8": 1, "8x16": 2}[mode]
+            mb_type = {"16x16": 0, "16x8": 1, "8x16": 2, "8x8": 3}[mode]
             w.ue(mb_type)
+            if mode == "8x8":
+                for _ in range(4):
+                    w.ue(0)          # sub_mb_type = P_L0_8x8
+            if num_ref > 1:          # ref_idx_l0 per partition, te(v)
+                for ri in ris:
+                    if num_ref == 2:
+                        w.u(1 - ri, 1)
+                    else:
+                        w.ue(ri)
             for mv, pm in zip(info["mvs"], info["pmvs"]):
                 w.se(int(mv[0] - pm[0]))
                 w.se(int(mv[1] - pm[1]))
@@ -808,15 +851,16 @@ def encode_p_frame(org_yuv, ref: "INTER.RefPlanes", p: AVCParams,
                 st.nnz_y[by:by + 4, bx:bx + 4] = 0
                 st.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
 
-            # commit MV field
-            if mode == "16x16":
-                mvf.set_partition(by, bx, 4, 4, info["mvs"][0], 0)
-            elif mode == "16x8":
-                mvf.set_partition(by, bx, 4, 2, info["mvs"][0], 0)
-                mvf.set_partition(by + 2, bx, 4, 2, info["mvs"][1], 0)
-            else:
-                mvf.set_partition(by, bx, 2, 4, info["mvs"][0], 0)
-                mvf.set_partition(by, bx + 2, 2, 4, info["mvs"][1], 0)
+            # commit MV field (block-coord geometry per mode)
+            geo4 = {
+                "16x16": [(0, 0, 4, 4)],
+                "16x8": [(0, 0, 4, 2), (2, 0, 4, 2)],
+                "8x16": [(0, 0, 2, 4), (0, 2, 2, 4)],
+                "8x8": [(0, 0, 2, 2), (0, 2, 2, 2),
+                        (2, 0, 2, 2), (2, 2, 2, 2)],
+            }[mode]
+            for (dy4, dx4, w4, h4), mv, ri in zip(geo4, info["mvs"], ris):
+                mvf.set_partition(by + dy4, bx + dx4, w4, h4, mv, ri)
 
     if skip_run > 0:
         w.ue(skip_run)

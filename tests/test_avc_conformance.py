@@ -138,14 +138,16 @@ def test_own_decoder_cavlc_block_roundtrip(rng):
             assert np.array_equal(got, zz), (zz, got)
 
 
-def encode_ippp(frames, qp, p=None, force_intra=None):
+def encode_ippp(frames, qp, p=None, force_intra=None, num_ref=1,
+                use_satd=False):
     from h264tpu.avc.params import AVCParams, assemble_stream
     from h264tpu.avc.slice_enc import encode_i_frame, encode_p_frame
     from h264tpu.avc.deblock import DeblockContext, deblock_frame
     from h264tpu.avc.inter import RefPlanes
 
-    p = p or AVCParams(width=176, height=144, qp=qp, deblock=True)
-    slices, recs, ref = [], [], None
+    p = p or AVCParams(width=176, height=144, qp=qp, deblock=True,
+                       num_ref_frames=num_ref)
+    slices, recs, dpb = [], [], []
     stats_all = []
     for i, (y, u, v) in enumerate(frames):
         ctx = DeblockContext(p.mb_w, p.mb_h, qp)
@@ -155,14 +157,16 @@ def encode_ippp(frames, qp, p=None, force_intra=None):
         else:
             fim = force_intra(i) if force_intra else None
             rbsp, rec, pctx, stats = encode_p_frame(
-                (y, u, v), ref, p, qp=qp, frame_num=i, force_intra_mask=fim)
+                (y, u, v), dpb, p, qp=qp, frame_num=i, force_intra_mask=fim,
+                use_satd=use_satd)
             ctx.mb_intra = pctx["mb_intra"]
             ctx.nnz = pctx["nnz"]
             ctx.mv = pctx["mvf"].mv
             ctx.ref = pctx["mvf"].ref
         drec = deblock_frame(*rec, ctx) if p.deblock else rec
         recs.append(drec)
-        ref = RefPlanes(*drec)
+        dpb.insert(0, RefPlanes(*drec))      # list0: most recent first
+        dpb = dpb[:num_ref]
         slices.append((i == 0, rbsp))
         stats_all.append(stats)
     return assemble_stream(p, slices), recs, stats_all
@@ -270,4 +274,16 @@ def test_decode_lencod_stream_bit_exact(jm_tools, tmp_path, cfg):
 def test_decode_own_stream_bit_exact(jm_tools, foreman_qcif):
     frames = [foreman_qcif.read(i) for i in range(3)]
     stream, recs, _ = encode_ippp(frames, 30)
+    assert decode_ours(stream) == recon_bytes(recs)
+
+
+def test_ippp_multiref_p8x8_satd_ldecod_bit_exact(jm_tools, foreman_qcif,
+                                                  tmp_path):
+    """Multi-reference (2 refs, te(v) ref_idx), P8x8 partitions, and the
+    SATD subpel metric stay ldecod-conformant."""
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    stream, recs, stats = encode_ippp(frames, 30, num_ref=2, use_satd=True)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes(recs)
+    # our own decoder agrees too
     assert decode_ours(stream) == recon_bytes(recs)
