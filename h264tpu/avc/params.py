@@ -27,6 +27,10 @@ class AVCParams:
     num_ref_frames: int = 1
     deblock: bool = True           # in-loop filter on (disable_idc = 0/1)
     chroma_qp_offset: int = 0
+    # FMO (spec 7.3.2.2 / 8.2.2): >1 slice groups, one slice per group.
+    # map_type 0 = interleaved (equal run lengths), 1 = dispersed.
+    slice_groups: int = 1
+    slice_group_map_type: int = 1
 
     @property
     def mb_w(self):
@@ -67,7 +71,15 @@ def write_pps(p: AVCParams) -> bytes:
     w.ue(0)                        # sps_id
     w.u(0, 1)                      # entropy_coding_mode_flag (CAVLC)
     w.u(0, 1)                      # bottom_field_pic_order_in_frame_present
-    w.ue(0)                        # num_slice_groups_minus1
+    w.ue(p.slice_groups - 1)       # num_slice_groups_minus1
+    if p.slice_groups > 1:
+        w.ue(p.slice_group_map_type)
+        if p.slice_group_map_type == 0:
+            # interleaved: equal run lengths of one MB row each
+            for _ in range(p.slice_groups):
+                w.ue(p.mb_w - 1)   # run_length_minus1
+        elif p.slice_group_map_type != 1:
+            raise NotImplementedError("slice_group_map_type 2..6 syntax")
     w.ue(0)                        # num_ref_idx_l0_default_active_minus1
     w.ue(0)                        # num_ref_idx_l1_default_active_minus1
     w.u(0, 1)                      # weighted_pred_flag

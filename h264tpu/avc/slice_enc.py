@@ -46,11 +46,38 @@ class FrameState:
         self.i4_modes = np.full((p.mb_h * 4, p.mb_w * 4), -1, np.int64)
         self.mb_qp = np.full((p.mb_h, p.mb_w), p.qp, np.int64)
         self.mb_intra = np.zeros((p.mb_h, p.mb_w), bool)
+        # slice machinery (spec 6.4.11 availability: same slice + decoded).
+        # Single-slice raster default: slice 0, decoded-before == raster-<.
+        self.slice_id = np.zeros((p.mb_h, p.mb_w), np.int64)
+        self.mb_decoded = np.zeros((p.mb_h, p.mb_w), bool)
+        self.cur_slice = 0
+
+    def mb_avail(self, mby: int, mbx: int) -> bool:
+        """Neighbor MB availability: inside picture, already decoded, and in
+        the current slice (spec 6.4.11 with FMO slice groups)."""
+        if mby < 0 or mbx < 0 or mby >= self.p.mb_h or mbx >= self.p.mb_w:
+            return False
+        return bool(self.mb_decoded[mby, mbx]) and \
+            int(self.slice_id[mby, mbx]) == self.cur_slice
+
+
+def _blk_avail(st: FrameState, by: int, bx: int, cells: int,
+               cur_mby: int, cur_mbx: int) -> bool:
+    """Availability of the 4x4/chroma block (by, bx) seen from the MB
+    currently being coded; ``cells`` = blocks per MB side (4 luma, 2 ch)."""
+    if by < 0 or bx < 0:
+        return False
+    nb_mby, nb_mbx = by // cells, bx // cells
+    if (nb_mby, nb_mbx) == (cur_mby, cur_mbx):
+        return True                    # same MB, earlier in coding order
+    return st.mb_avail(nb_mby, nb_mbx)
 
 
 def _nc_luma(st: FrameState, by: int, bx: int) -> int:
     """nC for the luma 4x4 block at plane block coords (by, bx)."""
-    has_a, has_b = bx > 0, by > 0
+    cur = (by // 4, bx // 4)
+    has_a = _blk_avail(st, by, bx - 1, 4, *cur)
+    has_b = _blk_avail(st, by - 1, bx, 4, *cur)
     na = int(st.nnz_y[by, bx - 1]) if has_a else 0
     nb = int(st.nnz_y[by - 1, bx]) if has_b else 0
     if has_a and has_b:
@@ -59,7 +86,9 @@ def _nc_luma(st: FrameState, by: int, bx: int) -> int:
 
 
 def _nc_chroma(st: FrameState, comp: int, by: int, bx: int) -> int:
-    has_a, has_b = bx > 0, by > 0
+    cur = (by // 2, bx // 2)
+    has_a = _blk_avail(st, by, bx - 1, 2, *cur)
+    has_b = _blk_avail(st, by - 1, bx, 2, *cur)
     na = int(st.nnz_c[comp, by, bx - 1]) if has_a else 0
     nb = int(st.nnz_c[comp, by - 1, bx]) if has_b else 0
     if has_a and has_b:
@@ -105,20 +134,17 @@ def encode_i4x4_mb(st: FrameState, org_y: np.ndarray, mby: int, mbx: int,
         y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
         by, bx = mby * 4 + y4, mbx * 4 + x4
         y, x = y0 + y4 * 4, x0 + x4 * 4
-        avail_t = by > 0
-        avail_l = bx > 0
-        # top-right 4x4 (spec 6.4.11.4): inside the picture AND already
-        # decoded — an above MB row is always decoded; a same-row MB to the
-        # right is not; within the current MB compare coding-order indices
+        avail_t = _blk_avail(st, by - 1, bx, 4, mby, mbx)
+        avail_l = _blk_avail(st, by, bx - 1, 4, mby, mbx)
+        # top-right 4x4 (spec 6.4.11.4): available same-slice MB, or the
+        # same MB with a smaller coding-order index
         tr_by, tr_bx = by - 1, bx + 1
         if tr_by < 0 or tr_bx >= p.mb_w * 4:
             avail_tr = False
-        elif tr_by // 4 < mby:
-            avail_tr = True
-        elif tr_bx // 4 > mbx:
-            avail_tr = False
-        else:
+        elif (tr_by // 4, tr_bx // 4) == (mby, mbx):
             avail_tr = int(BLOCK_SCAN_INV[y4 - 1, x4 + 1]) < k
+        else:
+            avail_tr = st.mb_avail(tr_by // 4, tr_bx // 4)
 
         top9, left4, corner = _gather_i4_neighbors(st.rec_y, y, x, avail_tr)
         preds, allowed = IP.pred4x4_all(top9, left4, corner,
@@ -168,7 +194,8 @@ def encode_i16_mb(st: FrameState, org_y: np.ndarray, mby: int, mbx: int,
     cbp_luma flag, recon (16x16), cost."""
     p = st.p
     y0, x0 = mby * 16, mbx * 16
-    avail_t, avail_l = mby > 0, mbx > 0
+    avail_t = st.mb_avail(mby - 1, mbx)
+    avail_l = st.mb_avail(mby, mbx - 1)
     top16 = st.rec_y[y0 - 1, x0:x0 + 16] if avail_t else np.zeros(16, np.int64)
     left16 = st.rec_y[y0:y0 + 16, x0 - 1] if avail_l else np.zeros(16, np.int64)
     corner = st.rec_y[y0 - 1, x0 - 1] if (avail_t and avail_l) else 0
@@ -224,7 +251,8 @@ def encode_chroma_mb(st: FrameState, org_u, org_v, mby: int, mbx: int,
     Returns dict with mode, per-component dc levels [4], ac_zzs [2,2,2,15],
     recons, cbp_chroma."""
     y0, x0 = mby * 8, mbx * 8
-    avail_t, avail_l = mby > 0, mbx > 0
+    avail_t = st.mb_avail(mby - 1, mbx)
+    avail_l = st.mb_avail(mby, mbx - 1)
     comps = []
     for rec_p, org_p in ((st.rec_u, org_u), (st.rec_v, org_v)):
         top8 = rec_p[y0 - 1, x0:x0 + 8] if avail_t else np.zeros(8, np.int64)
@@ -353,14 +381,35 @@ def write_intra_mb(w: BitWriter, st: FrameState, mby: int, mbx: int,
                     st.nnz_c[ci, cby, cbx] = 0
 
 
+def slice_group_map(p: AVCParams) -> np.ndarray:
+    """FMO mapUnitToSliceGroupMap (spec 8.2.2) -> [mb_h, mb_w] group ids.
+
+    Types: 0 interleaved (runs of one MB row, matching the PPS run lengths
+    we emit), 1 dispersed (spec 8.2.2.2 formula).  TPU-framework twin of
+    ``FR/src/fmo.c:233`` FmoInit; the full 7-type generator toolbox lives in
+    ``models/resilience.py`` (FVC path)."""
+    G = p.slice_groups
+    mbs = np.arange(p.mb_h * p.mb_w)
+    if G == 1:
+        grp = np.zeros_like(mbs)
+    elif p.slice_group_map_type == 0:
+        grp = (mbs // p.mb_w) % G
+    elif p.slice_group_map_type == 1:
+        grp = ((mbs % p.mb_w) + (((mbs // p.mb_w) * G) // 2)) % G
+    else:
+        raise NotImplementedError("map type 2..6 (use models/resilience)")
+    return grp.reshape(p.mb_h, p.mb_w)
+
+
 def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
                    idr: bool = True, idr_pic_id: int = 0):
-    """Encode one frame as a single IDR I slice.
+    """Encode one frame as IDR I slice(s) — one slice per FMO slice group.
 
     org_yuv: (Y [H,W], U, V) uint8 arrays.
-    Returns (rbsp bytes, (rec_y, rec_u, rec_v) BEFORE deblocking, stats dict).
-    The caller applies the spec deblocking filter (avc.deblock) to get the
-    decoder-output reconstruction.
+    Returns (rbsp bytes | list of rbsp bytes when slice_groups > 1,
+    (rec_y, rec_u, rec_v) BEFORE deblocking, stats dict).  The caller applies
+    the spec deblocking filter (avc.deblock) to get the decoder-output
+    reconstruction.
     """
     qp = p.qp if qp is None else qp
     qpc = Q.chroma_qp(qp, p.chroma_qp_offset)
@@ -369,14 +418,20 @@ def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
     st = FrameState(p)
     st.mb_intra[:] = True
     st.mb_qp[:] = qp
+    gmap = slice_group_map(p)
+    st.slice_id[:] = gmap
 
-    w = BitWriter()
-    write_slice_header(w, p, SLICE_I, frame_num, idr, qp,
-                       idr_pic_id=idr_pic_id)
-
+    rbsps = []
     n_i16 = 0
-    for mby in range(p.mb_h):
-        for mbx in range(p.mb_w):
+    for g in range(p.slice_groups):
+        order = [(int(a) // p.mb_w, int(a) % p.mb_w)
+                 for a in np.flatnonzero(gmap.reshape(-1) == g)]
+        st.cur_slice = g
+        w = BitWriter()
+        write_slice_header(w, p, SLICE_I, frame_num, idr, qp,
+                           idr_pic_id=idr_pic_id,
+                           first_mb=order[0][0] * p.mb_w + order[0][1])
+        for mby, mbx in order:
             # evaluate I16 first on the current recon state, then I4 (which
             # mutates rec_y block by block); restore if I16 wins
             i16 = encode_i16_mb(st, org_y, mby, mbx, qp, lam)
@@ -403,12 +458,14 @@ def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
             st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch["recs"][1]
             write_intra_mb(w, st, mby, mbx, i16 if use_i16 else i4, ch,
                            use_i16)
+            st.mb_decoded[mby, mbx] = True
             del saved_rec, saved_modes
-    w.u(1, 1)      # rbsp_stop_one_bit (rbsp_slice_trailing_bits)
-    rbsp = w.to_bytes()
-    stats = dict(bits=len(rbsp) * 8, n_i16=n_i16,
+        w.u(1, 1)      # rbsp_stop_one_bit (rbsp_slice_trailing_bits)
+        rbsps.append(w.to_bytes())
+    stats = dict(bits=sum(len(r) for r in rbsps) * 8, n_i16=n_i16,
                  n_mb=p.mb_h * p.mb_w)
-    return rbsp, (st.rec_y, st.rec_u, st.rec_v), stats
+    out = rbsps[0] if p.slice_groups == 1 else rbsps
+    return out, (st.rec_y, st.rec_u, st.rec_v), stats
 
 
 # ===========================================================================
@@ -602,6 +659,9 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
             org16 = org_y[y0:y0 + 16, x0:x0 + 16]
             forced = bool(force_intra_mask is not None and
                           force_intra_mask[mby, mbx])
+            # raster single-slice decode order (availability bookkeeping);
+            # safe to set early: same-MB queries short-circuit in _blk_avail
+            st.mb_decoded[mby, mbx] = True
 
             cands = []
             if not forced:

@@ -287,3 +287,24 @@ def test_ippp_multiref_p8x8_satd_ldecod_bit_exact(jm_tools, foreman_qcif,
     assert dec == recon_bytes(recs)
     # our own decoder agrees too
     assert decode_ours(stream) == recon_bytes(recs)
+
+
+@pytest.mark.parametrize("groups,map_type", [(2, 1), (3, 0)])
+def test_fmo_multi_slice_group_ldecod_bit_exact(jm_tools, foreman_qcif,
+                                                tmp_path, groups, map_type):
+    """Real FMO: num_slice_groups>1 in the PPS (dispersed / interleaved map),
+    one coded slice per group, slice-group-limited prediction availability —
+    ldecod decodes the stream bit-exactly (VERDICT round-1 item 6)."""
+    from h264tpu.avc.params import AVCParams, assemble_stream
+    from h264tpu.avc.slice_enc import encode_i_frame
+    from h264tpu.avc.deblock import DeblockContext, deblock_frame
+
+    y, u, v = foreman_qcif.read(0)
+    p = AVCParams(width=176, height=144, qp=30, deblock=True,
+                  slice_groups=groups, slice_group_map_type=map_type)
+    rbsps, rec, stats = encode_i_frame((y, u, v), p)
+    assert isinstance(rbsps, list) and len(rbsps) == groups
+    rec = deblock_frame(*rec, DeblockContext(p.mb_w, p.mb_h, p.qp))
+    stream = assemble_stream(p, [(True, r) for r in rbsps])
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([rec])
