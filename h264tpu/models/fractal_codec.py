@@ -378,6 +378,10 @@ class FractalCodec:
         cfg.rate_control the loop runs sequentially instead (frame N's bits
         feed frame N+1's QP).
         Returns (results, bitstream bytes)."""
+        if self.cfg.num_regions == 2:
+            res, stream, _masks = self.encode_sequence_region(
+                list(frames), verbose=verbose)
+            return res, stream
         if self.cfg.rate_control and self.cfg.target_bitrate > 0:
             return self._encode_sequence_rc(frames, verbose)
         results = []
@@ -443,6 +447,83 @@ class FractalCodec:
                   f"PSNR Y {res.psnr_y:6.2f}  U {res.psnr_u:6.2f}  "
                   f"V {res.psnr_v:6.2f}  bits {res.bits}")
         return res
+
+    # ------------------------------------------------------------------
+    # Object/region-based coding (reference capability F24, Num_Regions=2)
+    # ------------------------------------------------------------------
+    def encode_sequence_region(self, frames, masks=None, verbose=False):
+        """Region-coded sequence (cfg.num_regions == 2): luma P frames use
+        the per-object masked fractal search (ops/region) with alpha-plane
+        masks; chroma planes use the normal fractal path.  ``masks`` are
+        side information (the reference reads them from Infile_*_plane
+        files, FR/src/image.c:96-103); if None they are derived by the
+        temporal-differencing segmenter (ops/segment.segment_sequence).
+
+        Returns (results, stream, masks) — the decoder needs the same masks.
+        """
+        from ..ops import region as RG
+        from ..ops import segment as SG
+
+        cfg = self.cfg
+        if masks is None:
+            masks = [np.asarray(m, np.uint8)
+                     for m in SG.segment_sequence([f[0] for f in frames])]
+        results, payloads = [], []
+        ref = None
+        search = functools.partial(
+            RG.region_search_plane, search_range=cfg.fractal.search_range,
+            use_halfpel=cfg.fractal.use_halfpel_refs)
+        search = jax.jit(search)
+        for idx, yuv in enumerate(frames):
+            if self.is_intra(idx) or ref is None:
+                res, payload = self.encode_frame(yuv, None, 0)
+                results.append(res)
+                payloads.append(payload)
+                ref = res.recon_dev
+                continue
+            y, u, v = (jnp.asarray(pl, jnp.int32) for pl in yuv)
+            qp = cfg.qp
+            cqp = T.chroma_qp(qp)
+            m_cur, m_ref = masks[idx], masks[idx - 1]
+            params = search(y, ref[0], m_cur, m_ref)
+            frec = RG.region_reconstruct(
+                {k: params[k] for k in ("a", "beta", "dx", "dy", "ref")},
+                ref[0], m_cur, m_ref,
+                use_halfpel=cfg.fractal.use_halfpel_refs)
+            zz_y, rec_y = self._residual_jit(y, frec, qp, False, True)
+
+            w = BitWriter()
+            w.u(3, 8)                     # frame type 3 = region-coded
+            w.u(int(qp), 8)
+            FS.write_region_params(
+                w, {k: np.asarray(params[k]) for k in params},
+                cfg.fractal.search_range, cfg.fractal.use_halfpel_refs)
+            FS.write_residual(w, np.asarray(zz_y), y.shape[0] // 4,
+                              y.shape[1] // 4, int(cfg.entropy))
+            recs = [rec_y]
+            for org, rf, luma in ((u, ref[1], False), (v, ref[2], False)):
+                maps, zz, rec = self._p_plane(org, rf, cqp, luma)
+                FS.write_tree(w, {k: np.asarray(m) for k, m in maps.items()},
+                              cfg.fractal.search_range,
+                              cfg.fractal.use_halfpel_refs)
+                FS.write_residual(w, np.asarray(zz), org.shape[0] // 4,
+                                  org.shape[1] // 4, int(cfg.entropy))
+                recs.append(rec)
+            payload = w.to_bytes()
+            payloads.append(payload)
+            rec_np = tuple(np.asarray(r, np.uint8) for r in recs)
+            res = FrameResult(
+                frame_type="R", psnr_y=psnr(np.asarray(yuv[0]), rec_np[0]),
+                psnr_u=psnr(np.asarray(yuv[1]), rec_np[1]),
+                psnr_v=psnr(np.asarray(yuv[2]), rec_np[2]),
+                bits=len(payload) * 8, recon=rec_np, qp=qp)
+            res.recon_dev = tuple(recs)
+            results.append(res)
+            ref = res.recon_dev
+            if verbose:
+                print(f"frame {idx:3d} R  PSNR Y {res.psnr_y:6.2f}  "
+                      f"bits {res.bits}")
+        return results, self._assemble(payloads, len(frames)), masks
 
     # ------------------------------------------------------------------
     # Stereo / 3-view coding (reference capability F25)
@@ -575,11 +656,14 @@ class FractalDecoder:
             return "annexb"
         return "rtp"
 
-    def decode(self, stream: bytes, verbose: bool = False):
+    def decode(self, stream: bytes, verbose: bool = False, masks=None):
         """Decode a stream in any container (auto-detected).  For Annex-B/RTP
         containers, lost frame NALUs/packets are concealed by frame copy
         (the simplest mode of the reference's inter concealment,
-        ``erc_do_p.c`` / ``FR/src/erc_do_p.c``)."""
+        ``erc_do_p.c`` / ``FR/src/erc_do_p.c``).  ``masks`` = per-frame
+        alpha planes, required for region-coded (type 3) frames — side
+        information exactly like the reference's Infile_*_plane files."""
+        self._masks = masks
         kind = self.detect_container(stream)
         if kind == "fvc":
             r = BitReader(stream)
@@ -596,6 +680,23 @@ class FractalDecoder:
             unit_reader = lambda i: (BitReader(payloads[i])
                                      if i in payloads else None)
         return self._decode_units(hdr, unit_reader, verbose)
+
+    def _decode_region_y(self, r, hdr, ref_y, fidx, fqp):
+        from ..ops import region as RG
+        W, H = hdr["width"], hdr["height"]
+        params = FS.read_region_params(r, H // 16, W // 16,
+                                       hdr["search_range"],
+                                       hdr["use_halfpel"])
+        m_cur, m_ref = self._masks[fidx], self._masks[fidx - 1]
+        frec = RG.region_reconstruct(
+            {k: jnp.asarray(params[k], jnp.int32)
+             for k in ("a", "beta", "dx", "dy", "ref")},
+            jnp.asarray(ref_y, jnp.int32), m_cur, m_ref,
+            use_halfpel=hdr["use_halfpel"])
+        zz = FS.read_residual(r, H // 4, W // 4, hdr["entropy"])
+        deq = T.dequant4x4(T.zigzag_unscan(jnp.asarray(zz, jnp.int32)), fqp)
+        rec = T.reconstruct(T.frame_to_blocks(frec, 4), T.idct4x4(deq))
+        return np.asarray(T.blocks_to_frame(rec, H, W), np.uint8)
 
     def _decode_units(self, hdr: dict, unit_reader, verbose: bool = False):
         W, H = hdr["width"], hdr["height"]
@@ -616,7 +717,7 @@ class FractalDecoder:
             return 0, tuple(np.full((h, w), 128, np.uint8)
                             for (h, w, _l) in plane_dims)
 
-        def decode_one(r, ref):
+        def decode_one(r, ref, fidx=0):
             """Parse + reconstruct one view payload; ref = its reference
             frame planes (None for intra)."""
             if r is None:
@@ -648,7 +749,13 @@ class FractalDecoder:
                              jnp.asarray(ref[pi], jnp.int32), q)
                     planes.append(np.asarray(rec, np.uint8))
             else:
+                if ftype == 3:            # region-coded luma (Num_Regions=2)
+                    planes.append(self._decode_region_y(r, hdr, ref[0],
+                                                        fidx, fqp))
+                start_pi = 1 if ftype == 3 else 0
                 for pi, ((h, w, luma), q) in enumerate(zip(plane_dims, qps)):
+                    if pi < start_pi:
+                        continue
                     hp, wp = _pad16_np(h, w)
                     maps = FS.read_tree(r, hp, wp, sr, use_hp)
                     zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
@@ -664,7 +771,8 @@ class FractalDecoder:
         frames = [[] for _ in range(n_views)]
         ref_c = None
         for fi in range(hdr["num_frames"]):
-            ftype, planes_c = decode_one(unit_reader(fi * n_views), ref_c)
+            ftype, planes_c = decode_one(unit_reader(fi * n_views), ref_c,
+                                         fidx=fi)
             ref_c = planes_c
             frames[0].append(planes_c)
             for vi in range(1, n_views):

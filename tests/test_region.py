@@ -206,3 +206,41 @@ def test_region_params_stream_roundtrip(scene):
     rec_enc = np.asarray(region.region_reconstruct(params, ref, m_cur, m_ref))
     rec_dec = np.asarray(region.region_reconstruct(rd, ref, m_cur, m_ref))
     np.testing.assert_array_equal(rec_enc, rec_dec)
+
+
+def test_region_mode_end_to_end_roundtrip(rng):
+    """num_regions=2 is reachable from CodecConfig: encode_sequence routes
+    to the region-coded path, the stream carries write_region_params, and
+    the decoder (given the same alpha masks) reconstructs bit-exactly
+    (VERDICT round-1 item 6)."""
+    import numpy as np
+    from h264tpu.utils.config import CodecConfig, FractalConfig
+    from h264tpu.models.fractal_codec import FractalCodec, FractalDecoder
+    from h264tpu.ops import segment as SG
+
+    H, W = 64, 64
+    frames = []
+    base = rng.integers(0, 255, (H, W)).astype(np.uint8)
+    for i in range(3):
+        y = np.roll(base, i * 2, axis=1)
+        y[20:40, 20:40] = np.roll(y[20:40, 20:40], i * 3, axis=0)  # object
+        u = rng.integers(0, 255, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.integers(0, 255, (H // 2, W // 2)).astype(np.uint8)
+        frames.append((y, u, v))
+
+    cfg = CodecConfig(width=W, height=H, qp=30, intra_period=0,
+                      num_regions=2, deblock=False,
+                      fractal=FractalConfig(search_range=3))
+    codec = FractalCodec(cfg)
+    results, stream, masks = codec.encode_sequence_region(frames)
+    assert any(r.frame_type == "R" for r in results)
+
+    dec = FractalDecoder()
+    recons = dec.decode(stream, masks=masks)
+    for res, fr in zip(results, recons):
+        for a, b in zip(res.recon, fr):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # config-driven routing via plain encode_sequence
+    res2, stream2 = FractalCodec(cfg).encode_sequence(frames)
+    assert stream2 == stream
