@@ -92,7 +92,15 @@ def bench_resolution(H, W, qp, sr, n_timed, n_warm=2):
 
 def main():
     out = {}
-    cif_fps, cif_gmac = bench_resolution(288, 352, qp=24, sr=7, n_timed=10)
+    try:
+        cif_fps, cif_gmac = bench_resolution(288, 352, qp=24, sr=7,
+                                             n_timed=10)
+    except Exception as e:
+        # still emit one parseable line if the chip/tunnel is unhealthy
+        print(json.dumps({"metric": "cif_fractal_encode_fps", "value": 0.0,
+                          "unit": "frames/s", "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: {str(e)[:160]}"}))
+        return
     out.update({
         "metric": "cif_fractal_encode_fps",
         "value": round(cif_fps, 3),

@@ -89,12 +89,29 @@ def _te(r: BitReader, max_val: int) -> int:
 
 
 class AVCDecoder:
-    """Sequential H.264 decoder over an Annex-B byte stream."""
+    """Sequential H.264 decoder over an Annex-B byte stream.
 
-    def __init__(self):
+    ``trace=True`` records every parsed syntax element as (bit_position,
+    name, value) — the JM ``TraceFile`` analogue (``trace2out``,
+    FR/src/vlc.c:1176; SURVEY §4.3: the entropy-coder conformance oracle).
+    Dump with :meth:`write_trace`."""
+
+    def __init__(self, trace: bool = False):
         self.sps = {}
         self.pps = {}
         self.dpb = []          # list of (frame_num, (y,u,v) uint8, RefPlanes)
+        self.trace = [] if trace else None
+
+    def _tr(self, r, name, value):
+        if self.trace is not None:
+            self.trace.append((r.pos, name, int(value)))
+        return value
+
+    def write_trace(self, path: str):
+        """trace_dec.txt-style dump: @bitpos  element  value."""
+        with open(path, "w") as f:
+            for pos, name, val in (self.trace or []):
+                f.write(f"@{pos:<10d} {name:<28s} {val}\n")
 
     def decode(self, stream: bytes, max_frames: int = None):
         """Decode all coded pictures; returns list of (y, u, v) uint8."""
@@ -117,10 +134,10 @@ class AVCDecoder:
     # ------------------------------------------------------------------
     def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int):
         r = BitReader(rbsp)
-        first_mb = r.ue()
+        first_mb = self._tr(r, "first_mb_in_slice", r.ue())
         if first_mb != 0:
             raise NotImplementedError("multi-slice pictures")
-        slice_type = r.ue() % 5
+        slice_type = self._tr(r, "slice_type", r.ue()) % 5
         if slice_type not in (0, 2):
             raise NotImplementedError(f"slice_type {slice_type}")
         pps = self.pps[r.ue()]
@@ -148,7 +165,7 @@ class AVCDecoder:
             else:
                 if r.u(1):
                     raise NotImplementedError("MMCO")
-        qp = pps["pic_init_qp"] + r.se()
+        qp = pps["pic_init_qp"] + self._tr(r, "slice_qp_delta", r.se())
         disable_dbl = 0
         a_off = b_off = 0
         if pps["deblock_ctrl"]:
@@ -186,6 +203,7 @@ class AVCDecoder:
 class _SliceDecoder:
     def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
                  num_ref=1):
+        self.top = top
         self.sps, self.pps = sps, pps
         self.slice_type = slice_type
         self.qp = qp
@@ -227,7 +245,7 @@ class _SliceDecoder:
         r = self.r
         while mb < n_mb:
             if self.slice_type == 0:
-                skip_run = r.ue()
+                skip_run = self.top._tr(r, "mb_skip_run", r.ue())
                 for _ in range(skip_run):
                     self._decode_skip(mb)
                     mb += 1
@@ -269,7 +287,7 @@ class _SliceDecoder:
         r = self.r
         mby, mbx = mb // self.mb_w, mb % self.mb_w
         by, bx = mby * 4, mbx * 4
-        mb_type = r.ue()
+        mb_type = self.top._tr(r, "mb_type", r.ue())
         p_slice = self.slice_type == 0
         if p_slice and mb_type >= 5:
             intra_type = mb_type - 5
@@ -288,9 +306,12 @@ class _SliceDecoder:
         num_ref = self.num_ref
         parts = []        # ((dy4,dx4,w4,h4), mv, ref)
         if mb_type == 0:          # 16x16
-            ri = _te(r, num_ref - 1) if num_ref > 1 else 0
+            ri = self.top._tr(r, "ref_idx_l0",
+                              _te(r, num_ref - 1) if num_ref > 1 else 0)
             pmv = self.mvf.predict(by, bx, 4, 4, ri)
-            mv = pmv + np.array([r.se(), r.se()], np.int64)
+            mv = pmv + np.array([self.top._tr(r, "mvd_l0_x", r.se()),
+                                 self.top._tr(r, "mvd_l0_y", r.se())],
+                                np.int64)
             self.mvf.set_partition(by, bx, 4, 4, mv, ri)
             parts = [((0, 0, 4, 4), mv, ri)]
         elif mb_type in (1, 2):   # 16x8 / 8x16
@@ -332,11 +353,12 @@ class _SliceDecoder:
 
         self._mc_inter(mby, mbx, parts)
 
-        cbp = int(CODENUM_TO_CBP_INTER[r.ue()])
+        cbp = int(CODENUM_TO_CBP_INTER[
+            self.top._tr(r, "coded_block_pattern", r.ue())])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         qp = self._prev_qp(mby * self.mb_w + mbx)
         if cbp > 0:
-            qp = (qp + r.se() + 52) % 52    # spec 7.4.5 wraparound
+            qp = (qp + self.top._tr(r, "mb_qp_delta", r.se()) + 52) % 52
         self.mb_qp[mby, mbx] = qp
         self._decode_residual_luma(mby, mbx, cbp_luma, qp, intra16=False)
         self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,

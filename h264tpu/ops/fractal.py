@@ -619,9 +619,15 @@ def chun_correlation(org, ref_c):
     return cov * cov / (var_o * var_d)
 
 
-def default_use_pallas() -> bool:
-    """Use the fused Pallas cross kernel on real TPU backends."""
-    return jax.default_backend() == "tpu"
+def default_use_pallas(H: int = 0, W: int = 0) -> bool:
+    """Use the fused Pallas cross kernel on real TPU backends.
+
+    Gated to <= ~0.41 MP planes (CIF/VGA class) for now: the kernel is
+    validated and faster there; at 720p+ the current tiling plan can crash
+    the axon TPU worker during compile (diagnosis in progress) — the XLA
+    path is used instead.
+    """
+    return jax.default_backend() == "tpu" and H * W <= 416 * 1024
 
 
 def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
@@ -650,7 +656,7 @@ def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
         y_hi = H
 
     if use_pallas is None:
-        use_pallas = default_use_pallas()
+        use_pallas = default_use_pallas(H, W)
     s16, s8, s84, s48, s44 = _search_all_shapes(
         org, refs, offsets, H, W, halo, y_lo, y_hi, chunk=cross_chunk,
         use_pallas=use_pallas, interpret=interpret, bounds=bounds)

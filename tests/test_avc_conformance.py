@@ -308,3 +308,38 @@ def test_fmo_multi_slice_group_ldecod_bit_exact(jm_tools, foreman_qcif,
     stream = assemble_stream(p, [(True, r) for r in rbsps])
     dec = ldecod_decode(tmp_path, stream)
     assert dec == recon_bytes([rec])
+
+
+def test_syntax_trace_and_report(jm_tools, tmp_path, foreman_qcif):
+    """Observability: the decoder's syntax-element trace (JM TraceFile
+    analogue) and the log.dat-style sequence report (SURVEY §4.3/§5)."""
+    from h264tpu.avc.slice_dec import AVCDecoder
+    from h264tpu.utils.report import SequenceReport
+
+    frames = [foreman_qcif.read(i) for i in range(2)]
+    stream, recs, stats = encode_ippp(frames, 30)
+
+    dec = AVCDecoder(trace=True)
+    out = dec.decode(stream)
+    names = {n for _, n, _ in dec.trace}
+    assert {"mb_type", "slice_type", "coded_block_pattern",
+            "mvd_l0_x", "mb_skip_run"} <= names
+    tf = tmp_path / "trace_dec.txt"
+    dec.write_trace(str(tf))
+    assert tf.read_text().count("mb_type") >= 99
+
+    class R:
+        pass
+
+    rep = SequenceReport(label="test", frame_rate=30.0)
+    for i, s in enumerate(stats):
+        r = R()
+        r.frame_type = "I" if i == 0 else "P"
+        r.psnr_y = r.psnr_u = r.psnr_v = 35.0
+        r.bits = s["bits"]
+        r.qp = 30
+        rep.add(r)
+    rep.finish()
+    assert rep.total_bits == sum(s["bits"] for s in stats)
+    rep.append_logdat(str(tmp_path / "log.dat"))
+    assert (tmp_path / "log.dat").read_text().count("|") > 8
