@@ -405,7 +405,7 @@ def _build_ref_tiles(refs: jnp.ndarray, H: int, W: int, sr: int, halo: int,
 
 
 def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
-                       chunk: int = 16, use_pallas: bool = False,
+                       chunk: int = 16, impl: str = "scan",
                        interpret: bool = False, bounds=None):
     """Evaluate every (shape, block, offset, ref) candidate with a chunked
     scan over spiral offsets carrying the running best per shape.
@@ -454,7 +454,7 @@ def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
     # dom_maps: list per shape of [R, 2, Hp, Wp]
 
     padded_refs = jnp.pad(refs, ((0, 0), (sr, sr), (sr, sr)))
-    if use_pallas:
+    if impl == "pallas":
         TH = _plan_row_tiles(H, W, chunk)
         ref_tiles = _build_ref_tiles(refs, H, W, sr, halo, TH)
 
@@ -480,11 +480,23 @@ def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
                                          (H, W))
 
         # cross products at cell granularity for all (ref, chunk)
-        if offs_np is not None:
+        if offs_np is not None and impl == "pallas":
             rows = pallas_cross_rows(org, ref_tiles, offs_np, H, W, sr,
                                      TH, interpret=interpret)
             cross = rows.reshape(refs.shape[0], chunk, H // 4,
                                  W // 4, 4).sum(axis=-1, dtype=jnp.int32)
+        elif offs_np is not None:
+            # wide XLA: static offsets -> static shifted slices, fused
+            # multiply+cell-pool per offset, no scan / no gathers
+            sls = []
+            for dx_k, dy_k in offs_np:
+                sh = padded_refs[:, sr + halo + int(dy_k):
+                                 sr + halo + int(dy_k) + H,
+                                 sr + int(dx_k):sr + int(dx_k) + W]
+                sls.append((org[None] * sh).reshape(
+                    refs.shape[0], H // 4, 4, W // 4, 4).sum(
+                    axis=(2, 4), dtype=jnp.int32))
+            cross = jnp.stack(sls, axis=1)     # [R, chunk, cy, cx]
         else:
             def per_ref(ref_pad):
                 def per_off(o):
@@ -566,9 +578,9 @@ def _search_all_shapes(org, refs, offsets, H, W, halo, y_lo, y_hi,
             new_carry.append(merged)
         return tuple(new_carry)
 
-    if use_pallas:
+    if impl in ("pallas", "wide"):
         # Python loop: offsets are compile-time constants, so every shifted
-        # view inside the kernel is a static slice
+        # view is a static slice (in-kernel for pallas, XLA slices for wide)
         carry = carry0
         for s in range(n_steps):
             carry = chunk_step(carry, offs_j[s], ok_j[s], spiral_j[s],
@@ -619,24 +631,27 @@ def chun_correlation(org, ref_c):
     return cov * cov / (var_o * var_d)
 
 
-def default_use_pallas(H: int = 0, W: int = 0) -> bool:
-    """Use the fused Pallas cross kernel on real TPU backends.
+def default_search_impl() -> str:
+    """Default search implementation per backend.
 
-    Gated to <= ~0.41 MP planes (CIF/VGA class) for now: the kernel is
-    validated and faster there; at 720p+ the current tiling plan can crash
-    the axon TPU worker during compile (diagnosis in progress) — the XLA
-    path is used instead.
+    "wide" (python loop over static spiral chunks, XLA static slices, no
+    gathers) on TPU; "scan" (lax.scan, traced offsets) elsewhere — the scan
+    keeps CPU test compile times down.  "pallas" (fused VMEM cross kernel,
+    ops/fractal.pallas_cross_rows) is opt-in: it is bit-validated in
+    interpret mode and ran at CIF on hardware, but the axon TPU runtime in
+    this image can crash the worker on repeated launches (axon kernel-fault
+    wedges observed round 2), so it is not the default.
     """
-    return jax.default_backend() == "tpu" and H * W <= 416 * 1024
+    return "wide" if jax.default_backend() == "tpu" else "scan"
 
 
 def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
                  tol16: float, tol8: float, use_halfpel: bool = True,
                  cross_chunk: int = 64, halo: int = 0, y_lo=None,
                  y_hi=None, search_mode: int = 0,
-                 use_pallas: bool = None, interpret: bool = False,
+                 use_pallas=None, interpret: bool = False,
                  chun_lo: float = 0.9, chun_hi: float = 1.0,
-                 bounds=None) -> TransTree:
+                 bounds=None, impl: str = None) -> TransTree:
     """Full fractal search of one plane against the previous reconstruction.
 
     The TPU expression of ``encode_one_macroblock`` (FR/src/block_enc.c:508)
@@ -655,11 +670,16 @@ def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
     if y_hi is None:
         y_hi = H
 
-    if use_pallas is None:
-        use_pallas = default_use_pallas(H, W)
+    if impl is None:
+        if use_pallas is True:
+            impl = "pallas"
+        elif use_pallas is False:
+            impl = "scan"
+        else:
+            impl = default_search_impl()
     s16, s8, s84, s48, s44 = _search_all_shapes(
         org, refs, offsets, H, W, halo, y_lo, y_hi, chunk=cross_chunk,
-        use_pallas=use_pallas, interpret=interpret, bounds=bounds)
+        impl=impl, interpret=interpret, bounds=bounds)
 
     # --- decision tree ---
     chun = chun_correlation(org, refs[0][halo:halo + H])

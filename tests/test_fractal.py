@@ -266,3 +266,27 @@ def test_search_mode_roundtrip(foreman_qcif, mode):
     for r, d in zip(results, drec):
         for p in range(3):
             np.testing.assert_array_equal(r.recon[p], d[p])
+
+
+def test_search_impls_agree(rng):
+    """The three search implementations (lax.scan / wide static XLA /
+    Pallas kernel in interpret mode) pick identical candidates; rms may
+    differ in f32 LSBs (fusion order), parameters must be exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    from h264tpu.ops import fractal as F
+
+    org = jnp.asarray(rng.integers(0, 256, (96, 128)), jnp.int32)
+    ref = jnp.asarray(rng.integers(0, 256, (96, 128)), jnp.int32)
+    kw = dict(search_range=4, tol16=10.5, tol8=8.0, cross_chunk=32)
+    t_scan = F.search_plane(org, ref, impl="scan", **kw)
+    t_wide = F.search_plane(org, ref, impl="wide", **kw)
+    t_pal = F.search_plane(org, ref, impl="pallas", interpret=True, **kw)
+    for other in (t_wide, t_pal):
+        for s in ("s16", "s8", "s84", "s48", "s44"):
+            a, b = getattr(t_scan, s), getattr(other, s)
+            for f in ("a", "beta", "dx", "dy", "ref", "s_d"):
+                np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                              np.asarray(getattr(b, f)))
+            np.testing.assert_allclose(np.asarray(a.rms),
+                                       np.asarray(b.rms), rtol=1e-4)
