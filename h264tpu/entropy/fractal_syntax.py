@@ -110,7 +110,10 @@ def _leaf_corner_mask(shape_map: np.ndarray, code: int):
     return (shape_map == code) & (cy % ch == 0) & (cx % cw == 0)
 
 
-def write_tree(w: BitWriter, maps: dict, search_range: int, use_halfpel: bool):
+def write_tree(w: BitWriter, maps: dict, search_range: int,
+               use_halfpel: bool, ref_bits: int = None):
+    if ref_bits is None:
+        ref_bits = 2 if use_halfpel else 0
     shape = np.asarray(maps["shape"])
     mb_split = shape[::4, ::4] != 0
     w.u(mb_split.astype(np.int64).reshape(-1), 1)
@@ -130,8 +133,8 @@ def write_tree(w: BitWriter, maps: dict, search_range: int, use_halfpel: bool):
         m = _leaf_corner_mask(shape, code)
         if not m.any():
             continue
-        if use_halfpel:
-            w.u(np.asarray(maps["ref"])[m], 2)
+        if ref_bits:
+            w.u(np.asarray(maps["ref"])[m], ref_bits)
         w.u(np.asarray(maps["dx"])[m] + sr, mvb)
         w.u(np.asarray(maps["dy"])[m] + sr, mvb)
         w.u((np.asarray(maps["a"])[m] + 235) // 5, 7)
@@ -139,7 +142,9 @@ def write_tree(w: BitWriter, maps: dict, search_range: int, use_halfpel: bool):
 
 
 def read_tree(r: BitReader, Hp: int, Wp: int, search_range: int,
-              use_halfpel: bool) -> dict:
+              use_halfpel: bool, ref_bits: int = None) -> dict:
+    if ref_bits is None:
+        ref_bits = 2 if use_halfpel else 0
     nmby, nmbx = Hp // 16, Wp // 16
     cy, cx = Hp // 4, Wp // 4
     mb_split = r.u_array(nmby * nmbx, 1).reshape(nmby, nmbx).astype(bool)
@@ -168,7 +173,8 @@ def read_tree(r: BitReader, Hp: int, Wp: int, search_range: int,
         n = int(m.sum())
         if n == 0:
             continue
-        ref = r.u_array(n, 2) if use_halfpel else np.zeros(n, dtype=np.int64)
+        ref = r.u_array(n, ref_bits) if ref_bits else \
+            np.zeros(n, dtype=np.int64)
         dx = r.u_array(n, mvb) - sr
         dy = r.u_array(n, mvb) - sr
         a = r.u_array(n, 7) * 5 - 235

@@ -121,6 +121,12 @@ class FractalCodec:
         # compile and run fine, and intermediates stay on-device between
         # stages so the cost is only lost fusion.
         self._search_jit = jax.jit(self._search)
+        self._search2_jit = jax.jit(
+            lambda o, r1, r2: self._search(o, r1, extra_ref_ctx=r2))
+        self._recon2_jit = jax.jit(
+            lambda tree, r1, r2, hp, wp: F.reconstruct_plane(
+                tree, r1, hp, wp, use_halfpel=cfg.fractal.use_halfpel_refs,
+                extra_ref_ctx=r2), static_argnums=(3, 4))
         self._recon_jit = jax.jit(
             functools.partial(F.reconstruct_plane,
                               use_halfpel=cfg.fractal.use_halfpel_refs),
@@ -195,14 +201,20 @@ class FractalCodec:
         return tuple(modes_l), tuple(zzs), tuple(outs)
 
     # -- fractal P step -----------------------------------------------------
-    def _p_plane(self, org, ref, qp, is_luma):
+    def _p_plane(self, org, ref, qp, is_luma, ref2=None):
         h, w = org.shape
         orgp = _pad16(org)
         refp = _pad16(ref)
         hp, wp = orgp.shape
-        tree = self._search_jit(orgp, refp)
-        maps = self._maps_jit(tree, hp, wp)
-        frec = self._recon_jit(tree, refp, hp, wp)[:h, :w]
+        if ref2 is not None:
+            ref2p = _pad16(ref2)
+            tree = self._search2_jit(orgp, refp, ref2p)
+            maps = self._maps_jit(tree, hp, wp)
+            frec = self._recon2_jit(tree, refp, ref2p, hp, wp)[:h, :w]
+        else:
+            tree = self._search_jit(orgp, refp)
+            maps = self._maps_jit(tree, hp, wp)
+            frec = self._recon_jit(tree, refp, hp, wp)[:h, :w]
         zz, rec = self._residual_jit(org, frec, qp, False, is_luma)
         if self.cfg.deblock:
             nz = (zz != 0).any(axis=-1).reshape(h // 4, w // 4)
@@ -211,14 +223,15 @@ class FractalCodec:
             rec = self._deblock_jit(rec, bs_v, bs_h, qp, is_luma)
         return maps, zz, rec
 
-    def _p_step(self, y, u, v, ref_y, ref_u, ref_v, qp=None):
+    def _p_step(self, y, u, v, ref_y, ref_u, ref_v, qp=None, ref2=None):
         qp = self.cfg.qp if qp is None else qp
         cqp = T.chroma_qp(qp)
         all_maps, zzs, recs = [], [], []
-        for org, ref, q, is_luma in ((y, ref_y, qp, True),
-                                     (u, ref_u, cqp, False),
-                                     (v, ref_v, cqp, False)):
-            maps, zz, rec = self._p_plane(org, ref, q, is_luma)
+        r2 = ref2 if ref2 is not None else (None, None, None)
+        for org, ref, q, is_luma, x2 in ((y, ref_y, qp, True, r2[0]),
+                                         (u, ref_u, cqp, False, r2[1]),
+                                         (v, ref_v, cqp, False, r2[2])):
+            maps, zz, rec = self._p_plane(org, ref, q, is_luma, ref2=x2)
             all_maps.append(maps)
             zzs.append(zz)
             recs.append(rec)
@@ -272,7 +285,7 @@ class FractalCodec:
         return ip > 0 and frame_idx % ip == 0
 
     def dispatch_frame(self, yuv, ref=None, frame_idx: int = 0,
-                       qp: int = None) -> dict:
+                       qp: int = None, ref2=None) -> dict:
         """Enqueue all device work for one frame; returns a pending handle.
 
         No host synchronization happens here — the packed output buffer is an
@@ -302,7 +315,9 @@ class FractalCodec:
             recs = tuple(r[0] for r in recs_b)
         else:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
-            maps, zzs, recs = self._p_step(y, u, v, *refs, qp=qp)
+            r2 = None if ref2 is None else tuple(
+                jnp.asarray(p, jnp.int32) for p in ref2)
+            maps, zzs, recs = self._p_step(y, u, v, *refs, qp=qp, ref2=r2)
 
         parts = []
         for i in range(3):
@@ -321,7 +336,7 @@ class FractalCodec:
         packed = self._pack_jit(parts)
         kind = "i" if intra else ("c" if classic else "p")
         return dict(intra=intra, kind=kind, dims=dims, packed=packed,
-                    recs=recs, qp=qp)
+                    recs=recs, qp=qp, dual_ref=ref2 is not None)
 
     def finalize_frame(self, pending: dict):
         """Fetch the packed buffer (one tunnel round-trip) and entropy-code.
@@ -346,10 +361,11 @@ class FractalCodec:
                     w.se(h["mvx"].reshape(-1))
                     w.se(h["mvy"].reshape(-1))
             else:
+                rb = 3 if pending.get("dual_ref") else None
                 FS.write_tree(w, {f: h[f"{i}_{f}"] for f in
                                   ("a", "beta", "dx", "dy", "ref", "shape")},
                               cfg.fractal.search_range,
-                              cfg.fractal.use_halfpel_refs)
+                              cfg.fractal.use_halfpel_refs, ref_bits=rb)
             FS.write_residual(w, h[f"{i}_zz"], ph // 4, pw // 4, ent)
         payload = w.to_bytes()
 
@@ -532,10 +548,12 @@ class FractalCodec:
         """Encode 1 or 3 views (C[, R, L]) per the reference's scheme
         (``FR/src/code.c:171-306``): every view is intra-coded on I frames;
         on P frames the center view predicts from its own previous
-        reconstruction while the side views predict from the CENTER view's
-        current reconstruction (cross-view disparity search — our full
-        candidate lattice is a superset of the reference's seeded
-        ``full_search_R`` scan, FR/src/block_enc.c:2031).
+        reconstruction while the side views search BOTH their own previous
+        reconstruction and the CENTER view's current reconstruction, with
+        the chosen reference signaled per leaf (3-bit ref: planes 0-3 = own
+        prev C/H/M/N, 4-7 = center current) — the reference's per-view
+        C->H->M->N chain (FR/src/block_enc.c:560-830) plus the cross-view
+        disparity search (``full_search_R`` :2031, full-lattice superset).
 
         ``view_frames``: list over views of lists of (Y, U, V) frames.
         Returns (results [view][frame], stream bytes).
@@ -546,17 +564,21 @@ class FractalCodec:
         results = [[] for _ in range(n_views)]
         payloads = []
         ref_c = None
+        prev_views = [None] * n_views
         queue = []
         for idx in range(num_frames):
             intra = self.is_intra(idx) or ref_c is None
             disp_c = self.dispatch_frame(view_frames[0][idx],
                                          None if intra else ref_c, idx)
-            ref_c = disp_c["recs"]
             disps = [disp_c]
             for vi in range(1, n_views):
+                own_prev = None if intra else prev_views[vi]
                 disps.append(self.dispatch_frame(
-                    view_frames[vi][idx], None if intra else disp_c["recs"],
-                    idx))
+                    view_frames[vi][idx],
+                    own_prev, idx,
+                    ref2=None if intra else disp_c["recs"]))
+            ref_c = disp_c["recs"]
+            prev_views = [d["recs"] for d in disps]
             queue.append(disps)
             if len(queue) > 1:
                 self._emit_views(queue.pop(0), results, payloads, verbose)
@@ -611,13 +633,15 @@ class FractalDecoder:
 
     def _p_plane_fn(self, key):
         if key not in self._dec_p_plane:
-            h, w, use_hp, deblock, luma, groups = key
+            h, w, use_hp, deblock, luma, groups, dual = key
 
-            def fn(a, beta, dx, dy, refidx, shape, zz, ref, qp):
+            def fn(a, beta, dx, dy, refidx, shape, zz, ref, qp, ref2=None):
                 maps = dict(a=a, beta=beta, dx=dx, dy=dy, ref=refidx, shape=shape)
                 refp = _pad16(ref)
                 hp, wp = refp.shape
-                frec = F.reconstruct_from_maps(maps, refp, hp, wp, use_hp)[:h, :w]
+                x2 = _pad16(ref2) if dual else None
+                frec = F.reconstruct_from_maps(maps, refp, hp, wp, use_hp,
+                                               extra_ref_ctx=x2)[:h, :w]
                 lev = T.zigzag_unscan(zz)
                 deq = T.dequant4x4(lev, qp)
                 rec = T.reconstruct(T.frame_to_blocks(frec, 4), T.idct4x4(deq))
@@ -717,9 +741,10 @@ class FractalDecoder:
             return 0, tuple(np.full((h, w), 128, np.uint8)
                             for (h, w, _l) in plane_dims)
 
-        def decode_one(r, ref, fidx=0):
+        def decode_one(r, ref, fidx=0, ref2=None):
             """Parse + reconstruct one view payload; ref = its reference
-            frame planes (None for intra)."""
+            frame planes (None for intra); ref2 = second reference frame
+            (side views: center's current recon)."""
             if r is None:
                 return conceal(ref)
             ftype = r.u(8)
@@ -753,33 +778,46 @@ class FractalDecoder:
                     planes.append(self._decode_region_y(r, hdr, ref[0],
                                                         fidx, fqp))
                 start_pi = 1 if ftype == 3 else 0
+                dual = ref2 is not None
                 for pi, ((h, w, luma), q) in enumerate(zip(plane_dims, qps)):
                     if pi < start_pi:
                         continue
                     hp, wp = _pad16_np(h, w)
-                    maps = FS.read_tree(r, hp, wp, sr, use_hp)
+                    maps = FS.read_tree(r, hp, wp, sr, use_hp,
+                                        ref_bits=3 if dual else None)
                     zz = FS.read_residual(r, h // 4, w // 4, hdr["entropy"])
-                    fn = self._p_plane_fn((h, w, use_hp, dbl, luma, grp))
-                    rec = fn(*(jnp.asarray(maps[k], jnp.int32) for k in
-                               ("a", "beta", "dx", "dy", "ref", "shape")),
-                             jnp.asarray(zz, jnp.int32),
-                             jnp.asarray(ref[pi], jnp.int32), q)
+                    fn = self._p_plane_fn((h, w, use_hp, dbl, luma, grp,
+                                           dual))
+                    args = [jnp.asarray(maps[k], jnp.int32) for k in
+                            ("a", "beta", "dx", "dy", "ref", "shape")]
+                    args += [jnp.asarray(zz, jnp.int32),
+                             jnp.asarray(ref[pi], jnp.int32), q]
+                    if dual:
+                        args.append(jnp.asarray(ref2[pi], jnp.int32))
+                    rec = fn(*args)
                     planes.append(np.asarray(rec, np.uint8))
             r.byte_align()
             return ftype, tuple(planes)
 
         frames = [[] for _ in range(n_views)]
         ref_c = None
+        prev_views = [None] * n_views
         for fi in range(hdr["num_frames"]):
             ftype, planes_c = decode_one(unit_reader(fi * n_views), ref_c,
                                          fidx=fi)
             ref_c = planes_c
             frames[0].append(planes_c)
+            new_prev = [planes_c]
             for vi in range(1, n_views):
-                # side views reference the center view's current frame
+                # side views: own previous frame + the center's current
+                # frame as the second reference (intra frames ignore refs)
                 _, planes_v = decode_one(unit_reader(fi * n_views + vi),
+                                         prev_views[vi],
+                                         ref2=None if ftype == 0 else
                                          planes_c)
                 frames[vi].append(planes_v)
+                new_prev.append(planes_v)
+            prev_views = new_prev
             if verbose:
                 print(f"decoded frame {fi} type {'I' if ftype == 0 else 'P'}")
         return frames[0] if n_views == 1 else frames

@@ -651,7 +651,8 @@ def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
                  y_hi=None, search_mode: int = 0,
                  use_pallas=None, interpret: bool = False,
                  chun_lo: float = 0.9, chun_hi: float = 1.0,
-                 bounds=None, impl: str = None) -> TransTree:
+                 bounds=None, impl: str = None,
+                 extra_ref_ctx=None) -> TransTree:
     """Full fractal search of one plane against the previous reconstruction.
 
     The TPU expression of ``encode_one_macroblock`` (FR/src/block_enc.c:508)
@@ -664,6 +665,14 @@ def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
     assert H % 16 == 0 and W % 16 == 0
     org = org.astype(jnp.int32)
     refs = build_reference_stack(ref_ctx, use_halfpel)
+    if extra_ref_ctx is not None:
+        # dual reference frames (stereo side views, FR/src/block_enc.c
+        # C->H->M->N chain per view + cross-view full_search_R :2031):
+        # plane indices 0..R-1 = first frame, R..2R-1 = second frame; the
+        # (rms, ref, spiral) tie-break then reproduces the reference's
+        # strict-improvement reference order
+        refs = jnp.concatenate(
+            [refs, build_reference_stack(extra_ref_ctx, use_halfpel)], axis=0)
     offsets = candidate_offsets(search_range, search_mode)
     if y_lo is None:
         y_lo = 0
@@ -746,7 +755,8 @@ def leaf_maps(tree: TransTree, H: int, W: int):
 
 
 def reconstruct_from_maps(maps: dict, ref_ctx: jnp.ndarray, H: int, W: int,
-                          use_halfpel: bool = True, halo: int = 0) -> jnp.ndarray:
+                          use_halfpel: bool = True, halo: int = 0,
+                          extra_ref_ctx=None) -> jnp.ndarray:
     """Non-iterative fractal reconstruction of a whole plane from leaf maps.
 
     Exact integer form of ``rec = bound(0.5 + α·d + β − α·mean(d))``
@@ -759,6 +769,9 @@ def reconstruct_from_maps(maps: dict, ref_ctx: jnp.ndarray, H: int, W: int,
     [H + 2*halo, W] as in :func:`search_plane`.
     """
     refs = build_reference_stack(ref_ctx, use_halfpel)
+    if extra_ref_ctx is not None:
+        refs = jnp.concatenate(
+            [refs, build_reference_stack(extra_ref_ctx, use_halfpel)], axis=0)
     He = H + 2 * halo
 
     up = functools.partial(_upsample, fy=4, fx=4)
@@ -804,7 +817,9 @@ def reconstruct_from_maps(maps: dict, ref_ctx: jnp.ndarray, H: int, W: int,
 
 
 def reconstruct_plane(tree: TransTree, ref_ctx: jnp.ndarray, H: int, W: int,
-                      use_halfpel: bool = True, halo: int = 0) -> jnp.ndarray:
+                      use_halfpel: bool = True, halo: int = 0,
+                      extra_ref_ctx=None) -> jnp.ndarray:
     """Encoder-side reconstruction: resolve the tree then reconstruct."""
     return reconstruct_from_maps(leaf_maps(tree, H, W), ref_ctx, H, W,
-                                 use_halfpel, halo)
+                                 use_halfpel, halo,
+                                 extra_ref_ctx=extra_ref_ctx)
