@@ -60,3 +60,35 @@ def test_force_intra_mask_thresholds():
     assert mask.any()
     none = np.asarray(sim.force_intra_mask(drift, threshold=1e12))
     assert not none.any()
+
+
+def test_kdecoder_drift_drives_forced_intra_in_conformant_stream(foreman_qcif):
+    """Closed loss-aware loop (F20 wired): the K-decoder channel simulation's
+    drift map forces intra MBs in the next conformant P frame (the batched
+    analogue of RDOptimization=2 / md_highloss; ref FR/src/decoder.c:361)."""
+    import numpy as np
+    from h264tpu.models.errdo import KDecoderSim
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.slice_enc import encode_i_frame, encode_p_frame
+    from h264tpu.avc.inter import RefPlanes
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=30, deblock=False)
+    sim = KDecoderSim(k=8, p_loss=0.25, height=144, width=176, seed=3)
+
+    rbsp, rec, _ = encode_i_frame(frames[0], p)
+    sim.reset(rec[0])
+    ref = RefPlanes(*rec)
+    mask = None
+    forced_total = 0
+    for i in (1, 2):
+        rbsp, rec, ctx, stats = encode_p_frame(
+            frames[i], ref, p, frame_num=i, force_intra_mask=mask)
+        drift = sim.step(rec[0])
+        mask = np.asarray(sim.force_intra_mask(drift, threshold=20.0))
+        forced_total += int(mask.sum())
+        if mask.sum():
+            assert stats["n_intra"] >= 0
+        ref = RefPlanes(*rec)
+    # with 25% loss the drift must flag at least some MBs across 2 frames
+    assert forced_total > 0
