@@ -632,17 +632,21 @@ def chun_correlation(org, ref_c):
 
 
 def default_search_impl() -> str:
-    """Default search implementation per backend.
+    """Default search implementation: "scan" (lax.scan over offset chunks).
 
-    "wide" (python loop over static spiral chunks, XLA static slices, no
-    gathers) on TPU; "scan" (lax.scan, traced offsets) elsewhere — the scan
-    keeps CPU test compile times down.  "pallas" (fused VMEM cross kernel,
-    ops/fractal.pallas_cross_rows) is opt-in: it is bit-validated in
-    interpret mode and ran at CIF on hardware, but the axon TPU runtime in
-    this image can crash the worker on repeated launches (axon kernel-fault
-    wedges observed round 2), so it is not the default.
+    The alternatives are opt-in because the axon TPU runtime in this image
+    faults on large one-shot graphs (the same backend limitation the codec
+    works around by splitting per-stage jits — see FractalCodec.__init__):
+    * "wide"   — python loop over static spiral chunks, XLA static slices,
+      no gathers; bit-equivalent (test_search_impls_agree) but its large
+      unrolled graph crashed the axon worker during round-2 bench runs;
+    * "pallas" — fused VMEM cross kernel (pallas_cross_rows); bit-validated
+      in interpret mode, ran at CIF on hardware, but repeated launches
+      wedged the worker (~45 min recovery each).
+    On a standard Cloud TPU runtime, benchmark "wide"/"pallas" and flip this
+    default.
     """
-    return "wide" if jax.default_backend() == "tpu" else "scan"
+    return "scan"
 
 
 def search_plane(org: jnp.ndarray, ref_ctx: jnp.ndarray, *, search_range: int,
