@@ -343,3 +343,44 @@ def test_syntax_trace_and_report(jm_tools, tmp_path, foreman_qcif):
     assert rep.total_bits == sum(s["bits"] for s in stats)
     rep.append_logdat(str(tmp_path / "log.dat"))
     assert (tmp_path / "log.dat").read_text().count("|") > 8
+
+
+def test_sei_and_conformance_checks(jm_tools, foreman_qcif, tmp_path):
+    """SEI messages (recovery_point + user data) ride in the stream without
+    breaking ldecod decode; the profile/level checker flags violations
+    (J14 / J16)."""
+    import pytest as _pytest
+    from h264tpu.avc import sei as SEI
+    from h264tpu.avc import conformance as CF
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.bitstream.nal import (annexb_parse, annexb_write, NALU,
+                                       NAL_SEI)
+
+    frames = [foreman_qcif.read(i) for i in range(2)]
+    stream, recs, _ = encode_ippp(frames, 30)
+
+    # splice an SEI NALU after SPS/PPS
+    nalus = annexb_parse(stream)
+    msg = SEI.sei_nalu([
+        (SEI.RECOVERY_POINT, SEI.recovery_point_payload(0)),
+        (SEI.USER_DATA_UNREGISTERED, SEI.user_data_payload(b"h264tpu r2")),
+    ])
+    nalus = nalus[:2] + [msg] + nalus[2:]
+    stream2 = annexb_write(nalus)
+    assert ldecod_decode(tmp_path, stream2) == recon_bytes(recs)
+
+    # our parser round-trips the messages
+    got = SEI.parse_sei_rbsp([n for n in annexb_parse(stream2)
+                              if n.nal_type == NAL_SEI][0].rbsp)
+    assert got[0][0] == SEI.RECOVERY_POINT
+    assert SEI.parse_recovery_point(got[0][1])["recovery_frame_cnt"] == 0
+    assert got[1][1].endswith(b"h264tpu r2")
+
+    # conformance checks (JM conformance.c semantics)
+    CF.check_params(AVCParams(width=176, height=144, level_idc=30))
+    with _pytest.raises(CF.ConformanceError):
+        CF.level_check(10, width=1920, height=1088, frame_rate=30)
+    with _pytest.raises(CF.ConformanceError):
+        CF.profile_check(CF.BASELINE, cabac=True)
+    with _pytest.raises(CF.ConformanceError):
+        CF.profile_check(CF.MAIN, fmo=True)
