@@ -384,3 +384,22 @@ def test_sei_and_conformance_checks(jm_tools, foreman_qcif, tmp_path):
         CF.profile_check(CF.BASELINE, cabac=True)
     with _pytest.raises(CF.ConformanceError):
         CF.profile_check(CF.MAIN, fmo=True)
+
+
+def test_avccodec_driver_roundtrip(jm_tools, foreman_qcif, tmp_path):
+    """The high-level AVCCodec driver (lencod-shaped API): IPPP with 2 refs
+    + SATD, conformance-checked, ldecod- and self-decodable."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=30, deblock=True,
+                  num_ref_frames=2)
+    codec = AVCCodec(p, intra_period=0, search_range=8)
+    results, stream = codec.encode_sequence(frames)
+    assert results[0].frame_type == "IDR" and results[1].frame_type == "P"
+
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([r.recon for r in results])
+    ours, _ = AVCCodec.decode_sequence(stream)
+    assert recon_bytes(ours) == dec
