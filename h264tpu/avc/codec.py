@@ -41,6 +41,14 @@ class AVCCodec:
         self.intra_period = intra_period
         self.sr = search_range
         self.use_satd = use_satd
+        if p.slice_groups > 1 and intra_period != 1:
+            # encode_p_frame has no FMO support (one raster slice) while the
+            # PPS would still signal num_slice_groups>1 — ldecod would walk
+            # the FMO map and misdecode the P slices.  All-IDR sequences
+            # (intra_period == 1) are the supported FMO configuration.
+            raise ValueError(
+                "slice_groups > 1 requires intra_period == 1 (all-IDR): "
+                "P slices have no FMO support yet")
         if check_conformance:
             conformance.check_params(p)
 

@@ -66,7 +66,9 @@ def parse_sei_rbsp(rbsp: bytes):
     """-> list of (payload_type, payload_bytes)."""
     out = []
     i = 0
-    while i < len(rbsp) and rbsp[i] != 0x80:
+    # rbsp_trailing_bits is only the FINAL 0x80 byte; a 0x80 mid-stream is a
+    # valid payloadType byte (e.g. payload type 128), so stop only at the end.
+    while i < len(rbsp) and not (i == len(rbsp) - 1 and rbsp[i] == 0x80):
         ptype = 0
         while rbsp[i] == 255:
             ptype += 255

@@ -174,8 +174,16 @@ class AVCDecoder:
                 a_off = r.se() * 2
                 b_off = r.se() * 2
 
-        # reference list 0: decreasing PicNum (sliding window, no LT)
-        refs = [rp for _fn, _fr, rp in sorted(self.dpb, key=lambda t: -t[0])]
+        # reference list 0: decreasing PicNum with FrameNumWrap (spec 8.2.4.1:
+        # FrameNumWrap = frame_num - MaxFrameNum when frame_num > CurrFrameNum;
+        # JM ldecod mbuffer.c init_lists semantics)
+        max_fn = 1 << sps["log2_max_frame_num"]
+
+        def picnum(fn):
+            return fn if fn <= frame_num else fn - max_fn
+
+        refs = [rp for _fn, _fr, rp in
+                sorted(self.dpb, key=lambda t: -picnum(t[0]))]
 
         dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
                             mb_w, mb_h, num_ref)
@@ -195,8 +203,9 @@ class AVCDecoder:
             self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
             max_refs = max(sps["num_ref_frames"], 1)
             if len(self.dpb) > max_refs:
-                self.dpb.sort(key=lambda t: t[0])
-                self.dpb.pop(0)             # sliding window
+                # evict smallest FrameNumWrap (spec 8.2.5.3 sliding window)
+                self.dpb.sort(key=lambda t: picnum(t[0]))
+                self.dpb.pop(0)
         return frame
 
 

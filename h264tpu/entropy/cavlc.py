@@ -6,8 +6,8 @@ reference implementations: ``FR/src/macroblock.c:4367`` writeCoeff4x4_CAVLC,
 syntax element for EVERY 4x4 block simultaneously with numpy array ops —
 the per-coefficient "loops" are 16-step static unrolls over [nblocks]
 vectors — then emits one (code, length) symbol stream.  The decoder is a
-sequential bit parser (variable-length decode is inherently serial; a C
-fast path is on the roadmap).
+sequential bit parser (variable-length decode is inherently serial; the C
+fast path lives in ``native/fvc_native.cpp`` via ``entropy/native.py``).
 
 Our FVC format codes every 4x4 block (luma and chroma) with the 16-coeff
 tables; nC context is the in-plane left/top TotalCoeffs predictor.

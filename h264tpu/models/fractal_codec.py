@@ -10,8 +10,8 @@ coded intra, all others are fractal P frames:
 
 All per-frame compute is one jitted function per frame type; the Python level
 only loops over frames, packs bits, and moves uint8 planes in/out.  The intra
-path here is an interim DC-predicted residual coder; the full H.264 intra RDO
-engine replaces it per the build plan (SURVEY §7 phase 4).
+path is the 9-mode H.264-style wavefront coder (``ops/intra.py``); the fully
+conformant AVC encode path lives in ``avc/`` (see ``avc.codec.AVCCodec``).
 """
 
 from __future__ import annotations
@@ -305,7 +305,7 @@ class FractalCodec:
         elif classic:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
             mvs, zzs, recs = self._c_step(y, u, v, *refs, qp)
-        elif self.mesh is not None:
+        elif self.mesh is not None and ref2 is None:
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
             args = tuple(jax.device_put(a[None], self._frame_sharding)
                          for a in orgs + refs)
@@ -314,6 +314,10 @@ class FractalCodec:
             zzs = tuple(z[0] for z in zzs_b)
             recs = tuple(r[0] for r in recs_b)
         else:
+            # dual-ref (multiview side views) always takes the unsharded
+            # step: the tiled mesh step has no ref2 plumbing, and silently
+            # dropping the cross-view reference would degrade quality while
+            # the stream still pays 3-bit ref fields.
             refs = tuple(jnp.asarray(p, jnp.int32) for p in ref)
             r2 = None if ref2 is None else tuple(
                 jnp.asarray(p, jnp.int32) for p in ref2)

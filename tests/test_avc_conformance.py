@@ -13,6 +13,8 @@ import subprocess
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JM_BIN = os.path.join(REPO, ".jm", "JM", "bin")
 LDECOD = os.path.join(JM_BIN, "ldecod.exe")
