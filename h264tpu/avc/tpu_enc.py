@@ -1,0 +1,1050 @@
+"""TPU-resident conformant H.264 frame encoder (jitted per-frame graphs).
+
+This is the device-side re-design of the numpy host model in
+``avc/slice_enc.py`` (which remains the conformance oracle): the whole
+per-frame decision process — motion search over the candidate lattice,
+quarter-pel refinement, Lagrangian mode decision with *exact* CAVLC bit
+costs, intra 4x4/16x16/chroma prediction, residual transform/quant, and
+reconstruction — runs inside ``jax.jit``; only the final variable-length
+bit packing stays on host (``avc/pack.py``), consuming the per-MB symbol
+arrays this module emits.
+
+Architecture (TPU-first, not a translation of the C):
+
+* **Stage A** — integer motion search: SAD of every (8x8 cell, offset)
+  via shifted-difference planes (the candidate lattice IS the vector
+  axis, like the fractal engine); partition SADs (16x16/16x8/8x16/8x8)
+  are cell-sum regroupings.  Cost adds lambda_me * MVD bits against a
+  two-pass batched predictor (pass 1: pure-distortion 16x16 field;
+  pass 2: median of causal neighbors) — a parallel approximation of JM's
+  in-loop median predictor (the *true* spec predictor is applied during
+  the sequential decision scan).
+* **Stage B** — half- then quarter-pel refinement around each integer
+  best, batched over (MB, partition, ref) from the 4x-upsampled
+  half-pel grid (6-tap spec filter, ``ops/me.py``).
+* **Stage C** — one ``lax.scan`` over MBs in raster order carrying the
+  reconstruction/MV-field/nnz state: spec 8.4.1.3 median MV prediction,
+  P_Skip detection, intra 4x4 (9 modes, sequential 16-block sub-scan)
+  / 16x16 / chroma evaluation, JM-exact mode decision, residual coding
+  of the winner, symbol emission.
+
+Reference semantics: ``JM/lencod/src/slice.c:431`` encode_one_slice,
+``mv_search.c:960`` BlockMotionSearch, ``rdopt.c`` Lagrangian costs;
+decode twin ``JM/ldecod/src/mb_read.c:1139``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.me import sixtap_halfpel
+from ..ops.transform import COEFF_COST
+from . import quant_jax as QJ
+from . import intra_jax as IJ
+from . import cavlc_jax as CJ
+from .tables import BLOCK_SCAN, BLOCK_SCAN_INV
+
+BIG = jnp.float32(1e18)
+
+# partition slots in 8x8-cell units: (cy, cx, ch, cw)
+SLOTS = ((0, 0, 2, 2),                      # 0: 16x16
+         (0, 0, 1, 2), (1, 0, 1, 2),        # 1,2: 16x8 top/bot
+         (0, 0, 2, 1), (0, 1, 2, 1),        # 3,4: 8x16 left/right
+         (0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1))  # 5-8: 8x8
+# inter modes -> slots and 4x4-cell partition geometry (dy4, dx4, h4, w4)
+MODE_SLOTS = ((0,), (1, 2), (3, 4), (5, 6, 7, 8))
+MODE_GEO4 = (((0, 0, 4, 4),),
+             ((0, 0, 2, 4), (2, 0, 2, 4)),
+             ((0, 0, 4, 2), (0, 2, 4, 2)),
+             ((0, 0, 2, 2), (0, 2, 2, 2), (2, 0, 2, 2), (2, 2, 2, 2)))
+MODE_TAGS = (("none",), ("16x8_top", "16x8_bot"),
+             ("8x16_left", "8x16_right"), ("none",) * 4)
+MODE_HDR_BITS = (1, 3, 3, 9)                # mb_type ue (+ 4x sub_mb_type)
+
+_SCANY = jnp.asarray(np.asarray(BLOCK_SCAN)[:, 0].astype(np.int32))
+_SCANX = jnp.asarray(np.asarray(BLOCK_SCAN)[:, 1].astype(np.int32))
+_COEFF_COST = jnp.asarray(COEFF_COST)
+
+
+def se_bits(v):
+    """Exact se(v) bit length, elementwise traced int32."""
+    v = v.astype(jnp.int32)
+    k = jnp.where(v > 0, 2 * v - 1, -2 * v)
+    return 2 * (31 - jax.lax.clz((k + 1).astype(jnp.int32))) + 1
+
+
+def te_bits(v, num_ref: int):
+    """ref_idx_l0 te(v) bit length (static list size)."""
+    if num_ref <= 1:
+        return jnp.int32(0)
+    if num_ref == 2:
+        return jnp.int32(1)
+    v = v.astype(jnp.int32)
+    return 2 * (31 - jax.lax.clz(v + 1)) + 1
+
+
+def lambdas(qp):
+    """(lambda_mode, lambda_me) as traced f32 (JM 0.85 * 2^((QP-12)/3))."""
+    lam = jnp.float32(0.85) * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
+    return lam, jnp.sqrt(lam)
+
+
+# ===========================================================================
+# Reference preparation
+# ===========================================================================
+
+def luma_pad(sr: int) -> int:
+    return sr + 4
+
+
+def chroma_pad(sr: int) -> int:
+    return sr // 2 + 3
+
+
+def prep_ref(rec_y, rec_u, rec_v, sr: int):
+    """Build the MC-ready planes of one reference picture (device).
+
+    Returns (up [4*(H+2P), 4*(W+2P)] int32 quarter-pel grid,
+             u_pad, v_pad int32).  The quarter-pel grid is the spec
+    8.4.2.2.1 process (6-tap half-pel + bilinear quarter; ops/me.py)."""
+    P, PC = luma_pad(sr), chroma_pad(sr)
+    y = jnp.pad(rec_y.astype(jnp.int32), P, mode="edge")
+    up = sixtap_halfpel(y)
+    u = jnp.pad(rec_u.astype(jnp.int32), PC, mode="edge")
+    v = jnp.pad(rec_v.astype(jnp.int32), PC, mode="edge")
+    return up, u, v
+
+
+# ===========================================================================
+# Stage A: integer full search over the candidate lattice
+# ===========================================================================
+
+def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
+    """Integer-pel search for all 9 partition slots of every MB.
+
+    org_y [H, W] int32; ref_ys [R, H+2P, W+2P] padded integer luma planes.
+    Returns (mv_int [R, 9, nmb, 2] in integer pel, sad_int [R, 9, nmb]).
+
+    Pass 1 finds the pure-distortion 16x16 field; pass 2 re-runs the
+    argmin with lambda_me * MVD-bits cost against the median of causal
+    pass-1 neighbors (batched predictor approximation)."""
+    H, W = org_y.shape
+    mb_h, mb_w = H // 16, W // 16
+    nmb = mb_h * mb_w
+    n8y, n8x = H // 8, W // 8
+    P = luma_pad(sr)
+    o = org_y.astype(jnp.int32)
+    R = ref_ys.shape[0]
+
+    offs_np = np.array([(dy, dx) for dy in range(-sr, sr + 1)
+                        for dx in range(-sr, sr + 1)], np.int32)
+    noff = offs_np.shape[0]
+    npad = (-noff) % chunk
+    offs_np = np.concatenate([offs_np, np.zeros((npad, 2), np.int32)])
+    ok_np = np.concatenate([np.ones(noff, bool), np.zeros(npad, bool)])
+    steps = offs_np.shape[0] // chunk
+    offs_j = jnp.asarray(offs_np.reshape(steps, chunk, 2))
+    ok_j = jnp.asarray(ok_np.reshape(steps, chunk))
+    pri_j = jnp.asarray(np.arange(offs_np.shape[0], dtype=np.int32)
+                        .reshape(steps, chunk))
+
+    def cell_sads(ref_pad, offs_c):
+        """SAD per 8x8 cell for a chunk of offsets -> [chunk, n8y, n8x]."""
+        def one(off):
+            s = jax.lax.dynamic_slice(ref_pad, (P + off[0], P + off[1]),
+                                      (H, W))
+            d = jnp.abs(o - s)
+            return d.reshape(n8y, 8, n8x, 8).sum(axis=(1, 3),
+                                                 dtype=jnp.int32)
+        return jax.vmap(one)(offs_c)
+
+    def slot_sads(s8):
+        """[..., n8y, n8x] cell SADs -> [..., 9, nmb] partition SADs."""
+        c = s8.reshape(*s8.shape[:-2], mb_h, 2, mb_w, 2)
+        c = jnp.moveaxis(c, (-3, -1), (-2, -1))      # [..., mb_h, mb_w, 2, 2]
+        c = c.reshape(*s8.shape[:-2], nmb, 2, 2)
+        outs = [c[..., cy:cy + ch, cx:cx + cw].sum(axis=(-1, -2))
+                for (cy, cx, ch, cw) in SLOTS]
+        return jnp.stack(outs, axis=-2)              # [..., 9, nmb]
+
+    def search(pmv_q):
+        """pmv_q [R, 9, nmb, 2] quarter-pel predictors (or None)."""
+        def per_ref(ref_pad, pmv_r):
+            init = dict(c=jnp.full((9, nmb), BIG),
+                        dy=jnp.zeros((9, nmb), jnp.int32),
+                        dx=jnp.zeros((9, nmb), jnp.int32),
+                        s=jnp.zeros((9, nmb), jnp.int32),
+                        p=jnp.full((9, nmb), jnp.int32(1 << 30)))
+
+            def step(carry, xs):
+                offs_c, ok_c, pri_c = xs
+                s8 = cell_sads(ref_pad, offs_c)
+                sl = slot_sads(s8)                   # [chunk, 9, nmb]
+                cost = sl.astype(jnp.float32)
+                if pmv_r is not None:
+                    bits = (se_bits(4 * offs_c[:, None, None, 1]
+                                    - pmv_r[None, ..., 0])
+                            + se_bits(4 * offs_c[:, None, None, 0]
+                                      - pmv_r[None, ..., 1]))
+                    cost = cost + lam_me * bits.astype(jnp.float32)
+                cost = jnp.where(ok_c[:, None, None], cost, BIG)
+                best = jnp.min(cost, axis=0)
+                pri = jnp.where(cost == best[None], pri_c[:, None, None],
+                                jnp.int32(1 << 30))
+                bp = jnp.min(pri, axis=0)
+                sel = jnp.argmin(pri, axis=0)
+                cand = dict(c=best,
+                            dy=offs_c[sel, 0],
+                            dx=offs_c[sel, 1],
+                            s=jnp.take_along_axis(sl, sel[None], 0)[0],
+                            p=bp)
+                win = (cand["c"] < carry["c"]) | (
+                    (cand["c"] == carry["c"]) & (cand["p"] < carry["p"]))
+                return {k: jnp.where(win, cand[k], carry[k])
+                        for k in carry}, None
+
+            out, _ = jax.lax.scan(step, init, (offs_j, ok_j, pri_j))
+            return out
+
+        if pmv_q is None:
+            outs = jax.vmap(lambda rp: per_ref(rp, None))(ref_ys)
+        else:
+            outs = jax.vmap(per_ref)(ref_ys, pmv_q)
+        mv = jnp.stack([outs["dx"], outs["dy"]], axis=-1)   # [R, 9, nmb, 2]
+        return mv, outs["s"]
+
+    # pass 1: pure distortion, 16x16 only is needed but the full search is
+    # one fused graph — take slot 0 of the result
+    mv1, _ = search(None)
+    f16 = mv1[:, 0].reshape(R, mb_h, mb_w, 2)               # integer pel
+
+    # batched causal median predictor (left, top, top-right; edge fallbacks)
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(1, 2))
+
+    av_l = jnp.arange(mb_w) > 0
+    av_t = (jnp.arange(mb_h) > 0)[:, None]
+    av_tr = av_t & (jnp.arange(mb_w) < mb_w - 1)[None, :]
+    a = jnp.where(av_l[None, None, :, None], shift(f16, 0, 1), 0)
+    b = jnp.where(av_t[None, :, :, None], shift(f16, 1, 0), 0)
+    cc = jnp.where(av_tr[None, :, :, None], shift(f16, 1, -1), 0)
+    med = a + b + cc - jnp.minimum(jnp.minimum(a, b), cc) \
+        - jnp.maximum(jnp.maximum(a, b), cc)
+    pmv2 = (4 * med).reshape(R, 1, nmb, 2)
+    pmv2 = jnp.broadcast_to(pmv2, (R, 9, nmb, 2))
+
+    mv2, sad2 = search(pmv2)
+    return mv2, sad2, pmv2
+
+
+# ===========================================================================
+# Stage B: subpel refinement
+# ===========================================================================
+
+def _gather_block(up, y0, x0, mvx, mvy, bh: int, bw: int, P: int):
+    """Prediction block [bh, bw] from the quarter-pel grid; scalar coords."""
+    ys = ((y0 + P) * 4 + mvy).astype(jnp.int32)
+    xs = ((x0 + P) * 4 + mvx).astype(jnp.int32)
+    sl = jax.lax.dynamic_slice(up, (ys, xs), (4 * bh - 3, 4 * bw - 3))
+    return sl[::4, ::4]
+
+
+def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me):
+    """Refine every (ref, slot, MB) to quarter-pel.
+
+    Returns (mv_q [R, 9, nmb, 2], sad_q [R, 9, nmb])."""
+    H, W = org_y.shape
+    mb_h, mb_w = H // 16, W // 16
+    nmb = mb_h * mb_w
+    P = luma_pad(sr)
+    R = ups.shape[0]
+    o = org_y.astype(jnp.int32)
+
+    mb_i = jnp.arange(nmb, dtype=jnp.int32)
+    mb_y = (mb_i // mb_w) * 16
+    mb_x = (mb_i % mb_w) * 16
+
+    out_mv = []
+    out_sad = []
+    for s, (cy, cx, ch, cw) in enumerate(SLOTS):
+        bh, bw = ch * 8, cw * 8
+        y0 = mb_y + cy * 8
+        x0 = mb_x + cx * 8
+        ob = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+            o, (yy, xx), (bh, bw)))(y0, x0)          # [nmb, bh, bw]
+
+        def refine_one(up_r, mv0, pm, obk, yy, xx):
+            mvx = 4 * mv0[0]
+            mvy = 4 * mv0[1]
+
+            def cost_at(cx_, cy_):
+                pred = _gather_block(up_r, yy, xx, cx_, cy_, bh, bw, P)
+                sad = jnp.abs(obk - pred).sum(dtype=jnp.int32)
+                bits = se_bits(cx_ - pm[0]) + se_bits(cy_ - pm[1])
+                return sad, sad.astype(jnp.float32) + lam_me * bits
+
+            sad0, best = cost_at(mvx, mvy)
+            state = (mvx, mvy, sad0, best)
+            for step in (2, 1):
+                bx_, by_ = state[0], state[1]
+                for ddy in (-step, 0, step):
+                    for ddx in (-step, 0, step):
+                        if ddx == 0 and ddy == 0:
+                            continue
+                        cx_, cy_ = bx_ + ddx, by_ + ddy
+                        sad, cost = cost_at(cx_, cy_)
+                        mvx, mvy, sad0, best = state
+                        better = cost < best
+                        state = (jnp.where(better, cx_, mvx),
+                                 jnp.where(better, cy_, mvy),
+                                 jnp.where(better, sad, sad0),
+                                 jnp.where(better, cost, best))
+            return jnp.stack([state[0], state[1]]), state[2]
+
+        f = jax.vmap(jax.vmap(refine_one, in_axes=(None, 0, 0, 0, 0, 0)),
+                     in_axes=(0, 0, 0, None, None, None))
+        mv_s, sad_s = f(ups, mv_int[:, s], pmv2[:, s], ob, y0, x0)
+        out_mv.append(mv_s)
+        out_sad.append(sad_s)
+    return jnp.stack(out_mv, axis=1), jnp.stack(out_sad, axis=1)
+
+
+# ===========================================================================
+# Stage C helpers: MV prediction on the traced field
+# ===========================================================================
+
+def _cell_read(mvf_mv, mvf_ref, ov_mv, ov_ref, mb_by, mb_bx, by, bx,
+               h4: int, w4: int):
+    """Read one 4x4 MV cell with current-MB overlay.
+
+    Returns (mv [2] int32, ref int32, avail bool)."""
+    inside = (by >= 0) & (bx >= 0) & (by < h4) & (bx < w4)
+    byc = jnp.clip(by, 0, h4 - 1)
+    bxc = jnp.clip(bx, 0, w4 - 1)
+    g_mv = mvf_mv[byc, bxc]
+    g_ref = mvf_ref[byc, bxc]
+    ly, lx = by - mb_by, bx - mb_bx
+    in_mb = (ly >= 0) & (ly < 4) & (lx >= 0) & (lx < 4)
+    lyc = jnp.clip(ly, 0, 3)
+    lxc = jnp.clip(lx, 0, 3)
+    mv = jnp.where(in_mb, ov_mv[lyc, lxc], g_mv)
+    ref = jnp.where(in_mb, ov_ref[lyc, lxc], g_ref)
+    avail = inside & (ref > -2)
+    mv = jnp.where(avail, mv, 0)
+    ref = jnp.where(avail, ref, -1)
+    return mv, ref, avail
+
+
+def _predict_mv(mvf_mv, mvf_ref, ov_mv, ov_ref, mb_by, mb_bx,
+                by, bx, bw4: int, ref_idx, tag: str, h4: int, w4: int):
+    """Spec 8.4.1.3 median predictor (mirror of inter.MVField.predict)."""
+    args = (mvf_mv, mvf_ref, ov_mv, ov_ref, mb_by, mb_bx)
+    mv_a, ref_a, av_a = _cell_read(*args, by, bx - 1, h4, w4)
+    mv_b, ref_b, av_b = _cell_read(*args, by - 1, bx, h4, w4)
+    mv_c, ref_c, av_c = _cell_read(*args, by - 1, bx + bw4, h4, w4)
+    mv_d, ref_d, av_d = _cell_read(*args, by - 1, bx - 1, h4, w4)
+    mv_c = jnp.where(av_c, mv_c, mv_d)
+    ref_c = jnp.where(av_c, ref_c, ref_d)
+    av_c = av_c | av_d
+
+    m_a = ref_a == ref_idx
+    m_b = ref_b == ref_idx
+    m_c = ref_c == ref_idx
+    nhits = m_a.astype(jnp.int32) + m_b + m_c
+    one_hit = nhits == 1
+    hit_mv = jnp.where(m_a[..., None], mv_a,
+                       jnp.where(m_b[..., None], mv_b, mv_c))
+
+    med = mv_a + mv_b + mv_c \
+        - jnp.minimum(jnp.minimum(mv_a, mv_b), mv_c) \
+        - jnp.maximum(jnp.maximum(mv_a, mv_b), mv_c)
+
+    only_a = av_a & ~av_b & ~av_c
+    pred = jnp.where(only_a[..., None], mv_a,
+                     jnp.where(one_hit[..., None], hit_mv, med))
+
+    if tag == "16x8_top":
+        pred = jnp.where(m_b[..., None], mv_b, pred)
+    elif tag == "16x8_bot":
+        pred = jnp.where(m_a[..., None], mv_a, pred)
+    elif tag == "8x16_left":
+        pred = jnp.where(m_a[..., None], mv_a, pred)
+    elif tag == "8x16_right":
+        pred = jnp.where(m_c[..., None], mv_c, pred)
+    return pred
+
+
+def _skip_mv(mvf_mv, mvf_ref, ov_mv, ov_ref, mb_by, mb_bx, by, bx,
+             h4: int, w4: int):
+    args = (mvf_mv, mvf_ref, ov_mv, ov_ref, mb_by, mb_bx)
+    mv_a, ref_a, av_a = _cell_read(*args, by, bx - 1, h4, w4)
+    mv_b, ref_b, av_b = _cell_read(*args, by - 1, bx, h4, w4)
+    zero_a = (ref_a == 0) & (mv_a[..., 0] == 0) & (mv_a[..., 1] == 0)
+    zero_b = (ref_b == 0) & (mv_b[..., 0] == 0) & (mv_b[..., 1] == 0)
+    use_zero = ~av_a | ~av_b | zero_a | zero_b
+    pred = _predict_mv(mvf_mv, mvf_ref, ov_mv, ov_ref, mb_by, mb_bx,
+                       by, bx, 4, jnp.int32(0), "none", h4, w4)
+    return jnp.where(use_zero[..., None], jnp.zeros(2, jnp.int32), pred)
+
+
+# ===========================================================================
+# Stage C helpers: intra evaluation (traced per-MB; mirrors slice_enc)
+# ===========================================================================
+
+_INV = np.asarray(BLOCK_SCAN_INV, np.int64)
+_TR_INMB_OK = np.zeros(16, bool)
+for _k in range(16):
+    _y4, _x4 = int(np.asarray(BLOCK_SCAN)[_k][0]), int(np.asarray(BLOCK_SCAN)[_k][1])
+    if _y4 > 0 and _x4 < 3:
+        _TR_INMB_OK[_k] = _INV[_y4 - 1, _x4 + 1] < _k
+_TR_INMB_OK = jnp.asarray(_TR_INMB_OK)
+
+
+def _eval_i16(rec_pad, org_y, mby, mbx, qp, lam):
+    """Intra 16x16 RD over 4 modes.  Returns dict(i16mode, dc_zz [16],
+    ac_zzs [4,4,15], cbp_luma bool, rec [16,16], ssd, cost)."""
+    y0, x0 = mby * 16, mbx * 16
+    avail_t = mby > 0
+    avail_l = mbx > 0
+    top16 = jax.lax.dynamic_slice(rec_pad, (y0, x0 + 1), (1, 16))[0]
+    left16 = jax.lax.dynamic_slice(rec_pad, (y0 + 1, x0), (16, 1))[:, 0]
+    corner = jax.lax.dynamic_slice(rec_pad, (y0, x0), (1, 1))[0, 0]
+    preds, allowed = IJ.pred16x16_all(top16, left16, corner, avail_t, avail_l)
+    org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16)).astype(jnp.int32)
+
+    res = org16[None] - preds                                   # [4,16,16]
+    blocks = res.reshape(4, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+    w = QJ.fdct4x4(blocks)                                      # [4,4,4,4,4]
+    dc = w[..., 0, 0]
+    had = QJ.hadamard4x4_fwd(dc)
+    dc_lev = QJ.quant_dc16(had, qp)
+    dc_deq = QJ.dequant_dc16(dc_lev, qp)
+    ac_lev = QJ.quant4x4(w, qp, True)
+    ac_lev = ac_lev.at[..., 0, 0].set(0)
+    ac_zz = QJ.zigzag(ac_lev)[..., 1:]                          # [4,4,4,15]
+    cbp = (ac_zz != 0).any(axis=(-1, -2, -3))                   # [4]
+    deq = jnp.where(cbp[:, None, None, None, None],
+                    QJ.dequant4x4(ac_lev, qp), 0)
+    deq = deq.at[..., 0, 0].set(dc_deq)
+    pred_b = preds.reshape(4, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+    rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
+    rec = rec_b.transpose(0, 1, 3, 2, 4).reshape(4, 16, 16)
+    ssd = ((org16[None] - rec) ** 2).sum(axis=(1, 2))
+
+    dc_zz = QJ.zigzag(dc_lev.reshape(4, 1, 4, 4))[:, 0]         # [4,16]
+    ac_flat = ac_zz.reshape(4 * 16, 15)
+    ac_bits = CJ.block_bits(ac_flat, jnp.zeros(64, jnp.int32), 15)
+    ac_bits = ac_bits.reshape(4, 16).sum(-1)
+    dc_bits = CJ.block_bits(dc_zz, jnp.zeros(4, jnp.int32), 16)
+    bits = jnp.where(cbp, ac_bits, 0) + dc_bits
+    cost = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32)
+    cost = jnp.where(allowed, cost, BIG)
+    m = jnp.argmin(cost)
+    return dict(i16mode=m.astype(jnp.int32), dc_zz=dc_zz[m], ac_zzs=ac_zz[m],
+                cbp_luma=cbp[m], rec=rec[m], cost=cost[m])
+
+
+def _eval_i4(rec_pad, i4m, nnz_y, org_y, mby, mbx, qp, lam,
+             mb_h: int, mb_w: int):
+    """Intra 4x4 RD (sequential 16-block sub-scan).
+
+    Returns dict(modes [16] coding order, zzs [16,16], flags [16,2],
+    rec [16,16], nnz_cells [4,4], modes_cells [4,4], cost)."""
+    y0, x0 = mby * 16, mbx * 16
+    by0, bx0 = mby * 4, mbx * 4
+    h4, w4 = mb_h * 4, mb_w * 4
+    patch = jax.lax.dynamic_slice(rec_pad, (y0, x0), (17, 25))
+    org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16)).astype(jnp.int32)
+
+    # neighbor-MB context (clipped reads; masked by avail flags)
+    lcol = jnp.clip(bx0 - 1, 0, w4 - 1)
+    trow = jnp.clip(by0 - 1, 0, h4 - 1)
+    lmode_col = jax.lax.dynamic_slice(i4m, (by0, lcol), (4, 1))[:, 0]
+    tmode_row = jax.lax.dynamic_slice(i4m, (trow, bx0), (1, 4))[0]
+    lnnz_col = jax.lax.dynamic_slice(nnz_y, (by0, lcol), (4, 1))[:, 0]
+    tnnz_row = jax.lax.dynamic_slice(nnz_y, (trow, bx0), (1, 4))[0]
+    has_l_mb = mbx > 0
+    has_t_mb = mby > 0
+
+    def blk(carry, k):
+        patch, modes_loc, nnz_loc, ssd_tot, bits_tot = carry
+        y4 = _SCANY[k]
+        x4 = _SCANX[k]
+        avail_t = (y4 > 0) | has_t_mb
+        avail_l = (x4 > 0) | has_l_mb
+        tr = jnp.where(
+            y4 == 0,
+            jnp.where(x4 < 3, has_t_mb, has_t_mb & (mbx < mb_w - 1)),
+            jnp.where(x4 == 3, False, _TR_INMB_OK[k]))
+
+        top9 = jax.lax.dynamic_slice(patch, (4 * y4, 1 + 4 * x4), (1, 8))[0]
+        left4 = jax.lax.dynamic_slice(patch, (1 + 4 * y4, 4 * x4), (4, 1))[:, 0]
+        corner = jax.lax.dynamic_slice(patch, (4 * y4, 4 * x4), (1, 1))[0, 0]
+        preds, allowed = IJ.pred4x4_all(top9, left4, corner,
+                                        avail_t, avail_l, tr)
+
+        ma = jnp.where(avail_l,
+                       jnp.where(x4 > 0, modes_loc[y4, jnp.maximum(x4 - 1, 0)],
+                                 lmode_col[y4]), -2)
+        mb_ = jnp.where(avail_t,
+                        jnp.where(y4 > 0, modes_loc[jnp.maximum(y4 - 1, 0), x4],
+                                  tmode_row[x4]), -2)
+        mpm = jnp.where((ma == -2) | (mb_ == -2), 2,
+                        jnp.minimum(jnp.where(ma >= 0, ma, 2),
+                                    jnp.where(mb_ >= 0, mb_, 2)))
+        na = jnp.where(avail_l,
+                       jnp.where(x4 > 0, nnz_loc[y4, jnp.maximum(x4 - 1, 0)],
+                                 lnnz_col[y4]), 0)
+        nb = jnp.where(avail_t,
+                       jnp.where(y4 > 0, nnz_loc[jnp.maximum(y4 - 1, 0), x4],
+                                 tnnz_row[x4]), 0)
+        nc = jnp.where(avail_l & avail_t, (na + nb + 1) >> 1,
+                       jnp.where(avail_l, na, jnp.where(avail_t, nb, 0)))
+
+        org4 = jax.lax.dynamic_slice(org16, (4 * y4, 4 * x4), (4, 4))
+        w = QJ.fdct4x4(org4[None] - preds)
+        lev = QJ.quant4x4(w, qp, True)
+        zz = QJ.zigzag(lev)                                     # [9,16]
+        deq = QJ.dequant4x4(lev, qp)
+        rec9 = QJ.reconstruct(preds, QJ.idct4x4(deq))
+        ssd9 = ((org4[None] - rec9) ** 2).sum(axis=(1, 2))
+        mode_bits9 = jnp.where(jnp.arange(9) == mpm, 1, 4)
+        coeff9 = CJ.block_bits(zz, jnp.full(9, nc, jnp.int32), 16)
+        cost9 = ssd9.astype(jnp.float32) + \
+            lam * (mode_bits9 + coeff9).astype(jnp.float32)
+        cost9 = jnp.where(allowed, cost9, BIG)
+        m = jnp.argmin(cost9).astype(jnp.int32)
+
+        patch = jax.lax.dynamic_update_slice(patch, rec9[m],
+                                             (1 + 4 * y4, 1 + 4 * x4))
+        modes_loc = jax.lax.dynamic_update_slice(
+            modes_loc, m[None, None], (y4, x4))
+        cnt = (zz[m] != 0).sum().astype(jnp.int32)
+        nnz_loc = jax.lax.dynamic_update_slice(
+            nnz_loc, cnt[None, None], (y4, x4))
+        flag = (m == mpm).astype(jnp.int32)
+        rem = m - (m > mpm)
+        ssd_tot = ssd_tot + ssd9[m]
+        bits_tot = bits_tot + mode_bits9[m] + coeff9[m]
+        return (patch, modes_loc, nnz_loc, ssd_tot, bits_tot), \
+            (m, zz[m], jnp.stack([flag, rem]))
+
+    init = (patch, jnp.full((4, 4), -1, jnp.int32),
+            jnp.zeros((4, 4), jnp.int32), jnp.int32(0), jnp.int32(0))
+    (patch, modes_loc, nnz_loc, ssd_tot, bits_tot), (modes, zzs, flags) = \
+        jax.lax.scan(blk, init, jnp.arange(16, dtype=jnp.int32))
+    cost = ssd_tot.astype(jnp.float32) + lam * bits_tot.astype(jnp.float32)
+    return dict(modes=modes, zzs=zzs, flags=flags, rec=patch[1:17, 1:17],
+                nnz_cells=nnz_loc, modes_cells=modes_loc, cost=cost)
+
+
+def _eval_chroma_intra(recu_pad, recv_pad, org_u, org_v, mby, mbx, qpc):
+    """Chroma intra: SAD mode pick + residual (mirror encode_chroma_mb).
+
+    Returns dict(mode, dc_levels [2,4], ac_zzs [2,2,2,15], recs [2,8,8],
+    cbp_chroma)."""
+    cy0, cx0 = mby * 8, mbx * 8
+    avail_t = mby > 0
+    avail_l = mbx > 0
+
+    outs = []
+    for pad, org in ((recu_pad, org_u), (recv_pad, org_v)):
+        patch = jax.lax.dynamic_slice(pad, (cy0, cx0), (9, 9))
+        preds, allowed = IJ.pred_chroma_all(patch[0, 1:9], patch[1:9, 0],
+                                            patch[0, 0], avail_t, avail_l)
+        o8 = jax.lax.dynamic_slice(org, (cy0, cx0), (8, 8)).astype(jnp.int32)
+        outs.append((preds, allowed, o8))
+
+    sad4 = sum(jnp.abs(o8[None] - preds).sum(axis=(1, 2))
+               for preds, _a, o8 in outs)
+    cost4 = jnp.where(outs[0][1], sad4.astype(jnp.float32), BIG)
+    mode = jnp.argmin(cost4).astype(jnp.int32)
+
+    dc_levels = []
+    ac_zzs = []
+    recs_parts = []
+    for preds, _a, o8 in outs:
+        pred = preds[mode]
+        res = o8 - pred
+        blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)   # [2,2,4,4]
+        w = QJ.fdct4x4(blocks)
+        had = QJ.hadamard2x2_fwd(w[..., 0, 0])                   # [4]
+        dc_lev = QJ.quant_dc_chroma(had, qpc, True)
+        ac_lev = QJ.quant4x4(w, qpc, True)
+        ac_lev = ac_lev.at[..., 0, 0].set(0)
+        ac_zz = QJ.zigzag(ac_lev)[..., 1:]                       # [2,2,15]
+        dc_levels.append(dc_lev)
+        ac_zzs.append(ac_zz)
+        recs_parts.append((pred, ac_lev, QJ.dequant_dc_chroma(dc_lev, qpc)))
+
+    dc_levels = jnp.stack(dc_levels)                             # [2,4]
+    ac_zzs = jnp.stack(ac_zzs)                                   # [2,2,2,15]
+    any_ac = (ac_zzs != 0).any()
+    any_dc = (dc_levels != 0).any()
+    cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0)).astype(jnp.int32)
+
+    recs = []
+    for pred, ac_lev, dc_deq in recs_parts:
+        deq = jnp.where(cbp_chroma == 2, QJ.dequant4x4(ac_lev, qpc), 0)
+        deq = deq.at[..., 0, 0].set(jnp.where(cbp_chroma >= 1, dc_deq, 0))
+        pred_b = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
+        recs.append(rec_b.transpose(0, 2, 1, 3).reshape(8, 8))
+    ac_zzs = jnp.where(cbp_chroma == 2, ac_zzs, 0)
+    dc_levels = jnp.where(cbp_chroma >= 1, dc_levels, 0)
+    return dict(mode=mode, dc_levels=dc_levels, ac_zzs=ac_zzs,
+                recs=jnp.stack(recs), cbp_chroma=cbp_chroma)
+
+
+# ===========================================================================
+# Stage C helpers: inter residual coding (mirror code_inter_*_mb)
+# ===========================================================================
+
+def _coeff_cost(zz):
+    """JM run-based single-coefficient cost over [..., n] scan levels."""
+    n = zz.shape[-1]
+    nz = zz != 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    marked = jnp.where(nz, idx, jnp.int32(-1))
+    prev_incl = jax.lax.cummax(marked, axis=zz.ndim - 1)
+    prev_excl = jnp.concatenate(
+        [jnp.full((*zz.shape[:-1], 1), -1, jnp.int32),
+         prev_incl[..., :-1]], axis=-1)
+    run = idx - prev_excl - 1
+    per = jnp.where(jnp.abs(zz) > 1, jnp.int32(999999),
+                    _COEFF_COST[jnp.clip(run, 0, 15)])
+    return jnp.where(nz, per, 0).sum(axis=-1)
+
+
+def _code_inter_luma(org16, pred16, qp):
+    """-> (zz_coding [16,16], rec [16,16], cbp_luma_bits int32)."""
+    res = org16.astype(jnp.int32) - pred16
+    blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)      # [y4,x4,4,4]
+    w = QJ.fdct4x4(blocks)
+    lev = QJ.quant4x4(w, qp, False)
+    zz = QJ.zigzag(lev)                                         # [4,4,16]
+
+    cost44 = _coeff_cost(zz)                                    # [4,4]
+    c8 = cost44.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4)
+    cost8 = c8.sum(-1)                                          # [4] b8 order
+    drop8 = cost8 <= 4
+    total = jnp.where(drop8, 0, cost8).sum()
+    drop8 = drop8 | (total <= 5)
+    drop44 = drop8.reshape(2, 2)
+    drop44 = jnp.repeat(jnp.repeat(drop44, 2, 0), 2, 1)         # [4,4] y4,x4
+    zz = jnp.where(drop44[..., None], 0, zz)
+    lev = jnp.where(drop44[..., None, None], 0, lev)
+
+    deq = QJ.dequant4x4(lev, qp)
+    pred_b = pred16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+    rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
+    rec = rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+
+    nz44 = (zz != 0).any(-1)                                    # [y4,x4]
+    nz8 = nz44.reshape(2, 2, 2, 2).any(axis=(1, 3))             # [2,2] b8 grid
+    cbp_bits = (nz8.reshape(4).astype(jnp.int32)
+                * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
+    zz_coding = zz[_SCANY, _SCANX]                              # [16,16]
+    return zz_coding, rec, cbp_bits
+
+
+def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
+    """-> (dc_levels [2,4], ac_zzs [2,2,2,15], recs [2,8,8], cbp_chroma)."""
+    dc_levels = []
+    ac_zzs = []
+    parts = []
+    for org, pred in ((org_u8, pred_u8), (org_v8, pred_v8)):
+        res = org.astype(jnp.int32) - pred
+        blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        w = QJ.fdct4x4(blocks)
+        had = QJ.hadamard2x2_fwd(w[..., 0, 0])
+        dc_lev = QJ.quant_dc_chroma(had, qpc, False)
+        ac_lev = QJ.quant4x4(w, qpc, False)
+        ac_lev = ac_lev.at[..., 0, 0].set(0)
+        ac_zz = QJ.zigzag(ac_lev)[..., 1:]
+        c_cost = _coeff_cost(ac_zz).sum()
+        keep = c_cost >= 4
+        ac_zz = jnp.where(keep, ac_zz, 0)
+        ac_lev = jnp.where(keep, ac_lev, 0)
+        dc_levels.append(dc_lev)
+        ac_zzs.append(ac_zz)
+        parts.append((pred, ac_lev, QJ.dequant_dc_chroma(dc_lev, qpc)))
+    dc_levels = jnp.stack(dc_levels)
+    ac_zzs = jnp.stack(ac_zzs)
+    any_ac = (ac_zzs != 0).any()
+    any_dc = (dc_levels != 0).any()
+    cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0)).astype(jnp.int32)
+    recs = []
+    for pred, ac_lev, dc_deq in parts:
+        deq = jnp.where(cbp_chroma == 2, QJ.dequant4x4(ac_lev, qpc), 0)
+        deq = deq.at[..., 0, 0].set(jnp.where(cbp_chroma >= 1, dc_deq, 0))
+        pred_b = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
+        recs.append(rec_b.transpose(0, 2, 1, 3).reshape(8, 8))
+    ac_zzs = jnp.where(cbp_chroma == 2, ac_zzs, 0)
+    dc_levels = jnp.where(cbp_chroma >= 1, dc_levels, 0)
+    return dc_levels, ac_zzs, jnp.stack(recs), cbp_chroma
+
+
+def _chroma_block(plane, cy, cx, mvx, mvy, bh: int, bw: int, PC: int):
+    """Spec 8.4.2.2.2 bilinear chroma MC; mv in luma quarter-pel."""
+    ix = mvx >> 3
+    fx = mvx & 7
+    iy = mvy >> 3
+    fy = mvy & 7
+    base = jax.lax.dynamic_slice(
+        plane, ((cy + PC + iy).astype(jnp.int32),
+                (cx + PC + ix).astype(jnp.int32)), (bh + 1, bw + 1))
+    A = base[:bh, :bw]
+    B = base[:bh, 1:]
+    C = base[1:, :bw]
+    D = base[1:, 1:]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+
+# ===========================================================================
+# The per-frame encoder graph
+# ===========================================================================
+
+# cell -> partition-index map per inter mode (4x4 cells of the MB)
+def _part_map():
+    maps = np.zeros((4, 4, 4), np.int32)
+    for m, parts in enumerate(MODE_GEO4):
+        for pi, (dy4, dx4, h4p, w4p) in enumerate(parts):
+            maps[m, dy4:dy4 + h4p, dx4:dx4 + w4p] = pi
+    return jnp.asarray(maps)
+
+
+_PART_MAP = _part_map()
+
+
+def te_bits_t(v, n_active):
+    """te(v) bit length with traced active-list size."""
+    v = v.astype(jnp.int32)
+    ue = 2 * (31 - jax.lax.clz(v + 1)) + 1
+    return jnp.where(n_active <= 1, 0, jnp.where(n_active == 2, 1, ue))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
+                              "chroma_qp_offset"))
+def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
+                 force_intra, *, mb_h: int, mb_w: int, sr: int,
+                 intra_only: bool, chroma_qp_offset: int = 0):
+    """Encode one frame's decisions + residuals on device.
+
+    org_*: int32 planes.  ref_ups [R, 4*(H+2P), 4*(W+2P)]: quarter-pel
+    grids of reference list 0 (most recent first; pad slots by repeating
+    and set ``n_valid``); ref_us/ref_vs: padded chroma planes.  qp traced
+    int32; force_intra [mb_h, mb_w] traced bool.
+
+    Returns (symbols dict of [nmb, ...] arrays, (rec_y, rec_u, rec_v),
+    ctx dict with nnz/mv/ref/mb_intra for deblocking).
+    """
+    H, W = mb_h * 16, mb_w * 16
+    H2, W2 = H // 2, W // 2
+    h4, w4 = mb_h * 4, mb_w * 4
+    nmb = mb_h * mb_w
+    qp = jnp.asarray(qp, jnp.int32)
+    lam, lam_me = lambdas(qp)
+    qpc = QJ.chroma_qp(qp, chroma_qp_offset)
+    P, PC = luma_pad(sr), chroma_pad(sr)
+    org_y = org_y.astype(jnp.int32)
+    org_u = org_u.astype(jnp.int32)
+    org_v = org_v.astype(jnp.int32)
+
+    if not intra_only:
+        R = ref_ups.shape[0]
+        ref_pads = ref_ups[:, ::4, ::4]            # integer samples
+        mv_int, _sad_int, pmv2 = _integer_search(org_y, ref_pads, sr, lam_me)
+        mv_q, sad_q = _subpel_refine(org_y, ref_ups, mv_int, _sad_int,
+                                     pmv2, sr, lam_me)
+        # mv_q [R, 9, nmb, 2] (x, y) quarter-pel; sad_q [R, 9, nmb]
+        mv_q = jnp.moveaxis(mv_q, 2, 0)            # [nmb, R, 9, 2]
+        sad_q = jnp.moveaxis(sad_q, 2, 0)          # [nmb, R, 9]
+    else:
+        R = 1
+        mv_q = jnp.zeros((nmb, 1, 9, 2), jnp.int32)
+        sad_q = jnp.zeros((nmb, 1, 9), jnp.int32)
+
+    state = dict(
+        rec_y=jnp.zeros((H + 1, W + 9), jnp.int32),
+        rec_u=jnp.zeros((H2 + 1, W2 + 1), jnp.int32),
+        rec_v=jnp.zeros((H2 + 1, W2 + 1), jnp.int32),
+        mv=jnp.zeros((h4, w4, 2), jnp.int32),
+        ref=jnp.full((h4, w4), -2, jnp.int32),
+        nnz_y=jnp.zeros((h4, w4), jnp.int32),
+        nnz_c=jnp.zeros((2, mb_h * 2, mb_w * 2), jnp.int32),
+        i4m=jnp.full((h4, w4), -1, jnp.int32),
+    )
+
+    def body(st, xs):
+        i, mv_mb, sad_mb, forced = xs              # mv_mb [R,9,2], sad [R,9]
+        mby = i // mb_w
+        mbx = i % mb_w
+        y0, x0 = mby * 16, mbx * 16
+        cy0, cx0 = mby * 8, mbx * 8
+        by0, bx0 = mby * 4, mbx * 4
+
+        org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16))
+        org_u8 = jax.lax.dynamic_slice(org_u, (cy0, cx0), (8, 8))
+        org_v8 = jax.lax.dynamic_slice(org_v, (cy0, cx0), (8, 8))
+
+        # ---- intra candidates ----
+        i16 = _eval_i16(st["rec_y"], org_y, mby, mbx, qp, lam)
+        i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org_y, mby, mbx,
+                      qp, lam, mb_h, mb_w)
+        ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u, org_v,
+                                mby, mbx, qpc)
+        i16_cost = i16["cost"] + lam * 11.0
+        i4_cost = i4["cost"] + lam * 9.0
+
+        if intra_only:
+            costs = jnp.stack([i16_cost, i4_cost])
+            win = jnp.argmin(costs)
+            use_i16 = win == 0
+            is_intra = jnp.bool_(True)
+            is_skip = jnp.bool_(False)
+            win_m = jnp.int32(0)
+            win_r = jnp.int32(0)
+            win_mvs = jnp.zeros((4, 2), jnp.int32)
+            win_mvds = jnp.zeros((4, 2), jnp.int32)
+            pred16 = jnp.zeros((16, 16), jnp.int32)
+            pred_u8 = jnp.zeros((8, 8), jnp.int32)
+            pred_v8 = jnp.zeros((8, 8), jnp.int32)
+            zzc = jnp.zeros((16, 16), jnp.int32)
+            rec16_int = jnp.zeros((16, 16), jnp.int32)
+            cbp_bits_int = jnp.int32(0)
+            dcl_int = jnp.zeros((2, 4), jnp.int32)
+            acz_int = jnp.zeros((2, 2, 2, 15), jnp.int32)
+            crecs_int = jnp.zeros((2, 8, 8), jnp.int32)
+            cbp_c_int = jnp.int32(0)
+        else:
+            # ---- inter candidate costs per (mode, ref) ----
+            mode_costs = []
+            mode_mvds = []
+            mode_mvs = []
+            for m, (parts, tags, slots) in enumerate(
+                    zip(MODE_GEO4, MODE_TAGS, MODE_SLOTS)):
+
+                def eval_ref(r_val, mv_r, sad_r, m=m, parts=parts,
+                             tags=tags, slots=slots):
+                    ov_mv = jnp.zeros((4, 4, 2), jnp.int32)
+                    ov_ref = jnp.full((4, 4), -2, jnp.int32)
+                    bits = jnp.float32(MODE_HDR_BITS[m]) \
+                        + len(parts) * te_bits_t(r_val, n_valid).astype(
+                            jnp.float32)
+                    sad = jnp.int32(0)
+                    mvds = jnp.zeros((4, 2), jnp.int32)
+                    mvs = jnp.zeros((4, 2), jnp.int32)
+                    for pi, ((dy4, dx4, h4p, w4p), tag, slot) in enumerate(
+                            zip(parts, tags, slots)):
+                        pm = _predict_mv(st["mv"], st["ref"], ov_mv, ov_ref,
+                                         by0, bx0, by0 + dy4, bx0 + dx4,
+                                         w4p, r_val, tag, h4, w4)
+                        mv = mv_r[slot]
+                        bits = bits + (se_bits(mv[0] - pm[0])
+                                       + se_bits(mv[1] - pm[1])).astype(
+                                           jnp.float32)
+                        sad = sad + sad_r[slot]
+                        ov_mv = ov_mv.at[dy4:dy4 + h4p,
+                                         dx4:dx4 + w4p].set(mv)
+                        ov_ref = ov_ref.at[dy4:dy4 + h4p,
+                                           dx4:dx4 + w4p].set(r_val)
+                        mvds = mvds.at[pi].set(mv - pm)
+                        mvs = mvs.at[pi].set(mv)
+                    cost = sad.astype(jnp.float32) + lam * bits
+                    return cost, mvds, mvs
+
+                c_r, mvd_r, mv_r = jax.vmap(eval_ref)(
+                    jnp.arange(R, dtype=jnp.int32), mv_mb, sad_mb)
+                mode_costs.append(c_r)             # [R]
+                mode_mvds.append(mvd_r)            # [R,4,2]
+                mode_mvs.append(mv_r)
+            cost_mat = jnp.stack(mode_costs, axis=1)          # [R, 4]
+            valid = jnp.arange(R) < n_valid
+            cost_mat = jnp.where(valid[:, None], cost_mat, BIG)
+            cost_mat = jnp.where(forced, BIG, cost_mat)
+            inter_flat = cost_mat.reshape(-1)                  # ri-major
+            costs = jnp.concatenate(
+                [inter_flat, jnp.stack([i16_cost, i4_cost])])
+            win = jnp.argmin(costs)
+            is_intra = win >= 4 * R
+            use_i16 = win == 4 * R
+            win_r = jnp.where(is_intra, 0, win // 4).astype(jnp.int32)
+            win_m = jnp.where(is_intra, 0, win % 4).astype(jnp.int32)
+            mvds_all = jnp.stack(mode_mvds, axis=1)            # [R,4,4,2]
+            mvs_all = jnp.stack(mode_mvs, axis=1)
+            win_mvds = mvds_all[win_r, win_m]                  # [4,2]
+            win_mvs = mvs_all[win_r, win_m]
+
+            # ---- winner prediction blocks (gather all refs, select) ----
+            lsel = []
+            usel = []
+            vsel = []
+            for s, (cy, cx, chs, cws) in enumerate(SLOTS):
+                bh, bw = chs * 8, cws * 8
+
+                def lg(up_r, mv_s):
+                    return _gather_block(up_r, y0 + cy * 8, x0 + cx * 8,
+                                         mv_s[0], mv_s[1], bh, bw, P)
+
+                def cg(pl_r, mv_s, comp_bh=bh // 2, comp_bw=bw // 2,
+                       ccy=cy * 4, ccx=cx * 4):
+                    return _chroma_block(pl_r, cy0 + ccy, cx0 + ccx,
+                                         mv_s[0], mv_s[1],
+                                         comp_bh, comp_bw, PC)
+
+                lp = jax.vmap(lg)(ref_ups, mv_mb[:, s])        # [R,bh,bw]
+                upb = jax.vmap(cg)(ref_us, mv_mb[:, s])
+                vpb = jax.vmap(cg)(ref_vs, mv_mb[:, s])
+                lsel.append(lp[win_r])
+                usel.append(upb[win_r])
+                vsel.append(vpb[win_r])
+
+            pred_modes = jnp.stack([
+                lsel[0],
+                jnp.concatenate([lsel[1], lsel[2]], axis=0),
+                jnp.concatenate([lsel[3], lsel[4]], axis=1),
+                jnp.concatenate(
+                    [jnp.concatenate([lsel[5], lsel[6]], axis=1),
+                     jnp.concatenate([lsel[7], lsel[8]], axis=1)], axis=0),
+            ])
+            pred16 = pred_modes[win_m]
+            predu_modes = jnp.stack([
+                usel[0],
+                jnp.concatenate([usel[1], usel[2]], axis=0),
+                jnp.concatenate([usel[3], usel[4]], axis=1),
+                jnp.concatenate(
+                    [jnp.concatenate([usel[5], usel[6]], axis=1),
+                     jnp.concatenate([usel[7], usel[8]], axis=1)], axis=0),
+            ])
+            pred_u8 = predu_modes[win_m]
+            predv_modes = jnp.stack([
+                vsel[0],
+                jnp.concatenate([vsel[1], vsel[2]], axis=0),
+                jnp.concatenate([vsel[3], vsel[4]], axis=1),
+                jnp.concatenate(
+                    [jnp.concatenate([vsel[5], vsel[6]], axis=1),
+                     jnp.concatenate([vsel[7], vsel[8]], axis=1)], axis=0),
+            ])
+            pred_v8 = predv_modes[win_m]
+
+            zzc, rec16_int, cbp_bits_int = _code_inter_luma(
+                org16, pred16, qp)
+            dcl_int, acz_int, crecs_int, cbp_c_int = _code_inter_chroma(
+                org_u8, org_v8, pred_u8, pred_v8, qpc)
+
+            # ---- P_Skip ----
+            ov0_mv = jnp.zeros((4, 4, 2), jnp.int32)
+            ov0_ref = jnp.full((4, 4), -2, jnp.int32)
+            smv = _skip_mv(st["mv"], st["ref"], ov0_mv, ov0_ref,
+                           by0, bx0, by0, bx0, h4, w4)
+            is_skip = (~is_intra) & (win_m == 0) & (win_r == 0) \
+                & (cbp_bits_int == 0) & (cbp_c_int == 0) \
+                & (win_mvs[0, 0] == smv[0]) & (win_mvs[0, 1] == smv[1])
+
+        # ---- select winner outputs ----
+        sel_intra = is_intra
+        sel_i16 = sel_intra & use_i16
+        sel_i4 = sel_intra & ~use_i16
+
+        rec16 = jnp.where(sel_i16, i16["rec"],
+                          jnp.where(sel_i4, i4["rec"],
+                                    jnp.where(is_skip, pred16, rec16_int)))
+        rec_u8 = jnp.where(sel_intra, ch["recs"][0],
+                           jnp.where(is_skip, pred_u8, crecs_int[0]))
+        rec_v8 = jnp.where(sel_intra, ch["recs"][1],
+                           jnp.where(is_skip, pred_v8, crecs_int[1]))
+
+        # cbp
+        i4_nzk = (i4["zzs"] != 0).any(-1)                     # [16] coding
+        i4_cbp = (i4_nzk.reshape(4, 4).any(-1).astype(jnp.int32)
+                  * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
+        i16_cbp = jnp.where(i16["cbp_luma"], 15, 0)
+        cbp_luma = jnp.where(sel_i16, i16_cbp,
+                             jnp.where(sel_i4, i4_cbp,
+                                       jnp.where(is_skip, 0, cbp_bits_int)))
+        cbp_chroma = jnp.where(sel_intra, ch["cbp_chroma"],
+                               jnp.where(is_skip, 0, cbp_c_int))
+
+        # luma zz in coding order
+        i16_zzc = jnp.pad(i16["ac_zzs"][_SCANY, _SCANX], ((0, 0), (0, 1)))
+        i16_zzc = jnp.where(i16["cbp_luma"], i16_zzc, 0)
+        zz_out = jnp.where(sel_i16, i16_zzc,
+                           jnp.where(sel_i4, i4["zzs"],
+                                     jnp.where(is_skip, 0, zzc)))
+        cdc_out = jnp.where(sel_intra, ch["dc_levels"],
+                            jnp.where(is_skip, 0, dcl_int))
+        cac_out = jnp.where(sel_intra, ch["ac_zzs"],
+                            jnp.where(is_skip, 0, acz_int))
+
+        # nnz bookkeeping cells
+        nnz_i16 = jnp.where(i16["cbp_luma"],
+                            (i16["ac_zzs"] != 0).sum(-1), 0)  # [4,4]
+        nnz_int = jnp.zeros((4, 4), jnp.int32).at[_SCANY, _SCANX].set(
+            (zzc != 0).sum(-1))
+        nnz_cells = jnp.where(sel_i16, nnz_i16,
+                              jnp.where(sel_i4, i4["nnz_cells"],
+                                        jnp.where(is_skip, 0, nnz_int)))
+        nnzc_cells = jnp.where(cbp_chroma == 2,
+                               (cac_out != 0).sum(-1), 0)     # [2,2,2]
+
+        i4m_cells = jnp.where(sel_i4, i4["modes_cells"], -1)
+        mv_cells = jnp.where(sel_intra, 0, win_mvs[_PART_MAP[win_m]])
+        ref_cells = jnp.where(sel_intra, -1,
+                              jnp.broadcast_to(win_r, (4, 4)))
+
+        st = dict(st)
+        st["rec_y"] = jax.lax.dynamic_update_slice(
+            st["rec_y"], rec16, (y0 + 1, x0 + 1))
+        st["rec_u"] = jax.lax.dynamic_update_slice(
+            st["rec_u"], rec_u8, (cy0 + 1, cx0 + 1))
+        st["rec_v"] = jax.lax.dynamic_update_slice(
+            st["rec_v"], rec_v8, (cy0 + 1, cx0 + 1))
+        st["mv"] = jax.lax.dynamic_update_slice(
+            st["mv"], mv_cells, (by0, bx0, 0))
+        st["ref"] = jax.lax.dynamic_update_slice(
+            st["ref"], ref_cells, (by0, bx0))
+        st["nnz_y"] = jax.lax.dynamic_update_slice(
+            st["nnz_y"], nnz_cells, (by0, bx0))
+        st["nnz_c"] = jax.lax.dynamic_update_slice(
+            st["nnz_c"], nnzc_cells, (0, mby * 2, mbx * 2))
+        st["i4m"] = jax.lax.dynamic_update_slice(
+            st["i4m"], i4m_cells, (by0, bx0))
+
+        win_code = jnp.where(sel_i16, 6,
+                             jnp.where(sel_i4, 5,
+                                       jnp.where(is_skip, 0, 1 + win_m)))
+        out = dict(
+            win=win_code.astype(jnp.int32),
+            ri=jnp.where(sel_intra, 0, win_r).astype(jnp.int32),
+            mvd=jnp.where(sel_intra, 0, win_mvds).astype(jnp.int32),
+            i4flags=i4["flags"].astype(jnp.int32),
+            i16mode=i16["i16mode"],
+            i16dc=i16["dc_zz"].astype(jnp.int32),
+            cmode=ch["mode"],
+            cbp_luma=cbp_luma.astype(jnp.int32),
+            cbp_chroma=cbp_chroma.astype(jnp.int32),
+            zz=zz_out.astype(jnp.int32),
+            cdc=cdc_out.astype(jnp.int32),
+            cac=cac_out.astype(jnp.int32),
+            mb_intra=sel_intra,
+        )
+        return st, out
+
+    xs = (jnp.arange(nmb, dtype=jnp.int32), mv_q, sad_q,
+          force_intra.reshape(-1))
+    state, sym = jax.lax.scan(body, state, xs)
+
+    rec = (state["rec_y"][1:H + 1, 1:W + 1],
+           state["rec_u"][1:, 1:], state["rec_v"][1:, 1:])
+    ctx = dict(nnz=state["nnz_y"], mv=state["mv"],
+               ref=jnp.maximum(state["ref"], -1),
+               mb_intra=sym["mb_intra"].reshape(mb_h, mb_w))
+    return sym, rec, ctx
