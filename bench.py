@@ -90,6 +90,29 @@ def bench_resolution(H, W, qp, sr, n_timed, n_warm=2):
     return fps, macs / 1e9
 
 
+def bench_avc(n_timed=8, qp=28, sr=8, n_slices=9):
+    """Conformant H.264 path (TPU-resident encoder): CIF IPPP.
+
+    Returns (fps, psnr_y_mean, kbps at 30 fps).  Baseline for vs_jm:
+    the JM 18.5 authors' foreman CIF row (BASELINE.md §B, 0.0516 fps
+    on their 2008 CPU)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+    frames = make_frames(n_timed + 2, 288, 352)
+    p = AVCParams(width=352, height=288, qp=qp, num_ref_frames=1)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=sr,
+                        n_slices=n_slices)
+    codec.encode_sequence(frames[:2])              # compile
+    t0 = time.time()
+    results, stream = codec.encode_sequence(frames)
+    dt = time.time() - t0
+    fps = len(frames) / dt
+    psnr = sum(r.psnr_y for r in results) / len(results)
+    kbps = len(stream) * 8 * 30.0 / len(frames) / 1000.0
+    return fps, psnr, kbps
+
+
 def main():
     out = {}
     try:
@@ -118,6 +141,15 @@ def main():
         except Exception as e:             # keep the headline row alive
             out[f"{name}_fps"] = None
             out[f"{name}_error"] = type(e).__name__
+    try:
+        avc_fps, avc_psnr, avc_kbps = bench_avc()
+        out["avc_cif_fps"] = round(avc_fps, 3)
+        out["avc_cif_psnr_y"] = round(avc_psnr, 2)
+        out["avc_cif_kbps"] = round(avc_kbps, 1)
+        out["avc_vs_jm2008"] = round(avc_fps / JM_BASELINE_FPS, 1)
+    except Exception as e:
+        out["avc_cif_fps"] = None
+        out["avc_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     print(json.dumps(out))
 
 

@@ -171,3 +171,50 @@ def block_bits(zz, nc, max_coeff: int, chroma_dc: bool = False):
     (bits, _), _ = jax.lax.scan(run_step, (bits, tz),
                                 jnp.arange(n - 1, dtype=jnp.int32))
     return jnp.where(total > 0, bits, bits * 1)
+
+
+def block_bits_est(zz, nc, max_coeff: int, chroma_dc: bool = False):
+    """Fast vectorized CAVLC bit estimate for on-device RD costs.
+
+    Exact token / total_zeros table lengths and trailing-one signs, but
+    the two sequential VLC adaptations are approximated without their
+    chains: level lengths use the chain's *initial* vlcnum for every
+    level, and run_before lengths use the zerosleft row of the first run
+    only.  Typically within a few bits of :func:`block_bits`; the
+    emitted stream is unaffected (decisions only).
+    """
+    f = block_fields(zz)
+    total, t1, tz = f["total"], f["t1"], f["total_zeros"]
+    lev = f["lev_by_rank"]
+    runs = f["run_by_rank"]
+    n = zz.shape[-1]
+
+    if chroma_dc:
+        bits = _CDC_TOKEN_LEN[t1, total]
+    else:
+        nc = jnp.asarray(nc, jnp.int32)
+        vt = jnp.where(nc < 2, 0, jnp.where(nc < 4, 1, jnp.where(nc < 8, 2, 3)))
+        tbl = _TOKEN_LEN[jnp.minimum(vt, 2), t1, total]
+        bits = jnp.where(vt == 3, jnp.int32(6), tbl)
+    bits = bits + t1
+
+    rank = jnp.arange(n, dtype=jnp.int32)
+    coded = rank < (total - t1)[..., None]
+    labs = jnp.abs(lev)
+    sign = (lev < 0).astype(jnp.int32)
+    vlc0 = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    ln = _level_len(jnp.maximum(labs, 1), sign, vlc0[..., None])
+    bits = bits + jnp.where(coded, ln, 0).sum(-1)
+
+    has_tz = (total > 0) & (total < max_coeff)
+    if chroma_dc:
+        tz_len = _CDC_TZ_LEN[jnp.clip(total - 1, 0, 2), jnp.clip(tz, 0, 3)]
+    else:
+        tz_len = _TZ_LEN[jnp.clip(total - 1, 0, 14), jnp.clip(tz, 0, 15)]
+    bits = bits + jnp.where(has_tz, tz_len, 0)
+
+    row = jnp.clip(tz - 1, 0, 6)[..., None]
+    rb = _RB_LEN[jnp.broadcast_to(row, runs.shape), jnp.clip(runs, 0, 15)]
+    run_coded = (rank >= 1) & (rank <= (total - 1)[..., None])
+    bits = bits + jnp.where(run_coded & (tz > 0)[..., None], rb, 0).sum(-1)
+    return bits

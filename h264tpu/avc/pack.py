@@ -49,8 +49,8 @@ def _nnz_planes(sym, mb_h: int, mb_w: int):
     return nnz_y, nnz_c
 
 
-def _nc_luma(nnz_y, by, bx):
-    has_a, has_b = bx > 0, by > 0
+def _nc_luma(nnz_y, by, bx, top_by=0):
+    has_a, has_b = bx > 0, by > top_by
     na = int(nnz_y[by, bx - 1]) if has_a else 0
     nb = int(nnz_y[by - 1, bx]) if has_b else 0
     if has_a and has_b:
@@ -58,8 +58,8 @@ def _nc_luma(nnz_y, by, bx):
     return na if has_a else (nb if has_b else 0)
 
 
-def _nc_chroma(nnz_c, ci, by, bx):
-    has_a, has_b = bx > 0, by > 0
+def _nc_chroma(nnz_c, ci, by, bx, top_by=0):
+    has_a, has_b = bx > 0, by > top_by
     na = int(nnz_c[ci, by, bx - 1]) if has_a else 0
     nb = int(nnz_c[ci, by - 1, bx]) if has_b else 0
     if has_a and has_b:
@@ -68,10 +68,10 @@ def _nc_chroma(nnz_c, ci, by, bx):
 
 
 def _write_luma_residual(w, sym_zz, cbp_luma, nnz_y, mby, mbx, i16: bool,
-                         i16dc=None):
+                         i16dc=None, top_by=0):
     scan = np.asarray(BLOCK_SCAN)
     if i16:
-        nc = _nc_luma(nnz_y, mby * 4, mbx * 4)
+        nc = _nc_luma(nnz_y, mby * 4, mbx * 4, top_by)
         CV.write_block(w, i16dc, nc, 16)
     for k in range(16):
         y4, x4 = int(scan[k][0]), int(scan[k][1])
@@ -79,15 +79,16 @@ def _write_luma_residual(w, sym_zz, cbp_luma, nnz_y, mby, mbx, i16: bool,
         b8 = (y4 // 2) * 2 + (x4 // 2)
         if i16:
             if cbp_luma:
-                nc = _nc_luma(nnz_y, by, bx)
+                nc = _nc_luma(nnz_y, by, bx, top_by)
                 CV.write_block(w, sym_zz[k][:15], nc, 15)
         else:
             if cbp_luma & (1 << b8):
-                nc = _nc_luma(nnz_y, by, bx)
+                nc = _nc_luma(nnz_y, by, bx, top_by)
                 CV.write_block(w, sym_zz[k], nc, 16)
 
 
-def _write_chroma_residual(w, cdc, cac, cbp_chroma, nnz_c, mby, mbx):
+def _write_chroma_residual(w, cdc, cac, cbp_chroma, nnz_c, mby, mbx,
+                           top_by=0):
     if cbp_chroma > 0:
         for ci in range(2):
             CV.write_block(w, cdc[ci], -1, 4)
@@ -95,12 +96,13 @@ def _write_chroma_residual(w, cdc, cac, cbp_chroma, nnz_c, mby, mbx):
         for ci in range(2):
             for by4 in range(2):
                 for bx4 in range(2):
-                    nc = _nc_chroma(nnz_c, ci, mby * 2 + by4, mbx * 2 + bx4)
+                    nc = _nc_chroma(nnz_c, ci, mby * 2 + by4, mbx * 2 + bx4,
+                                    top_by)
                     CV.write_block(w, cac[ci, by4, bx4], nc, 15)
 
 
 def _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i, use_i16: bool,
-                         in_p: bool):
+                         in_p: bool, top_row=0):
     """mb_type .. residual for one intra MB (shared I/P logic)."""
     cbp_luma = int(sym["cbp_luma"][i])
     cbp_chroma = int(sym["cbp_chroma"][i])
@@ -125,42 +127,49 @@ def _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i, use_i16: bool,
         w.se(0)
     zz = np.asarray(sym["zz"][i])
     _write_luma_residual(w, zz, cbp_luma, nnz_y, mby, mbx, use_i16,
-                         i16dc=np.asarray(sym["i16dc"][i]))
+                         i16dc=np.asarray(sym["i16dc"][i]),
+                         top_by=top_row * 4)
     _write_chroma_residual(w, np.asarray(sym["cdc"][i]),
                            np.asarray(sym["cac"][i]), cbp_chroma,
-                           nnz_c, mby, mbx)
+                           nnz_c, mby, mbx, top_by=top_row * 2)
 
 
 def pack_i_slice(sym, p: AVCParams, qp: int, frame_num: int = 0,
-                 idr: bool = True, idr_pic_id: int = 0) -> bytes:
-    """Pack an all-intra frame's symbols into one I/IDR slice RBSP."""
+                 idr: bool = True, idr_pic_id: int = 0,
+                 row0: int = 0, n_rows: int = None) -> bytes:
+    """Pack an all-intra frame's symbols into one I/IDR slice RBSP
+    covering MB rows [row0, row0 + n_rows) (a row-band slice)."""
     mb_h, mb_w = p.mb_h, p.mb_w
+    n_rows = mb_h - row0 if n_rows is None else n_rows
     nnz_y, nnz_c = _nnz_planes(sym, mb_h, mb_w)
     w = BitWriter()
     write_slice_header(w, p, SLICE_I, frame_num, idr, qp,
-                       idr_pic_id=idr_pic_id)
+                       idr_pic_id=idr_pic_id, first_mb=row0 * mb_w)
     win = np.asarray(sym["win"])
-    for i in range(mb_h * mb_w):
+    for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
         mby, mbx = i // mb_w, i % mb_w
         _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i,
-                             use_i16=win[i] == WIN_I16, in_p=False)
+                             use_i16=win[i] == WIN_I16, in_p=False,
+                             top_row=row0)
     w.u(1, 1)
     return w.to_bytes()
 
 
 def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
-                 num_ref: int) -> bytes:
-    """Pack a P frame's symbols into one P slice RBSP."""
+                 num_ref: int, row0: int = 0, n_rows: int = None) -> bytes:
+    """Pack a P frame's symbols into one P slice RBSP covering MB rows
+    [row0, row0 + n_rows)."""
     mb_h, mb_w = p.mb_h, p.mb_w
+    n_rows = mb_h - row0 if n_rows is None else n_rows
     nnz_y, nnz_c = _nnz_planes(sym, mb_h, mb_w)
     win = np.asarray(sym["win"])
     mvd = np.asarray(sym["mvd"])
     ri = np.asarray(sym["ri"])
     w = BitWriter()
     write_slice_header(w, p, SLICE_P, frame_num, False, qp,
-                       num_ref_idx_l0=num_ref)
+                       num_ref_idx_l0=num_ref, first_mb=row0 * mb_w)
     skip_run = 0
-    for i in range(mb_h * mb_w):
+    for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
         mby, mbx = i // mb_w, i % mb_w
         wc = int(win[i])
         if wc == WIN_SKIP:
@@ -170,7 +179,8 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
         skip_run = 0
         if wc in (WIN_I4, WIN_I16):
             _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i,
-                                 use_i16=wc == WIN_I16, in_p=True)
+                                 use_i16=wc == WIN_I16, in_p=True,
+                                 top_row=row0)
             continue
         mb_type = {WIN_16x16: 0, WIN_16x8: 1, WIN_8x16: 2, WIN_P8x8: 3}[wc]
         w.ue(mb_type)
@@ -195,10 +205,10 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
         if cbp > 0:
             w.se(0)
             _write_luma_residual(w, np.asarray(sym["zz"][i]), cbp_luma,
-                                 nnz_y, mby, mbx, False)
+                                 nnz_y, mby, mbx, False, top_by=row0 * 4)
             _write_chroma_residual(w, np.asarray(sym["cdc"][i]),
                                    np.asarray(sym["cac"][i]), cbp_chroma,
-                                   nnz_c, mby, mbx)
+                                   nnz_c, mby, mbx, top_by=row0 * 2)
     if skip_run > 0:
         w.ue(skip_run)
     w.u(1, 1)

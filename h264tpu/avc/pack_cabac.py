@@ -1,0 +1,193 @@
+"""CABAC slice packing of the TPU encoder's symbol arrays (Main profile).
+
+Same symbol arrays as the CAVLC packer (``avc/pack.py``), entropy-coded
+per spec 9.3 via :mod:`h264tpu.avc.cabac`: the slice header is written
+with the BitWriter, cabac_alignment_one_bits pad to a byte boundary, and
+the M-coder bytes follow.  Reference flow: ``JM/lencod/src/macroblock.c``
+writeMBLayer with SymbolMode=CABAC.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.bitio import BitWriter
+from .tables import BLOCK_SCAN, mb_type_i16
+from .params import AVCParams, write_slice_header, SLICE_I, SLICE_P
+from . import cabac as CB
+
+_SCAN = np.asarray(BLOCK_SCAN)
+_GEO4 = {1: ((0, 0, 4, 4),),
+         2: ((0, 0, 2, 4), (2, 0, 2, 4)),
+         3: ((0, 0, 4, 2), (0, 2, 4, 2)),
+         4: ((0, 0, 2, 2), (0, 2, 2, 2), (2, 0, 2, 2), (2, 2, 2, 2))}
+
+
+def _assemble(hw: BitWriter, payload: bytes) -> bytes:
+    """header bits + cabac_alignment_one_bit padding + M-coder bytes."""
+    pad = (-hw.bit_length()) % 8
+    if pad:
+        hw.u((1 << pad) - 1, pad)
+    return hw.to_bytes() + payload
+
+
+def _write_intra_mb(wtr: CB.CabacWriter, c, sym, i, mby, mbx, wc, in_p):
+    st = wtr.st
+    cbp_luma = int(sym["cbp_luma"][i])
+    cbp_chroma = int(sym["cbp_chroma"][i])
+    cbp = cbp_luma | (cbp_chroma << 4)
+    cmode = int(sym["cmode"][i])
+    if wc == 6:
+        code = mb_type_i16(int(sym["i16mode"][i]), cbp_chroma, cbp_luma != 0)
+        if in_p:
+            wtr.mb_type_p_slice(6, code)
+        else:
+            wtr.mb_type_i_slice(c, code)
+        st.cat[mby, mbx] = CB.MBState.CAT_I16
+    else:
+        if in_p:
+            wtr.mb_type_p_slice(5)
+        else:
+            wtr.mb_type_i_slice(c, None)
+        flags = np.asarray(sym["i4flags"][i])
+        for k in range(16):
+            wtr.intra_pred_mode(int(flags[k, 0]), int(flags[k, 1]))
+        st.cat[mby, mbx] = CB.MBState.CAT_I4
+    wtr.chroma_pred_mode(c, cmode)
+    st.cipred[mby, mbx] = cmode
+    if wc == 5:
+        wtr.cbp(c, cbp)
+    st.cbp[mby, mbx] = cbp
+
+    if cbp > 0 or wc == 6:
+        wtr.mb_qp_delta(c, 0)
+    else:
+        st.last_dqp = 0
+
+    zz = np.asarray(sym["zz"][i])
+    if wc == 6:
+        wtr.residual_block(c, CB.LUMA_16DC, np.asarray(sym["i16dc"][i]))
+        if cbp_luma:
+            for k in range(16):
+                y4, x4 = int(_SCAN[k][0]), int(_SCAN[k][1])
+                wtr.residual_block(c, CB.LUMA_16AC, zz[k][:15],
+                                   by=mby * 4 + y4, bx=mbx * 4 + x4)
+    else:
+        for k in range(16):
+            y4, x4 = int(_SCAN[k][0]), int(_SCAN[k][1])
+            b8 = (y4 // 2) * 2 + (x4 // 2)
+            if cbp_luma & (1 << b8):
+                wtr.residual_block(c, CB.LUMA_4x4, zz[k],
+                                   by=mby * 4 + y4, bx=mbx * 4 + x4)
+    _write_chroma_residual(wtr, c, sym, i, mby, mbx, cbp_chroma)
+
+
+def _write_chroma_residual(wtr, c, sym, i, mby, mbx, cbp_chroma):
+    if cbp_chroma > 0:
+        cdc = np.asarray(sym["cdc"][i])
+        for ci in range(2):
+            wtr.residual_block(c, CB.CHROMA_DC, cdc[ci], comp=ci)
+    if cbp_chroma == 2:
+        cac = np.asarray(sym["cac"][i])
+        for ci in range(2):
+            for by4 in range(2):
+                for bx4 in range(2):
+                    wtr.residual_block(c, CB.CHROMA_AC, cac[ci, by4, bx4],
+                                       by=mby * 2 + by4, bx=mbx * 2 + bx4,
+                                       comp=ci)
+
+
+def pack_i_slice_cabac(sym, p: AVCParams, qp: int, frame_num: int = 0,
+                       idr: bool = True, idr_pic_id: int = 0,
+                       row0: int = 0, n_rows: int = None) -> bytes:
+    mb_h, mb_w = p.mb_h, p.mb_w
+    n_rows = mb_h - row0 if n_rows is None else n_rows
+    hw = BitWriter()
+    write_slice_header(hw, p, SLICE_I, frame_num, idr, qp,
+                       idr_pic_id=idr_pic_id, first_mb=row0 * mb_w)
+    st = CB.MBState(mb_w, mb_h)
+    st.first_mb = row0 * mb_w
+    wtr = CB.CabacWriter(SLICE_I, qp, st)
+    win = np.asarray(sym["win"])
+    last = (row0 + n_rows) * mb_w - 1
+    payload = None
+    for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
+        mby, mbx = i // mb_w, i % mb_w
+        c = CB._Common(st, mby, mbx, intra=True)
+        _write_intra_mb(wtr, c, sym, i, mby, mbx, int(win[i]), in_p=False)
+        payload = wtr.end_of_slice(i == last)
+    return _assemble(hw, payload)
+
+
+def pack_p_slice_cabac(sym, p: AVCParams, qp: int, frame_num: int,
+                       num_ref: int, row0: int = 0,
+                       n_rows: int = None) -> bytes:
+    mb_h, mb_w = p.mb_h, p.mb_w
+    n_rows = mb_h - row0 if n_rows is None else n_rows
+    hw = BitWriter()
+    write_slice_header(hw, p, SLICE_P, frame_num, False, qp,
+                       num_ref_idx_l0=num_ref, first_mb=row0 * mb_w)
+    st = CB.MBState(mb_w, mb_h)
+    st.first_mb = row0 * mb_w
+    wtr = CB.CabacWriter(SLICE_P, qp, st)
+    win = np.asarray(sym["win"])
+    mvd = np.asarray(sym["mvd"])
+    ri = np.asarray(sym["ri"])
+    last = (row0 + n_rows) * mb_w - 1
+    payload = None
+    for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
+        mby, mbx = i // mb_w, i % mb_w
+        by0, bx0 = mby * 4, mbx * 4
+        wc = int(win[i])
+        intra = wc in (5, 6)
+        c = CB._Common(st, mby, mbx, intra=intra)
+        wtr.mb_skip_flag(c, wc == 0)
+        st.skip[mby, mbx] = wc == 0
+        if wc == 0:
+            st.cat[mby, mbx] = CB.MBState.CAT_SKIP
+            st.cbp[mby, mbx] = 0
+            st.cipred[mby, mbx] = 0
+            st.last_dqp = 0
+        elif intra:
+            _write_intra_mb(wtr, c, sym, i, mby, mbx, wc, in_p=True)
+        else:
+            wtr.mb_type_p_slice(wc)
+            parts = _GEO4[wc]
+            if wc == 4:
+                for _ in range(4):
+                    wtr.sub_mb_type(0)
+            r = int(ri[i])
+            if num_ref > 1:
+                for (dy4, dx4, h4p, w4p) in parts:
+                    wtr.ref_idx(c, by0 + dy4, bx0 + dx4, r)
+            for pi, (dy4, dx4, h4p, w4p) in enumerate(parts):
+                st.ref[by0 + dy4:by0 + dy4 + h4p,
+                       bx0 + dx4:bx0 + dx4 + w4p] = r
+            for pi, (dy4, dx4, h4p, w4p) in enumerate(parts):
+                dx = int(mvd[i, pi, 0])
+                dy = int(mvd[i, pi, 1])
+                wtr.mvd(c, by0 + dy4, bx0 + dx4, 0, dx)
+                wtr.mvd(c, by0 + dy4, bx0 + dx4, 1, dy)
+                st.mvd[by0 + dy4:by0 + dy4 + h4p,
+                       bx0 + dx4:bx0 + dx4 + w4p] = (dx, dy)
+            cbp_luma = int(sym["cbp_luma"][i])
+            cbp_chroma = int(sym["cbp_chroma"][i])
+            cbp = cbp_luma | (cbp_chroma << 4)
+            wtr.cbp(c, cbp)
+            st.cbp[mby, mbx] = cbp
+            st.cat[mby, mbx] = CB.MBState.CAT_INTER
+            st.cipred[mby, mbx] = 0
+            if cbp > 0:
+                wtr.mb_qp_delta(c, 0)
+                zz = np.asarray(sym["zz"][i])
+                for k in range(16):
+                    y4, x4 = int(_SCAN[k][0]), int(_SCAN[k][1])
+                    b8 = (y4 // 2) * 2 + (x4 // 2)
+                    if cbp_luma & (1 << b8):
+                        wtr.residual_block(c, CB.LUMA_4x4, zz[k],
+                                           by=by0 + y4, bx=bx0 + x4)
+                _write_chroma_residual(wtr, c, sym, i, mby, mbx, cbp_chroma)
+            else:
+                st.last_dqp = 0
+        payload = wtr.end_of_slice(i == last)
+    return _assemble(hw, payload)

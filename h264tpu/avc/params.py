@@ -21,8 +21,9 @@ class AVCParams:
     width: int = 176
     height: int = 144
     qp: int = 28
-    profile_idc: int = 66          # Baseline (CAVLC only)
+    profile_idc: int = 66          # Baseline (66) / Main (77, CABAC)
     level_idc: int = 30
+    cabac: bool = False            # entropy_coding_mode_flag (needs Main)
     log2_max_frame_num: int = 8
     num_ref_frames: int = 1
     deblock: bool = True           # in-loop filter on (disable_idc = 0/1)
@@ -69,7 +70,7 @@ def write_pps(p: AVCParams) -> bytes:
     w = BitWriter()
     w.ue(0)                        # pps_id
     w.ue(0)                        # sps_id
-    w.u(0, 1)                      # entropy_coding_mode_flag (CAVLC)
+    w.u(1 if p.cabac else 0, 1)    # entropy_coding_mode_flag
     w.u(0, 1)                      # bottom_field_pic_order_in_frame_present
     w.ue(p.slice_groups - 1)       # num_slice_groups_minus1
     if p.slice_groups > 1:
@@ -114,6 +115,8 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
         w.u(0, 1)                  # long_term_reference_flag
     elif slice_type == SLICE_P:
         w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
+    if p.cabac and slice_type != SLICE_I:
+        w.ue(0)                    # cabac_init_idc
     w.se(slice_qp - p.qp)          # slice_qp_delta
     w.ue(0 if p.deblock else 1)    # disable_deblocking_filter_idc
     if p.deblock:

@@ -7,6 +7,8 @@ DPB, mb_qp_delta, in-loop deblocking.  Decode twin of our ``slice_enc``; the
 JM counterpart is ``JM/ldecod/src/{image.c:809 decode_one_frame,
 mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c}`` (SURVEY §3.5, J17/J18).
 
+Multi-slice pictures (contiguous slices, first_mb_in_slice > 0) are
+supported with spec 6.4.11 slice-restricted availability.
 Unsupported (raises): CABAC, fields/MBAFF, B slices, FMO>1 slice groups,
 4:2:2/4:4:4, 8x8 transform, MMCO adaptive marking, data partitioning.
 """
@@ -114,8 +116,16 @@ class AVCDecoder:
                 f.write(f"@{pos:<10d} {name:<28s} {val}\n")
 
     def decode(self, stream: bytes, max_frames: int = None):
-        """Decode all coded pictures; returns list of (y, u, v) uint8."""
+        """Decode all coded pictures; returns list of (y, u, v) uint8.
+
+        Multi-slice pictures are supported for contiguous (non-FMO)
+        slices: a new picture starts at each slice with
+        first_mb_in_slice == 0; all slices until the next such slice
+        share the picture's reconstruction while every prediction /
+        entropy context is restricted to the current slice (spec 6.4.11
+        availability)."""
         out = []
+        self._pic = None
         for n in annexb_parse(stream):
             if n.nal_type == NAL_SPS:
                 s = parse_sps(n.rbsp)
@@ -126,17 +136,56 @@ class AVCDecoder:
             elif n.nal_type in (NAL_IDR, NAL_SLICE):
                 fr = self._decode_slice(n.rbsp, n.nal_type == NAL_IDR,
                                         n.ref_idc)
-                out.append(fr)
-                if max_frames and len(out) >= max_frames:
-                    break
+                if fr is not None:
+                    out.append(fr)
+                    if max_frames and len(out) >= max_frames:
+                        self._pic = None
+                        return out
+        fr = self._finish_picture()
+        if fr is not None:
+            out.append(fr)
         return out
 
     # ------------------------------------------------------------------
+    def _finish_picture(self):
+        """Deblock + output + DPB-store the accumulated picture."""
+        pic = self._pic
+        if pic is None:
+            return None
+        self._pic = None
+        sps, pps = pic["sps"], pic["pps"]
+        rec = pic["rec"]
+        ctx = DeblockContext(pic["mb_w"], pic["mb_h"], pic["qp"],
+                             pps["chroma_qp_offset"])
+        ctx.mb_qp = pic["mb_qp"]
+        ctx.mb_intra = pic["mb_intra"]
+        ctx.nnz = pic["nnz"]
+        ctx.mv = pic["mv"]
+        ctx.ref = pic["ref"]
+        ctx.alpha_off, ctx.beta_off = pic["a_off"], pic["b_off"]
+        if pic["disable_dbl"] != 1:
+            rec = deblock_frame(*rec, ctx)
+        frame = tuple(np.asarray(pl, np.uint8) for pl in rec)
+        if pic["ref_idc"] != 0:
+            frame_num = pic["frame_num"]
+            max_fn = 1 << sps["log2_max_frame_num"]
+
+            def picnum(fn):
+                return fn if fn <= frame_num else fn - max_fn
+
+            self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
+            max_refs = max(sps["num_ref_frames"], 1)
+            if len(self.dpb) > max_refs:
+                # evict smallest FrameNumWrap (spec 8.2.5.3 sliding window)
+                self.dpb.sort(key=lambda t: picnum(t[0]))
+                self.dpb.pop(0)
+        return frame
+
     def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int):
+        """Decode one slice; returns a finished frame when this slice
+        starts a new picture (the previous picture completes), else None."""
         r = BitReader(rbsp)
         first_mb = self._tr(r, "first_mb_in_slice", r.ue())
-        if first_mb != 0:
-            raise NotImplementedError("multi-slice pictures")
         slice_type = self._tr(r, "slice_type", r.ue()) % 5
         if slice_type not in (0, 2):
             raise NotImplementedError(f"slice_type {slice_type}")
@@ -145,9 +194,14 @@ class AVCDecoder:
         W, H = sps["width"], sps["height"]
         mb_w, mb_h = W // 16, H // 16
         frame_num = r.u(sps["log2_max_frame_num"])
+
+        done = None
+        if first_mb == 0:
+            done = self._finish_picture()
         if idr:
             r.ue()                          # idr_pic_id
-            self.dpb = []
+            if first_mb == 0:
+                self.dpb = []
         if sps["poc_type"] == 0:
             r.u(sps["log2_max_poc_lsb"])    # pic_order_cnt_lsb
             if pps["pic_order_present"]:
@@ -174,6 +228,21 @@ class AVCDecoder:
                 a_off = r.se() * 2
                 b_off = r.se() * 2
 
+        if self._pic is None:
+            self._pic = dict(
+                sps=sps, pps=pps, mb_w=mb_w, mb_h=mb_h, qp=qp,
+                frame_num=frame_num, ref_idc=ref_idc,
+                disable_dbl=disable_dbl, a_off=a_off, b_off=b_off,
+                rec=(np.zeros((H, W), np.int64),
+                     np.zeros((H // 2, W // 2), np.int64),
+                     np.zeros((H // 2, W // 2), np.int64)),
+                nnz=np.zeros((mb_h * 4, mb_w * 4), np.int64),
+                mv=np.zeros((mb_h * 4, mb_w * 4, 2), np.int64),
+                ref=np.zeros((mb_h * 4, mb_w * 4), np.int64),
+                mb_intra=np.zeros((mb_h, mb_w), bool),
+                mb_qp=np.full((mb_h, mb_w), qp, np.int64))
+        pic = self._pic
+
         # reference list 0: decreasing PicNum with FrameNumWrap (spec 8.2.4.1:
         # FrameNumWrap = frame_num - MaxFrameNum when frame_num > CurrFrameNum;
         # JM ldecod mbuffer.c init_lists semantics)
@@ -186,32 +255,14 @@ class AVCDecoder:
                 sorted(self.dpb, key=lambda t: -picnum(t[0]))]
 
         dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
-                            mb_w, mb_h, num_ref)
-        rec = dec.run()
-
-        ctx = DeblockContext(mb_w, mb_h, qp, pps["chroma_qp_offset"])
-        ctx.mb_qp = dec.mb_qp
-        ctx.mb_intra = dec.mb_intra
-        ctx.nnz = dec.st_nnz
-        ctx.mv = dec.mvf.mv
-        ctx.ref = dec.mvf.ref
-        ctx.alpha_off, ctx.beta_off = a_off, b_off
-        if disable_dbl != 1:
-            rec = deblock_frame(*rec, ctx)
-        frame = tuple(np.asarray(pl, np.uint8) for pl in rec)
-        if ref_idc != 0:
-            self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
-            max_refs = max(sps["num_ref_frames"], 1)
-            if len(self.dpb) > max_refs:
-                # evict smallest FrameNumWrap (spec 8.2.5.3 sliding window)
-                self.dpb.sort(key=lambda t: picnum(t[0]))
-                self.dpb.pop(0)
-        return frame
+                            mb_w, mb_h, num_ref, first_mb=first_mb, pic=pic)
+        dec.run()
+        return done
 
 
 class _SliceDecoder:
     def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
-                 num_ref=1):
+                 num_ref=1, first_mb=0, pic=None):
         self.top = top
         self.sps, self.pps = sps, pps
         self.slice_type = slice_type
@@ -220,20 +271,37 @@ class _SliceDecoder:
         self.refs = refs
         self.r = r
         self.mb_w, self.mb_h = mb_w, mb_h
+        self.first_mb = first_mb
+        self.pic = pic
         W, H = mb_w * 16, mb_h * 16
-        self.rec_y = np.zeros((H, W), np.int64)
-        self.rec_u = np.zeros((H // 2, W // 2), np.int64)
-        self.rec_v = np.zeros((H // 2, W // 2), np.int64)
-        self.st_nnz = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+        if pic is not None:
+            # shared picture state; slice-restricted availability guards
+            # (spec 6.4.11) keep cross-slice values unread
+            self.rec_y, self.rec_u, self.rec_v = pic["rec"]
+            self.st_nnz = pic["nnz"]
+            self.mb_intra = pic["mb_intra"]
+            self.mb_qp = pic["mb_qp"]
+        else:
+            self.rec_y = np.zeros((H, W), np.int64)
+            self.rec_u = np.zeros((H // 2, W // 2), np.int64)
+            self.rec_v = np.zeros((H // 2, W // 2), np.int64)
+            self.st_nnz = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+            self.mb_intra = np.zeros((mb_h, mb_w), bool)
+            self.mb_qp = np.full((mb_h, mb_w), qp, np.int64)
         self.nnz_c = np.zeros((2, mb_h * 2, mb_w * 2), np.int64)
         self.i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
-        self.mb_intra = np.zeros((mb_h, mb_w), bool)
-        self.mb_qp = np.full((mb_h, mb_w), qp, np.int64)
         self.mvf = INTER.MVField(mb_h, mb_w)
+        # last set bit == rbsp_stop_one_bit; data remains while pos < it
+        self._stop = int(np.flatnonzero(r._bits)[-1])
+
+    def _mb_ok(self, mby, mbx):
+        """Same-slice availability of a causal neighbor MB."""
+        return mby * self.mb_w + mbx >= self.first_mb
 
     # --- nC contexts (same derivation as the encoder) ---
     def _nc_luma(self, by, bx):
-        has_a, has_b = bx > 0, by > 0
+        has_a = bx > 0 and self._mb_ok(by // 4, (bx - 1) // 4)
+        has_b = by > 0 and self._mb_ok((by - 1) // 4, bx // 4)
         na = int(self.st_nnz[by, bx - 1]) if has_a else 0
         nb = int(self.st_nnz[by - 1, bx]) if has_b else 0
         if has_a and has_b:
@@ -241,7 +309,8 @@ class _SliceDecoder:
         return na if has_a else (nb if has_b else 0)
 
     def _nc_chroma(self, comp, by, bx):
-        has_a, has_b = bx > 0, by > 0
+        has_a = bx > 0 and self._mb_ok(by // 2, (bx - 1) // 2)
+        has_b = by > 0 and self._mb_ok((by - 1) // 2, bx // 2)
         na = int(self.nnz_c[comp, by, bx - 1]) if has_a else 0
         nb = int(self.nnz_c[comp, by - 1, bx]) if has_b else 0
         if has_a and has_b:
@@ -250,18 +319,23 @@ class _SliceDecoder:
 
     def run(self):
         n_mb = self.mb_w * self.mb_h
-        mb = 0
+        mb = self.first_mb
         r = self.r
-        while mb < n_mb:
+        while mb < n_mb and r.pos < self._stop:
             if self.slice_type == 0:
                 skip_run = self.top._tr(r, "mb_skip_run", r.ue())
                 for _ in range(skip_run):
                     self._decode_skip(mb)
                     mb += 1
-                if mb >= n_mb:
+                if mb >= n_mb or r.pos >= self._stop:
                     break
             self._decode_mb(mb)
             mb += 1
+        if self.pic is not None:
+            # merge this slice's MV field into the picture (deblock ctx)
+            d = self.mvf.decoded
+            self.pic["mv"][d] = self.mvf.mv[d]
+            self.pic["ref"][d] = self.mvf.ref[d]
         return self.rec_y, self.rec_u, self.rec_v
 
     # ------------------------------------------------------------------
@@ -374,7 +448,7 @@ class _SliceDecoder:
                                      intra=False)
 
     def _prev_qp(self, mb):
-        if mb == 0:
+        if mb == self.first_mb:
             return self.qp
         pm_by, pm_bx = (mb - 1) // self.mb_w, (mb - 1) % self.mb_w
         return int(self.mb_qp[pm_by, pm_bx])
@@ -388,7 +462,8 @@ class _SliceDecoder:
             for k in range(16):
                 y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
                 bby, bbx = by + y4, bx + x4
-                avail_l, avail_t = bbx > 0, bby > 0
+                avail_l = bbx > 0 and self._mb_ok(bby // 4, (bbx - 1) // 4)
+                avail_t = bby > 0 and self._mb_ok((bby - 1) // 4, bbx // 4)
                 ma = int(self.i4_modes[bby, bbx - 1]) if avail_l else -2
                 mb_ = int(self.i4_modes[bby - 1, bbx]) if avail_t else -2
                 if ma == -2 or mb_ == -2:
@@ -435,7 +510,8 @@ class _SliceDecoder:
             qp = (qp + r.se() + 52) % 52
             self.mb_qp[mby, mbx] = qp
             y0, x0 = mby * 16, mbx * 16
-            avail_t, avail_l = mby > 0, mbx > 0
+            avail_t = mby > 0 and self._mb_ok(mby - 1, mbx)
+            avail_l = mbx > 0 and self._mb_ok(mby, mbx - 1)
             top16 = self.rec_y[y0 - 1, x0:x0 + 16] if avail_t else \
                 np.zeros(16, np.int64)
             left16 = self.rec_y[y0:y0 + 16, x0 - 1] if avail_l else \
@@ -478,12 +554,13 @@ class _SliceDecoder:
         p_w4 = self.mb_w * 4
         by, bx = mby * 4 + y4, mbx * 4 + x4
         y, x = by * 4, bx * 4
-        avail_t, avail_l = by > 0, bx > 0
+        avail_t = by > 0 and self._mb_ok((by - 1) // 4, bx // 4)
+        avail_l = bx > 0 and self._mb_ok(by // 4, (bx - 1) // 4)
         tr_by, tr_bx = by - 1, bx + 1
         if tr_by < 0 or tr_bx >= p_w4:
             avail_tr = False
         elif tr_by // 4 < mby:
-            avail_tr = True
+            avail_tr = self._mb_ok(tr_by // 4, tr_bx // 4)
         elif tr_bx // 4 > mbx:
             avail_tr = False
         else:
@@ -537,7 +614,8 @@ class _SliceDecoder:
         qpc = Q.chroma_qp(qp, self.pps["chroma_qp_offset"])
         cy, cx = mby * 8, mbx * 8
         if intra:
-            avail_t, avail_l = mby > 0, mbx > 0
+            avail_t = mby > 0 and self._mb_ok(mby - 1, mbx)
+            avail_l = mbx > 0 and self._mb_ok(mby, mbx - 1)
             preds = []
             for rec_p in (self.rec_u, self.rec_v):
                 top8 = rec_p[cy - 1, cx:cx + 8] if avail_t else \

@@ -24,20 +24,102 @@ from .deblock import DeblockContext, deblock_frame
 from . import conformance
 from . import tpu_enc as TE
 from . import pack as PK
+from . import pack_cabac as PKC
+from . import native as AN
+from .params import SLICE_I, SLICE_P
 
 _prep_ref = functools.partial(jax.jit, static_argnames="sr")(TE.prep_ref)
+
+# symbol fields and their per-MB int16 widths (transfer-packing layout)
+_SYM_KEYS = (("win", 1), ("ri", 1), ("mvd", 8), ("i4flags", 32),
+             ("i16mode", 1), ("i16dc", 16), ("cmode", 1), ("cbp_luma", 1),
+             ("cbp_chroma", 1), ("zz", 256), ("cdc", 8), ("cac", 120),
+             ("mb_intra", 1))
+
+
+@jax.jit
+def _pack_out(sym, ctx, rec):
+    """Pack symbols+deblock ctx into one int16 buffer and the recon into
+    one uint8 buffer — two tunnel transfers per frame instead of ~20."""
+    nmb = sym["win"].shape[0]
+    parts = [sym[k].reshape(nmb, -1).astype(jnp.int16) for k, _ in _SYM_KEYS]
+    flat = [p.reshape(-1) for p in parts]
+    flat += [ctx["nnz"].reshape(-1).astype(jnp.int16),
+             ctx["mv"].reshape(-1).astype(jnp.int16),
+             ctx["ref"].reshape(-1).astype(jnp.int16),
+             ctx["mb_intra"].reshape(-1).astype(jnp.int16)]
+    buf = jnp.concatenate(flat)
+    y, u, v = rec
+    recbuf = jnp.concatenate(
+        [y, jnp.concatenate([u, v], axis=1)], axis=0).astype(jnp.uint8)
+    return buf, recbuf
+
+
+def _unpack_out(buf, recbuf, mb_h, mb_w):
+    """Host-side inverse of _pack_out (numpy views + reshapes)."""
+    nmb = mb_h * mb_w
+    h4, w4 = mb_h * 4, mb_w * 4
+    sym = {}
+    off = 0
+    for k, wdt in _SYM_KEYS:
+        sym[k] = np.asarray(buf[off:off + nmb * wdt]).reshape(nmb, wdt)
+        off += nmb * wdt
+    shapes = {"mvd": (nmb, 4, 2), "i4flags": (nmb, 16, 2),
+              "zz": (nmb, 16, 16), "cdc": (nmb, 2, 4),
+              "cac": (nmb, 2, 2, 2, 15)}
+    for k, shp in shapes.items():
+        sym[k] = sym[k].reshape(shp)
+    for k in ("win", "ri", "i16mode", "cmode", "cbp_luma", "cbp_chroma",
+              "mb_intra"):
+        sym[k] = sym[k][:, 0]
+    ctx = {}
+    ctx["nnz"] = buf[off:off + h4 * w4].reshape(h4, w4)
+    off += h4 * w4
+    ctx["mv"] = buf[off:off + h4 * w4 * 2].reshape(h4, w4, 2)
+    off += h4 * w4 * 2
+    ctx["ref"] = buf[off:off + h4 * w4].reshape(h4, w4)
+    off += h4 * w4
+    ctx["mb_intra"] = buf[off:off + nmb].reshape(mb_h, mb_w).astype(bool)
+    H, W = mb_h * 16, mb_w * 16
+    rec = (recbuf[:H].astype(np.int64),
+           recbuf[H:, :W // 2].astype(np.int64),
+           recbuf[H:, W // 2:].astype(np.int64))
+    return sym, ctx, rec
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "H", "W"))
+def _prep_ref_packed(buf, sr, H, W):
+    y = buf[:H].astype(jnp.int32)
+    u = buf[H:, :W // 2].astype(jnp.int32)
+    v = buf[H:, W // 2:].astype(jnp.int32)
+    return TE.prep_ref(y, u, v, sr)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _split_org(buf, H, W):
+    return (buf[:H].astype(jnp.int32), buf[H:, :W // 2].astype(jnp.int32),
+            buf[H:, W // 2:].astype(jnp.int32))
 
 
 class TPUAVCCodec:
     """Baseline/CAVLC H.264 encoder with all pixel work on device."""
 
     def __init__(self, p: AVCParams, intra_period: int = 0,
-                 search_range: int = 16, check_conformance: bool = True):
+                 search_range: int = 16, check_conformance: bool = True,
+                 n_slices: int = 1):
+        """``n_slices``: split each picture into that many equal row-band
+        slices (must divide mb_h).  Slices reset all prediction/entropy
+        contexts, so the device decision scan runs them concurrently —
+        the standard-compliant intra-frame parallel axis (~n_slices x
+        fewer sequential steps at a small bitrate cost)."""
         if p.slice_groups != 1:
-            raise ValueError("TPU path is single-slice; use AVCCodec for FMO")
+            raise ValueError("TPU path has no FMO; use AVCCodec for FMO")
+        if p.mb_h % n_slices:
+            raise ValueError(f"n_slices {n_slices} must divide {p.mb_h}")
         self.p = p
         self.intra_period = intra_period
         self.sr = search_range
+        self.n_slices = n_slices
         if check_conformance:
             conformance.check_params(p)
         self._dummy = None
@@ -73,19 +155,42 @@ class TPUAVCCodec:
         dpb = []                               # (up, u_pad, v_pad), newest 1st
         frame_num = 0
         idr_pic_id = 0
+        H, W = p.height, p.width
         for idx, yuv in enumerate(frames):
-            y, u, v = (jnp.asarray(np.asarray(pl), jnp.int32) for pl in yuv)
+            orgbuf = np.concatenate(
+                [np.asarray(yuv[0], np.uint8),
+                 np.concatenate([np.asarray(yuv[1], np.uint8),
+                                 np.asarray(yuv[2], np.uint8)], axis=1)],
+                axis=0)
+            y, u, v = _split_org(jnp.asarray(orgbuf), H=H, W=W)
             idr = self._is_idr(idx)
             if idr:
                 ups, us, vs = self._dummy_refs()
                 sym, rec, tctx = TE.encode_frame(
                     y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(0),
                     no_force, mb_h=mb_h, mb_w=mb_w, sr=self.sr,
-                    intra_only=True,
+                    intra_only=True, n_slices=self.n_slices,
                     chroma_qp_offset=p.chroma_qp_offset)
-                sym = jax.device_get(sym)
-                rbsp = PK.pack_i_slice(sym, p, qp, frame_num=0, idr=True,
-                                       idr_pic_id=idr_pic_id)
+                buf, recbuf = _pack_out(sym, tctx, rec)
+                buf, recbuf = jax.device_get((buf, recbuf))
+                sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)
+                rows = mb_h // self.n_slices
+                if p.cabac:
+                    rbsps = [PKC.pack_i_slice_cabac(
+                        sym, p, qp, frame_num=0, idr=True,
+                        idr_pic_id=idr_pic_id, row0=s0 * rows, n_rows=rows)
+                        for s0 in range(self.n_slices)]
+                elif AN.available():
+                    rbsps = [AN.pack_slice(sym, p, SLICE_I, qp, 0, True,
+                                           idr_pic_id, 1, row0=s0 * rows,
+                                           n_rows=rows)
+                             for s0 in range(self.n_slices)]
+                else:
+                    rbsps = [PK.pack_i_slice(sym, p, qp, frame_num=0,
+                                             idr=True,
+                                             idr_pic_id=idr_pic_id,
+                                             row0=s0 * rows, n_rows=rows)
+                             for s0 in range(self.n_slices)]
                 idr_pic_id = (idr_pic_id + 1) & 0xFFFF
                 frame_num = 1
                 dpb = []
@@ -102,32 +207,54 @@ class TPUAVCCodec:
                 sym, rec, tctx = TE.encode_frame(
                     y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(n_valid),
                     fim, mb_h=mb_h, mb_w=mb_w, sr=self.sr, intra_only=False,
+                    n_slices=self.n_slices,
                     chroma_qp_offset=p.chroma_qp_offset)
-                sym = jax.device_get(sym)
-                rbsp = PK.pack_p_slice(sym, p, qp, frame_num=frame_num,
-                                       num_ref=n_valid)
+                buf, recbuf = _pack_out(sym, tctx, rec)
+                buf, recbuf = jax.device_get((buf, recbuf))
+                sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)
+                rows = mb_h // self.n_slices
+                if p.cabac:
+                    rbsps = [PKC.pack_p_slice_cabac(
+                        sym, p, qp, frame_num=frame_num, num_ref=n_valid,
+                        row0=s0 * rows, n_rows=rows)
+                        for s0 in range(self.n_slices)]
+                elif AN.available():
+                    rbsps = [AN.pack_slice(sym, p, SLICE_P, qp, frame_num,
+                                           False, 0, n_valid,
+                                           row0=s0 * rows, n_rows=rows)
+                             for s0 in range(self.n_slices)]
+                else:
+                    rbsps = [PK.pack_p_slice(sym, p, qp,
+                                             frame_num=frame_num,
+                                             num_ref=n_valid,
+                                             row0=s0 * rows, n_rows=rows)
+                             for s0 in range(self.n_slices)]
                 frame_num = (frame_num + 1) % (1 << p.log2_max_frame_num)
                 ftype = "P"
 
-            rec_np = tuple(np.asarray(pl, np.int64) for pl in rec)
             if p.deblock:
                 ctx = DeblockContext(mb_w, mb_h, qp, p.chroma_qp_offset)
                 if ftype != "IDR":
-                    tctx = jax.device_get(tctx)
                     ctx.mb_intra = np.asarray(tctx["mb_intra"])
                     ctx.nnz = np.asarray(tctx["nnz"], np.int64)
                     ctx.mv = np.asarray(tctx["mv"], np.int64)
                     ctx.ref = np.asarray(tctx["ref"], np.int64)
-                rec_np = deblock_frame(*rec_np, ctx)
-            dpb.insert(0, _prep_ref(jnp.asarray(rec_np[0]),
-                                    jnp.asarray(rec_np[1]),
-                                    jnp.asarray(rec_np[2]), sr=self.sr))
+                if AN.available():
+                    rec_np = AN.deblock_frame(*rec_np, ctx)
+                else:
+                    rec_np = deblock_frame(*rec_np, ctx)
+            refbuf = np.concatenate(
+                [rec_np[0], np.concatenate([rec_np[1], rec_np[2]], axis=1)],
+                axis=0).astype(np.uint8)
+            dpb.insert(0, _prep_ref_packed(jnp.asarray(refbuf), sr=self.sr,
+                                           H=H, W=W))
             dpb = dpb[:R]
-            slices.append((idr, rbsp))
+            for rb in rbsps:
+                slices.append((idr, rb))
             rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec_np)
             mse = ((np.asarray(yuv[0], np.float64) - rec8[0]) ** 2).mean()
             res = AVCFrameResult(
-                frame_type=ftype, bits=len(rbsp) * 8,
+                frame_type=ftype, bits=sum(len(rb) for rb in rbsps) * 8,
                 psnr_y=99.99 if mse == 0 else
                 float(10 * np.log10(255.0 ** 2 / mse)),
                 recon=rec8)

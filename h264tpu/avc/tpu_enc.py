@@ -404,9 +404,12 @@ for _k in range(16):
 _TR_INMB_OK = jnp.asarray(_TR_INMB_OK)
 
 
-def _eval_i16(rec_pad, org_y, mby, mbx, qp, lam):
+def _eval_i16(rec_pad, org16, mby, mbx, qp, lam):
     """Intra 16x16 RD over 4 modes.  Returns dict(i16mode, dc_zz [16],
-    ac_zzs [4,4,15], cbp_luma bool, rec [16,16], ssd, cost)."""
+    ac_zzs [4,4,15], cbp_luma bool, rec [16,16], ssd, cost).
+
+    ``mby``/``mbx`` are slice-local coordinates into ``rec_pad``; the MB's
+    original pixels come pre-sliced in ``org16``."""
     y0, x0 = mby * 16, mbx * 16
     avail_t = mby > 0
     avail_l = mbx > 0
@@ -414,7 +417,7 @@ def _eval_i16(rec_pad, org_y, mby, mbx, qp, lam):
     left16 = jax.lax.dynamic_slice(rec_pad, (y0 + 1, x0), (16, 1))[:, 0]
     corner = jax.lax.dynamic_slice(rec_pad, (y0, x0), (1, 1))[0, 0]
     preds, allowed = IJ.pred16x16_all(top16, left16, corner, avail_t, avail_l)
-    org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16)).astype(jnp.int32)
+    org16 = org16.astype(jnp.int32)
 
     res = org16[None] - preds                                   # [4,16,16]
     blocks = res.reshape(4, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
@@ -437,9 +440,12 @@ def _eval_i16(rec_pad, org_y, mby, mbx, qp, lam):
 
     dc_zz = QJ.zigzag(dc_lev.reshape(4, 1, 4, 4))[:, 0]         # [4,16]
     ac_flat = ac_zz.reshape(4 * 16, 15)
-    ac_bits = CJ.block_bits(ac_flat, jnp.zeros(64, jnp.int32), 15)
+    # RD uses the chain-free bit estimate (block_bits_est): the exact
+    # vlcnum/zerosleft adaptations are sequential chains that dominate the
+    # TPU step time; the estimate only shifts decisions, never syntax
+    ac_bits = CJ.block_bits_est(ac_flat, jnp.zeros(64, jnp.int32), 15)
     ac_bits = ac_bits.reshape(4, 16).sum(-1)
-    dc_bits = CJ.block_bits(dc_zz, jnp.zeros(4, jnp.int32), 16)
+    dc_bits = CJ.block_bits_est(dc_zz, jnp.zeros(4, jnp.int32), 16)
     bits = jnp.where(cbp, ac_bits, 0) + dc_bits
     cost = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32)
     cost = jnp.where(allowed, cost, BIG)
@@ -448,17 +454,18 @@ def _eval_i16(rec_pad, org_y, mby, mbx, qp, lam):
                 cbp_luma=cbp[m], rec=rec[m], cost=cost[m])
 
 
-def _eval_i4(rec_pad, i4m, nnz_y, org_y, mby, mbx, qp, lam,
+def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
              mb_h: int, mb_w: int):
     """Intra 4x4 RD (sequential 16-block sub-scan).
 
+    ``mby``/``mbx``/``mb_h`` are slice-local; org pixels pre-sliced.
     Returns dict(modes [16] coding order, zzs [16,16], flags [16,2],
     rec [16,16], nnz_cells [4,4], modes_cells [4,4], cost)."""
     y0, x0 = mby * 16, mbx * 16
     by0, bx0 = mby * 4, mbx * 4
     h4, w4 = mb_h * 4, mb_w * 4
     patch = jax.lax.dynamic_slice(rec_pad, (y0, x0), (17, 25))
-    org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16)).astype(jnp.int32)
+    org16 = org16.astype(jnp.int32)
 
     # neighbor-MB context (clipped reads; masked by avail flags)
     lcol = jnp.clip(bx0 - 1, 0, w4 - 1)
@@ -513,7 +520,7 @@ def _eval_i4(rec_pad, i4m, nnz_y, org_y, mby, mbx, qp, lam,
         rec9 = QJ.reconstruct(preds, QJ.idct4x4(deq))
         ssd9 = ((org4[None] - rec9) ** 2).sum(axis=(1, 2))
         mode_bits9 = jnp.where(jnp.arange(9) == mpm, 1, 4)
-        coeff9 = CJ.block_bits(zz, jnp.full(9, nc, jnp.int32), 16)
+        coeff9 = CJ.block_bits_est(zz, jnp.full(9, nc, jnp.int32), 16)
         cost9 = ssd9.astype(jnp.float32) + \
             lam * (mode_bits9 + coeff9).astype(jnp.float32)
         cost9 = jnp.where(allowed, cost9, BIG)
@@ -542,22 +549,21 @@ def _eval_i4(rec_pad, i4m, nnz_y, org_y, mby, mbx, qp, lam,
                 nnz_cells=nnz_loc, modes_cells=modes_loc, cost=cost)
 
 
-def _eval_chroma_intra(recu_pad, recv_pad, org_u, org_v, mby, mbx, qpc):
+def _eval_chroma_intra(recu_pad, recv_pad, org_u8, org_v8, mby, mbx, qpc):
     """Chroma intra: SAD mode pick + residual (mirror encode_chroma_mb).
 
-    Returns dict(mode, dc_levels [2,4], ac_zzs [2,2,2,15], recs [2,8,8],
-    cbp_chroma)."""
+    ``mby``/``mbx`` slice-local; org blocks pre-sliced.  Returns dict(mode,
+    dc_levels [2,4], ac_zzs [2,2,2,15], recs [2,8,8], cbp_chroma)."""
     cy0, cx0 = mby * 8, mbx * 8
     avail_t = mby > 0
     avail_l = mbx > 0
 
     outs = []
-    for pad, org in ((recu_pad, org_u), (recv_pad, org_v)):
+    for pad, o8 in ((recu_pad, org_u8), (recv_pad, org_v8)):
         patch = jax.lax.dynamic_slice(pad, (cy0, cx0), (9, 9))
         preds, allowed = IJ.pred_chroma_all(patch[0, 1:9], patch[1:9, 0],
                                             patch[0, 0], avail_t, avail_l)
-        o8 = jax.lax.dynamic_slice(org, (cy0, cx0), (8, 8)).astype(jnp.int32)
-        outs.append((preds, allowed, o8))
+        outs.append((preds, allowed, o8.astype(jnp.int32)))
 
     sad4 = sum(jnp.abs(o8[None] - preds).sum(axis=(1, 2))
                for preds, _a, o8 in outs)
@@ -732,10 +738,11 @@ def te_bits_t(v, n_active):
 
 @functools.partial(
     jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
-                              "chroma_qp_offset"))
+                              "chroma_qp_offset", "n_slices"))
 def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, *, mb_h: int, mb_w: int, sr: int,
-                 intra_only: bool, chroma_qp_offset: int = 0):
+                 intra_only: bool, chroma_qp_offset: int = 0,
+                 n_slices: int = 1):
     """Encode one frame's decisions + residuals on device.
 
     org_*: int32 planes.  ref_ups [R, 4*(H+2P), 4*(W+2P)]: quarter-pel
@@ -743,12 +750,24 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
     and set ``n_valid``); ref_us/ref_vs: padded chroma planes.  qp traced
     int32; force_intra [mb_h, mb_w] traced bool.
 
-    Returns (symbols dict of [nmb, ...] arrays, (rec_y, rec_u, rec_v),
-    ctx dict with nnz/mv/ref/mb_intra for deblocking).
+    ``n_slices`` splits the picture into that many equal row-band slices
+    (must divide mb_h).  Slices are the H.264 parallelism unit: every
+    context (intra availability, MV prediction, nC, skip run) resets at
+    the slice boundary, so the sequential decision scan runs all slices
+    concurrently via vmap — nmb/n_slices steps instead of nmb (the
+    standard-compliant tile axis of SURVEY §2.3 applied to the AVC path).
+
+    Returns (symbols dict of [nmb, ...] arrays in global raster order,
+    (rec_y, rec_u, rec_v), ctx dict with nnz/mv/ref/mb_intra).
     """
+    if mb_h % n_slices:
+        raise ValueError(f"n_slices {n_slices} must divide mb_h {mb_h}")
+    S = n_slices
+    sb_h = mb_h // S                           # MB rows per slice
+    nmb_s = sb_h * mb_w
     H, W = mb_h * 16, mb_w * 16
-    H2, W2 = H // 2, W // 2
-    h4, w4 = mb_h * 4, mb_w * 4
+    W2 = W // 2
+    sh4, w4 = sb_h * 4, mb_w * 4
     nmb = mb_h * mb_w
     qp = jnp.asarray(qp, jnp.int32)
     lam, lam_me = lambdas(qp)
@@ -764,42 +783,47 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         mv_int, _sad_int, pmv2 = _integer_search(org_y, ref_pads, sr, lam_me)
         mv_q, sad_q = _subpel_refine(org_y, ref_ups, mv_int, _sad_int,
                                      pmv2, sr, lam_me)
-        # mv_q [R, 9, nmb, 2] (x, y) quarter-pel; sad_q [R, 9, nmb]
-        mv_q = jnp.moveaxis(mv_q, 2, 0)            # [nmb, R, 9, 2]
-        sad_q = jnp.moveaxis(sad_q, 2, 0)          # [nmb, R, 9]
+        # [R, 9, nmb, ...] -> xs layout [nmb_s (steps), S, R, 9, ...]
+        mv_q = jnp.moveaxis(mv_q, 2, 0).reshape(S, nmb_s, R, 9, 2)
+        mv_q = jnp.swapaxes(mv_q, 0, 1)
+        sad_q = jnp.moveaxis(sad_q, 2, 0).reshape(S, nmb_s, R, 9)
+        sad_q = jnp.swapaxes(sad_q, 0, 1)
     else:
         R = 1
-        mv_q = jnp.zeros((nmb, 1, 9, 2), jnp.int32)
-        sad_q = jnp.zeros((nmb, 1, 9), jnp.int32)
+        mv_q = jnp.zeros((nmb_s, S, 1, 9, 2), jnp.int32)
+        sad_q = jnp.zeros((nmb_s, S, 1, 9), jnp.int32)
 
     state = dict(
-        rec_y=jnp.zeros((H + 1, W + 9), jnp.int32),
-        rec_u=jnp.zeros((H2 + 1, W2 + 1), jnp.int32),
-        rec_v=jnp.zeros((H2 + 1, W2 + 1), jnp.int32),
-        mv=jnp.zeros((h4, w4, 2), jnp.int32),
-        ref=jnp.full((h4, w4), -2, jnp.int32),
-        nnz_y=jnp.zeros((h4, w4), jnp.int32),
-        nnz_c=jnp.zeros((2, mb_h * 2, mb_w * 2), jnp.int32),
-        i4m=jnp.full((h4, w4), -1, jnp.int32),
+        rec_y=jnp.zeros((S, sb_h * 16 + 1, W + 9), jnp.int32),
+        rec_u=jnp.zeros((S, sb_h * 8 + 1, W2 + 1), jnp.int32),
+        rec_v=jnp.zeros((S, sb_h * 8 + 1, W2 + 1), jnp.int32),
+        mv=jnp.zeros((S, sh4, w4, 2), jnp.int32),
+        ref=jnp.full((S, sh4, w4), -2, jnp.int32),
+        nnz_y=jnp.zeros((S, sh4, w4), jnp.int32),
+        nnz_c=jnp.zeros((S, 2, sb_h * 2, mb_w * 2), jnp.int32),
+        i4m=jnp.full((S, sh4, w4), -1, jnp.int32),
     )
+    srow0 = jnp.arange(S, dtype=jnp.int32) * sb_h
 
-    def body(st, xs):
-        i, mv_mb, sad_mb, forced = xs              # mv_mb [R,9,2], sad [R,9]
-        mby = i // mb_w
-        mbx = i % mb_w
-        y0, x0 = mby * 16, mbx * 16
+    def mb_body(st, j, mv_mb, sad_mb, forced, row0):
+        """One MB of one slice; st holds this slice's band arrays."""
+        mby = j // mb_w                        # slice-local MB row
+        mbx = j % mb_w
+        gy0 = (row0 + mby) * 16                # global pixel coords (org/MC)
+        y0, x0 = mby * 16, mbx * 16            # band-local pixel coords
+        gcy0 = (row0 + mby) * 8
         cy0, cx0 = mby * 8, mbx * 8
         by0, bx0 = mby * 4, mbx * 4
 
-        org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16))
-        org_u8 = jax.lax.dynamic_slice(org_u, (cy0, cx0), (8, 8))
-        org_v8 = jax.lax.dynamic_slice(org_v, (cy0, cx0), (8, 8))
+        org16 = jax.lax.dynamic_slice(org_y, (gy0, x0), (16, 16))
+        org_u8 = jax.lax.dynamic_slice(org_u, (gcy0, cx0), (8, 8))
+        org_v8 = jax.lax.dynamic_slice(org_v, (gcy0, cx0), (8, 8))
 
         # ---- intra candidates ----
-        i16 = _eval_i16(st["rec_y"], org_y, mby, mbx, qp, lam)
-        i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org_y, mby, mbx,
-                      qp, lam, mb_h, mb_w)
-        ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u, org_v,
+        i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam)
+        i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org16, mby, mbx,
+                      qp, lam, sb_h, mb_w)
+        ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u8, org_v8,
                                 mby, mbx, qpc)
         i16_cost = i16["cost"] + lam * 11.0
         i4_cost = i4["cost"] + lam * 9.0
@@ -846,7 +870,7 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                             zip(parts, tags, slots)):
                         pm = _predict_mv(st["mv"], st["ref"], ov_mv, ov_ref,
                                          by0, bx0, by0 + dy4, bx0 + dx4,
-                                         w4p, r_val, tag, h4, w4)
+                                         w4p, r_val, tag, sh4, w4)
                         mv = mv_r[slot]
                         bits = bits + (se_bits(mv[0] - pm[0])
                                        + se_bits(mv[1] - pm[1])).astype(
@@ -890,13 +914,13 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             for s, (cy, cx, chs, cws) in enumerate(SLOTS):
                 bh, bw = chs * 8, cws * 8
 
-                def lg(up_r, mv_s):
-                    return _gather_block(up_r, y0 + cy * 8, x0 + cx * 8,
+                def lg(up_r, mv_s, cy=cy, cx=cx, bh=bh, bw=bw):
+                    return _gather_block(up_r, gy0 + cy * 8, x0 + cx * 8,
                                          mv_s[0], mv_s[1], bh, bw, P)
 
                 def cg(pl_r, mv_s, comp_bh=bh // 2, comp_bw=bw // 2,
                        ccy=cy * 4, ccx=cx * 4):
-                    return _chroma_block(pl_r, cy0 + ccy, cx0 + ccx,
+                    return _chroma_block(pl_r, gcy0 + ccy, cx0 + ccx,
                                          mv_s[0], mv_s[1],
                                          comp_bh, comp_bw, PC)
 
@@ -907,33 +931,20 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 usel.append(upb[win_r])
                 vsel.append(vpb[win_r])
 
-            pred_modes = jnp.stack([
-                lsel[0],
-                jnp.concatenate([lsel[1], lsel[2]], axis=0),
-                jnp.concatenate([lsel[3], lsel[4]], axis=1),
-                jnp.concatenate(
-                    [jnp.concatenate([lsel[5], lsel[6]], axis=1),
-                     jnp.concatenate([lsel[7], lsel[8]], axis=1)], axis=0),
-            ])
-            pred16 = pred_modes[win_m]
-            predu_modes = jnp.stack([
-                usel[0],
-                jnp.concatenate([usel[1], usel[2]], axis=0),
-                jnp.concatenate([usel[3], usel[4]], axis=1),
-                jnp.concatenate(
-                    [jnp.concatenate([usel[5], usel[6]], axis=1),
-                     jnp.concatenate([usel[7], usel[8]], axis=1)], axis=0),
-            ])
-            pred_u8 = predu_modes[win_m]
-            predv_modes = jnp.stack([
-                vsel[0],
-                jnp.concatenate([vsel[1], vsel[2]], axis=0),
-                jnp.concatenate([vsel[3], vsel[4]], axis=1),
-                jnp.concatenate(
-                    [jnp.concatenate([vsel[5], vsel[6]], axis=1),
-                     jnp.concatenate([vsel[7], vsel[8]], axis=1)], axis=0),
-            ])
-            pred_v8 = predv_modes[win_m]
+            def quad(parts):
+                return jnp.stack([
+                    parts[0],
+                    jnp.concatenate([parts[1], parts[2]], axis=0),
+                    jnp.concatenate([parts[3], parts[4]], axis=1),
+                    jnp.concatenate(
+                        [jnp.concatenate([parts[5], parts[6]], axis=1),
+                         jnp.concatenate([parts[7], parts[8]], axis=1)],
+                        axis=0),
+                ])
+
+            pred16 = quad(lsel)[win_m]
+            pred_u8 = quad(usel)[win_m]
+            pred_v8 = quad(vsel)[win_m]
 
             zzc, rec16_int, cbp_bits_int = _code_inter_luma(
                 org16, pred16, qp)
@@ -944,7 +955,7 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             ov0_mv = jnp.zeros((4, 4, 2), jnp.int32)
             ov0_ref = jnp.full((4, 4), -2, jnp.int32)
             smv = _skip_mv(st["mv"], st["ref"], ov0_mv, ov0_ref,
-                           by0, bx0, by0, bx0, h4, w4)
+                           by0, bx0, by0, bx0, sh4, w4)
             is_skip = (~is_intra) & (win_m == 0) & (win_r == 0) \
                 & (cbp_bits_int == 0) & (cbp_c_int == 0) \
                 & (win_mvs[0, 0] == smv[0]) & (win_mvs[0, 1] == smv[1])
@@ -1038,13 +1049,25 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         )
         return st, out
 
-    xs = (jnp.arange(nmb, dtype=jnp.int32), mv_q, sad_q,
-          force_intra.reshape(-1))
-    state, sym = jax.lax.scan(body, state, xs)
+    def step(st, xs):
+        j, mv_j, sad_j, forced_j = xs
+        return jax.vmap(
+            lambda s_st, mvv, sdd, ff, r0: mb_body(s_st, j, mvv, sdd, ff, r0)
+        )(st, mv_j, sad_j, forced_j, srow0)
 
-    rec = (state["rec_y"][1:H + 1, 1:W + 1],
-           state["rec_u"][1:, 1:], state["rec_v"][1:, 1:])
-    ctx = dict(nnz=state["nnz_y"], mv=state["mv"],
-               ref=jnp.maximum(state["ref"], -1),
+    forced_xs = jnp.swapaxes(force_intra.reshape(S, nmb_s), 0, 1)
+    xs = (jnp.arange(nmb_s, dtype=jnp.int32), mv_q, sad_q, forced_xs)
+    state, sym = jax.lax.scan(step, state, xs)
+
+    # ys arrive [steps, S, ...]; reorder to global raster [nmb, ...]
+    sym = {k: jnp.swapaxes(v, 0, 1).reshape(nmb, *v.shape[2:])
+           for k, v in sym.items()}
+
+    rec = (state["rec_y"][:, 1:, 1:W + 1].reshape(H, W),
+           state["rec_u"][:, 1:, 1:].reshape(H // 2, W2),
+           state["rec_v"][:, 1:, 1:].reshape(H // 2, W2))
+    ctx = dict(nnz=state["nnz_y"].reshape(mb_h * 4, w4),
+               mv=state["mv"].reshape(mb_h * 4, w4, 2),
+               ref=jnp.maximum(state["ref"], -1).reshape(mb_h * 4, w4),
                mb_intra=sym["mb_intra"].reshape(mb_h, mb_w))
     return sym, rec, ctx

@@ -141,6 +141,17 @@ class Encoder:
             self.bits_to_follow += 1
             self.low -= HALF
 
+    def terminate0(self):
+        """end_of_slice_flag = 0 (biari_encode_symbol_final(0)): the
+        rLPS=2 terminate decision without ending the stream."""
+        self.range -= 2
+        self._renorm()
+
+    def init_contexts(self, states, mps):
+        """Load externally initialized (state, MPS) context arrays."""
+        self.state = np.asarray(states, np.int64).copy()
+        self.mps = np.asarray(mps, np.int64).copy()
+
     def flush(self) -> bytes:
         """Terminate and return bytes.
 
@@ -206,6 +217,20 @@ class Decoder:
             self.value -= self.range
             return 1
         return 0
+
+    def terminate(self) -> int:
+        """end_of_slice_flag decode (biari_decode_final)."""
+        self.range -= 2
+        if self.value < self.range:
+            while self.range < QUARTER:
+                self.range <<= 1
+                self.value = (self.value << 1) | self._read1()
+            return 0
+        return 1
+
+    def init_contexts(self, states, mps):
+        self.state = np.asarray(states, np.int64).copy()
+        self.mps = np.asarray(mps, np.int64).copy()
 
 
 B_INIT_BITS = 9  # decoder preload: B_BITS - 1

@@ -405,3 +405,20 @@ def test_avccodec_driver_roundtrip(jm_tools, foreman_qcif, tmp_path):
     assert dec == recon_bytes([r.recon for r in results])
     ours, _ = AVCCodec.decode_sequence(stream)
     assert recon_bytes(ours) == dec
+
+
+@pytest.mark.parametrize("n_slices", [1, 3])
+def test_tpu_codec_ldecod_bit_exact(jm_tools, foreman_qcif, tmp_path,
+                                    n_slices):
+    """The TPU-resident encoder's streams (single- and multi-slice) decode
+    bit-exactly in JM 18.5 ldecod (VERDICT round-2 item 1)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=30, num_ref_frames=2)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8,
+                        n_slices=n_slices)
+    results, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([r.recon for r in results])

@@ -1,0 +1,117 @@
+"""TPU-resident conformant AVC encoder: round trips + native twins.
+
+The device graph runs on the CPU backend here (conftest forces
+jax_platforms=cpu); the real-chip run is covered by bench.py and the
+driver.  The conformance oracle is our independent AVCDecoder (itself
+ldecod-verified in test_avc_conformance) — encoder-side recon must equal
+decoded output bit-exactly for every config.
+"""
+
+import numpy as np
+import pytest
+
+from h264tpu.avc.params import AVCParams, SLICE_I, SLICE_P
+from h264tpu.avc.codec import AVCCodec
+from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+
+@pytest.fixture(scope="module")
+def frames3(foreman_qcif):
+    return [foreman_qcif.read(i) for i in range(3)]
+
+
+def _roundtrip(codec, frames):
+    results, stream = codec.encode_sequence(frames)
+    dec, _ = AVCCodec.decode_sequence(stream)
+    assert len(dec) == len(frames)
+    for i, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr[c], results[i].recon[c]), (i, c)
+    return results, stream
+
+
+def test_ippp_roundtrip(frames3):
+    p = AVCParams(width=176, height=144, qp=30)
+    res, _ = _roundtrip(TPUAVCCodec(p, intra_period=0, search_range=8),
+                        frames3)
+    assert res[0].frame_type == "IDR" and res[1].frame_type == "P"
+    assert all(r.psnr_y > 32 for r in res)
+
+
+def test_multiref_forced_intra_roundtrip(frames3):
+    p = AVCParams(width=176, height=144, qp=27, num_ref_frames=3,
+                  deblock=False)
+
+    def fim(idx):
+        m = np.zeros((9, 11), bool)
+        if idx == 2:
+            m[3] = True
+        return m
+
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8)
+    results, stream = codec.encode_sequence(frames3, force_intra=fim)
+    dec, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr[c], results[i].recon[c]), (i, c)
+
+
+@pytest.mark.parametrize("n_slices", [3, 9])
+def test_multislice_roundtrip(frames3, n_slices):
+    """Slice-parallel encode (vmap over row bands) -> multi-slice decode."""
+    p = AVCParams(width=176, height=144, qp=32, num_ref_frames=2)
+    codec = TPUAVCCodec(p, intra_period=2, search_range=8,
+                        n_slices=n_slices)
+    res, stream = _roundtrip(codec, frames3)
+    assert all(r.psnr_y > 30 for r in res)
+
+
+def test_native_pack_matches_python(frames3):
+    """C slice packer must be byte-identical to the Python twin."""
+    import jax
+    import jax.numpy as jnp
+    from h264tpu.avc import tpu_enc as TE, pack as PK
+    from h264tpu.avc import native as AN
+    if not AN.available():
+        pytest.skip("native toolchain unavailable")
+    import functools
+    prep = functools.partial(jax.jit, static_argnames="sr")(TE.prep_ref)
+    f0, f1 = frames3[0], frames3[1]
+    qp, sr, mb_h, mb_w = 30, 8, 9, 11
+    rec0 = tuple(jnp.asarray(np.asarray(pl).astype(np.int32)) for pl in f0)
+    up, uu, vv = prep(*rec0, sr=sr)
+    y, u, v = (jnp.asarray(np.asarray(pl).astype(np.int32)) for pl in f1)
+    nf = jnp.zeros((mb_h, mb_w), bool)
+    p = AVCParams(width=176, height=144, qp=qp)
+    sym, _, _ = TE.encode_frame(y, u, v, up[None], uu[None], vv[None],
+                                jnp.int32(qp), jnp.int32(1), nf,
+                                mb_h=mb_h, mb_w=mb_w, sr=sr,
+                                intra_only=False, n_slices=3)
+    sym = jax.device_get(sym)
+    for s0 in range(3):
+        py_rbsp = PK.pack_p_slice(sym, p, qp, 1, 1, row0=s0 * 3, n_rows=3)
+        c_rbsp = AN.pack_slice(sym, p, SLICE_P, qp, 1, False, 0, 1,
+                               row0=s0 * 3, n_rows=3)
+        assert py_rbsp == c_rbsp, s0
+
+
+def test_native_deblock_matches_python(frames3):
+    from h264tpu.avc.deblock import DeblockContext, deblock_frame
+    from h264tpu.avc import native as AN
+    if not AN.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    mb_w, mb_h = 11, 9
+    y = rng.integers(0, 256, (144, 176)).astype(np.int64)
+    u = rng.integers(0, 256, (72, 88)).astype(np.int64)
+    v = rng.integers(0, 256, (72, 88)).astype(np.int64)
+    ctx = DeblockContext(mb_w, mb_h, 30)
+    ctx.mb_intra = rng.integers(0, 2, (mb_h, mb_w)).astype(bool)
+    ctx.nnz = rng.integers(0, 3, (mb_h * 4, mb_w * 4)).astype(np.int64)
+    ctx.mv = rng.integers(-20, 20, (mb_h * 4, mb_w * 4, 2)).astype(np.int64)
+    ctx.ref = rng.integers(0, 2, (mb_h * 4, mb_w * 4)).astype(np.int64)
+    ry, ru, rv = deblock_frame(y.copy(), u.copy(), v.copy(), ctx)
+    cy, cu, cv = AN.deblock_frame(y, u, v, ctx)
+    assert np.array_equal(ry, cy)
+    assert np.array_equal(ru, cu)
+    assert np.array_equal(rv, cv)
