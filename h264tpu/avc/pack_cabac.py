@@ -157,10 +157,11 @@ def pack_p_slice_cabac(sym, p: AVCParams, qp: int, frame_num: int,
                 for _ in range(4):
                     wtr.sub_mb_type(0)
             r = int(ri[i])
-            if num_ref > 1:
-                for (dy4, dx4, h4p, w4p) in parts:
+            for (dy4, dx4, h4p, w4p) in parts:
+                # interleave write/store: later partitions' ref ctx reads
+                # earlier partitions' cells
+                if num_ref > 1:
                     wtr.ref_idx(c, by0 + dy4, bx0 + dx4, r)
-            for pi, (dy4, dx4, h4p, w4p) in enumerate(parts):
                 st.ref[by0 + dy4:by0 + dy4 + h4p,
                        bx0 + dx4:bx0 + dx4 + w4p] = r
             for pi, (dy4, dx4, h4p, w4p) in enumerate(parts):

@@ -9,8 +9,10 @@ mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c}`` (SURVEY §3.5, J17/J18).
 
 Multi-slice pictures (contiguous slices, first_mb_in_slice > 0) are
 supported with spec 6.4.11 slice-restricted availability.
-Unsupported (raises): CABAC, fields/MBAFF, B slices, FMO>1 slice groups,
-4:2:2/4:4:4, 8x8 transform, MMCO adaptive marking, data partitioning.
+CABAC entropy decoding (Main profile I/P) is supported via avc/cabac.py;
+MMCO ops 1/5 and short-term ref list modification are handled.
+Unsupported (raises): fields/MBAFF, B slices, FMO>1 slice groups,
+4:2:2/4:4:4, 8x8 transform, long-term references, data partitioning.
 """
 
 from __future__ import annotations
@@ -62,8 +64,6 @@ def parse_pps(rbsp: bytes) -> dict:
     r = BitReader(rbsp)
     p = dict(pps_id=r.ue(), sps_id=r.ue())
     p["cabac"] = r.u(1)
-    if p["cabac"]:
-        raise NotImplementedError("CABAC decode")
     p["pic_order_present"] = r.u(1)
     if r.ue() != 0:                         # num_slice_groups_minus1
         raise NotImplementedError("FMO")
@@ -173,12 +173,23 @@ class AVCDecoder:
             def picnum(fn):
                 return fn if fn <= frame_num else fn - max_fn
 
-            self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
-            max_refs = max(sps["num_ref_frames"], 1)
-            if len(self.dpb) > max_refs:
-                # evict smallest FrameNumWrap (spec 8.2.5.3 sliding window)
-                self.dpb.sort(key=lambda t: picnum(t[0]))
-                self.dpb.pop(0)
+            if pic.get("mmco"):
+                # spec 8.2.5.4 adaptive marking (ops 1 and 5)
+                for op in pic["mmco"]:
+                    if op[0] == 1:
+                        pic_num_x = frame_num - (op[1] + 1)
+                        self.dpb = [e for e in self.dpb
+                                    if picnum(e[0]) != pic_num_x]
+                    elif op[0] == 5:
+                        self.dpb = []
+                self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
+            else:
+                self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
+                max_refs = max(sps["num_ref_frames"], 1)
+                if len(self.dpb) > max_refs:
+                    # evict smallest FrameNumWrap (8.2.5.3 sliding window)
+                    self.dpb.sort(key=lambda t: picnum(t[0]))
+                    self.dpb.pop(0)
         return frame
 
     def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int):
@@ -207,18 +218,39 @@ class AVCDecoder:
             if pps["pic_order_present"]:
                 r.se()
         num_ref = pps["num_ref_idx_l0"]
+        reorder_ops = []
         if slice_type == 0:                 # P
             if r.u(1):                      # override flag
                 num_ref = r.ue() + 1
             if r.u(1):                      # ref_pic_list_modification_l0
-                raise NotImplementedError("ref list reordering")
+                while True:
+                    op = self._tr(r, "modification_of_pic_nums_idc", r.ue())
+                    if op == 3:
+                        break
+                    if op in (0, 1):        # short-term picNum ops
+                        reorder_ops.append((op, r.ue()))
+                    else:
+                        raise NotImplementedError("long-term reordering")
+        mmco_ops = []
         if ref_idc != 0:
             if idr:
                 r.u(1)                      # no_output_of_prior_pics
                 r.u(1)                      # long_term_reference_flag
             else:
-                if r.u(1):
-                    raise NotImplementedError("MMCO")
+                if r.u(1):                  # adaptive_ref_pic_marking
+                    while True:
+                        op = self._tr(r, "mmco", r.ue())
+                        if op == 0:
+                            break
+                        if op == 1:         # short-term -> unused
+                            mmco_ops.append((1, r.ue()))
+                        elif op == 5:       # clear all
+                            mmco_ops.append((5,))
+                        else:
+                            raise NotImplementedError(f"MMCO op {op}")
+        cabac_init_idc = 0
+        if pps["cabac"] and slice_type != 2:
+            cabac_init_idc = r.ue()
         qp = pps["pic_init_qp"] + self._tr(r, "slice_qp_delta", r.se())
         disable_dbl = 0
         a_off = b_off = 0
@@ -231,6 +263,7 @@ class AVCDecoder:
         if self._pic is None:
             self._pic = dict(
                 sps=sps, pps=pps, mb_w=mb_w, mb_h=mb_h, qp=qp,
+                mmco=mmco_ops,
                 frame_num=frame_num, ref_idc=ref_idc,
                 disable_dbl=disable_dbl, a_off=a_off, b_off=b_off,
                 rec=(np.zeros((H, W), np.int64),
@@ -251,18 +284,45 @@ class AVCDecoder:
         def picnum(fn):
             return fn if fn <= frame_num else fn - max_fn
 
-        refs = [rp for _fn, _fr, rp in
-                sorted(self.dpb, key=lambda t: -picnum(t[0]))]
+        entries = sorted(self.dpb, key=lambda t: -picnum(t[0]))
+        if reorder_ops:
+            # spec 8.2.4.3.1 short-term modification process
+            max_pic_num = max_fn
+            pic_num_pred = frame_num
+            idx = 0
+            lst = list(entries)
+            for op, d in reorder_ops:
+                if op == 0:
+                    pic_num_no_wrap = pic_num_pred - (d + 1)
+                    if pic_num_no_wrap < 0:
+                        pic_num_no_wrap += max_pic_num
+                else:
+                    pic_num_no_wrap = pic_num_pred + (d + 1)
+                    if pic_num_no_wrap >= max_pic_num:
+                        pic_num_no_wrap -= max_pic_num
+                pic_num_pred = pic_num_no_wrap
+                pic_num = pic_num_no_wrap
+                if pic_num > frame_num:
+                    pic_num -= max_pic_num
+                match = [e for e in lst if picnum(e[0]) == pic_num]
+                assert match, "reorder target not in DPB"
+                lst.remove(match[0])
+                lst.insert(idx, match[0])
+                idx += 1
+            entries = lst
+        refs = [rp for _fn, _fr, rp in entries]
 
         dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
-                            mb_w, mb_h, num_ref, first_mb=first_mb, pic=pic)
+                            mb_w, mb_h, num_ref, first_mb=first_mb, pic=pic,
+                            rbsp=rbsp, cabac_init_idc=cabac_init_idc)
         dec.run()
         return done
 
 
 class _SliceDecoder:
     def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
-                 num_ref=1, first_mb=0, pic=None):
+                 num_ref=1, first_mb=0, pic=None, rbsp=None,
+                 cabac_init_idc=0):
         self.top = top
         self.sps, self.pps = sps, pps
         self.slice_type = slice_type
@@ -293,6 +353,17 @@ class _SliceDecoder:
         self.mvf = INTER.MVField(mb_h, mb_w)
         # last set bit == rbsp_stop_one_bit; data remains while pos < it
         self._stop = int(np.flatnonzero(r._bits)[-1])
+        self.cabac = bool(pps["cabac"])
+        if self.cabac:
+            from . import cabac as CB
+            while r.pos % 8:                    # cabac_alignment_one_bit
+                r.u(1)
+            self.cst = CB.MBState(mb_w, mb_h)
+            self.cst.first_mb = first_mb
+            self.crd = CB.CabacReader(bytes(rbsp[r.pos // 8:]),
+                                      slice_type, qp, self.cst,
+                                      cabac_init_idc)
+            self.CB = CB
 
     def _mb_ok(self, mby, mbx):
         """Same-slice availability of a causal neighbor MB."""
@@ -318,6 +389,8 @@ class _SliceDecoder:
         return na if has_a else (nb if has_b else 0)
 
     def run(self):
+        if self.cabac:
+            return self._run_cabac()
         n_mb = self.mb_w * self.mb_h
         mb = self.first_mb
         r = self.r
@@ -331,12 +404,25 @@ class _SliceDecoder:
                     break
             self._decode_mb(mb)
             mb += 1
+        return self._finish_slice()
+
+    def _finish_slice(self):
         if self.pic is not None:
             # merge this slice's MV field into the picture (deblock ctx)
             d = self.mvf.decoded
             self.pic["mv"][d] = self.mvf.mv[d]
             self.pic["ref"][d] = self.mvf.ref[d]
         return self.rec_y, self.rec_u, self.rec_v
+
+    def _run_cabac(self):
+        n_mb = self.mb_w * self.mb_h
+        mb = self.first_mb
+        while mb < n_mb:
+            self._decode_mb_cabac(mb)
+            mb += 1
+            if self.crd.end_of_slice():
+                break
+        return self._finish_slice()
 
     # ------------------------------------------------------------------
     def _decode_skip(self, mb):
@@ -658,3 +744,298 @@ class _SliceDecoder:
                 Q.idct4x4(deq))
             rec_p[cy:cy + 8, cx:cx + 8] = \
                 rec_b.transpose(0, 2, 1, 3).reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# CABAC macroblock parsing (mixin methods of _SliceDecoder)
+# ---------------------------------------------------------------------------
+
+def _cabac_decode_mb(self, mb):
+    """Parse + reconstruct one MB with CABAC entropy (spec 9.3 syntax;
+    JM ldecod read_one_macroblock_*_cabac semantics)."""
+    CB = self.CB
+    rd = self.crd
+    cst = self.cst
+    mby, mbx = mb // self.mb_w, mb % self.mb_w
+    by, bx = mby * 4, mbx * 4
+    p_slice = self.slice_type == 0
+
+    if p_slice:
+        c0 = CB._Common(cst, mby, mbx, intra=False)
+        skip = rd.mb_skip_flag(c0)
+        cst.skip[mby, mbx] = skip
+        if skip:
+            self._decode_skip(mb)
+            cst.cat[mby, mbx] = CB.MBState.CAT_SKIP
+            cst.cbp[mby, mbx] = 0
+            cst.cipred[mby, mbx] = 0
+            cst.last_dqp = 0
+            return
+
+    if p_slice:
+        win, i16_code = rd.mb_type_p_slice()
+        if win == 7:
+            raise NotImplementedError("PCM")
+        intra = win in (5, 6)
+        intra_type = None
+        if intra:
+            intra_type = 0 if win == 5 else i16_code
+    else:
+        c0 = CB._Common(cst, mby, mbx, intra=True)
+        intra_type = rd.mb_type_i_slice(c0)
+        if intra_type == 25:
+            raise NotImplementedError("PCM")
+        intra = True
+        win = 5 if intra_type == 0 else 6
+
+    if intra:
+        c = CB._Common(cst, mby, mbx, intra=True)
+        self._cabac_intra_mb(mby, mbx, intra_type, c)
+        self.mvf.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+        self.mb_intra[mby, mbx] = True
+        cst.cat[mby, mbx] = CB.MBState.CAT_I4 if intra_type == 0 \
+            else CB.MBState.CAT_I16
+        return
+
+    # ---- inter MB ----
+    c = CB._Common(cst, mby, mbx, intra=False)
+    self.mb_intra[mby, mbx] = False
+    cst.cat[mby, mbx] = CB.MBState.CAT_INTER
+    cst.cipred[mby, mbx] = 0
+    num_ref = self.num_ref
+    parts = []
+
+    def read_mv(pby, pbx, w4, h4, ri, tag="none"):
+        pmv = self.mvf.predict(pby, pbx, w4, h4, ri, tag)
+        dx = rd.mvd(c, pby, pbx, 0)
+        dy = rd.mvd(c, pby, pbx, 1)
+        cst.mvd[pby:pby + h4, pbx:pbx + w4] = (dx, dy)
+        mv = pmv + np.array([dx, dy], np.int64)
+        self.mvf.set_partition(pby, pbx, w4, h4, mv, ri)
+        return mv
+
+    if win == 1:
+        ri = rd.ref_idx(c, by, bx) if num_ref > 1 else 0
+        cst.ref[by:by + 4, bx:bx + 4] = ri
+        mv = read_mv(by, bx, 4, 4, ri)
+        parts = [((0, 0, 4, 4), mv, ri)]
+    elif win in (2, 3):
+        geo = ([((0, 0, 4, 2), "16x8_top"), ((2, 0, 4, 2), "16x8_bot")]
+               if win == 2 else
+               [((0, 0, 2, 4), "8x16_left"), ((0, 2, 2, 4), "8x16_right")])
+        ris = []
+        for (dy4, dx4, w4, h4), tag in geo:
+            # store each ref before reading the next: the ctx of a later
+            # partition reads earlier partitions' cells (ldecod order)
+            ri = rd.ref_idx(c, by + dy4, bx + dx4) if num_ref > 1 else 0
+            cst.ref[by + dy4:by + dy4 + h4, bx + dx4:bx + dx4 + w4] = ri
+            ris.append(ri)
+        for ((dy4, dx4, w4, h4), tag), ri in zip(geo, ris):
+            mv = read_mv(by + dy4, bx + dx4, w4, h4, ri, tag)
+            parts.append(((dy4, dx4, w4, h4), mv, ri))
+    else:                                   # P8x8
+        subs = [rd.sub_mb_type() for _ in range(4)]
+        ris = []
+        for b8 in range(4):
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            ri = rd.ref_idx(c, by + dy8, bx + dx8) if num_ref > 1 else 0
+            cst.ref[by + dy8:by + dy8 + 2, bx + dx8:bx + dx8 + 2] = ri
+            ris.append(ri)
+        for b8 in range(4):
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            geo = {0: [(0, 0, 2, 2)],
+                   1: [(0, 0, 2, 1), (1, 0, 2, 1)],
+                   2: [(0, 0, 1, 2), (0, 1, 1, 2)],
+                   3: [(0, 0, 1, 1), (0, 1, 1, 1),
+                       (1, 0, 1, 1), (1, 1, 1, 1)]}[subs[b8]]
+            for (sy, sx, w4, h4) in geo:
+                mv = read_mv(by + dy8 + sy, bx + dx8 + sx, w4, h4, ris[b8])
+                parts.append(((dy8 + sy, dx8 + sx, w4, h4), mv, ris[b8]))
+
+    self._mc_inter(mby, mbx, parts)
+
+    cbp = rd.cbp(c)
+    cst.cbp[mby, mbx] = cbp
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    qp = self._prev_qp(mb)
+    if cbp > 0:
+        qp = (qp + rd.mb_qp_delta(c) + 52) % 52
+    else:
+        cst.last_dqp = 0
+    self.mb_qp[mby, mbx] = qp
+    self._cabac_residual_luma(mby, mbx, cbp_luma, qp, c, intra16=False)
+    self._cabac_residual_chroma(mby, mbx, cbp_chroma, qp, c, intra=False)
+
+
+def _cabac_intra_mb(self, mby, mbx, intra_type, c):
+    CB = self.CB
+    rd = self.crd
+    cst = self.cst
+    by, bx = mby * 4, mbx * 4
+    if intra_type == 0:                      # I4x4
+        modes = np.zeros(16, np.int64)
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            bby, bbx = by + y4, bx + x4
+            avail_l = bbx > 0 and self._mb_ok(bby // 4, (bbx - 1) // 4)
+            avail_t = bby > 0 and self._mb_ok((bby - 1) // 4, bbx // 4)
+            ma = int(self.i4_modes[bby, bbx - 1]) if avail_l else -2
+            mb_ = int(self.i4_modes[bby - 1, bbx]) if avail_t else -2
+            if ma == -2 or mb_ == -2:
+                mpm = 2
+            else:
+                mpm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+            flag, rem = rd.intra_pred_mode()
+            m = mpm if flag else rem + (1 if rem >= mpm else 0)
+            modes[k] = m
+            self.i4_modes[bby, bbx] = m
+        ch_mode = rd.chroma_pred_mode(c)
+        cst.cipred[mby, mbx] = ch_mode
+        cbp = rd.cbp(c)
+        cst.cbp[mby, mbx] = cbp
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        qp = self._prev_qp(mby * self.mb_w + mbx)
+        if cbp > 0:
+            qp = (qp + rd.mb_qp_delta(c) + 52) % 52
+        else:
+            cst.last_dqp = 0
+        self.mb_qp[mby, mbx] = qp
+        zzs = np.zeros((16, 16), np.int64)
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            bby, bbx = by + y4, bx + x4
+            b8 = (y4 // 2) * 2 + (x4 // 2)
+            if cbp_luma & (1 << b8):
+                zz = rd.residual_block(c, self.CB.LUMA_4x4, by=bby, bx=bbx)
+                self.st_nnz[bby, bbx] = int((zz != 0).sum())
+                zzs[k] = zz
+            else:
+                self.st_nnz[bby, bbx] = 0
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            self._recon_i4_block(mby, mbx, y4, x4, int(modes[k]), zzs[k], qp)
+        self._cabac_residual_chroma(mby, mbx, cbp_chroma, qp, c,
+                                    intra=True, ch_mode=ch_mode)
+    else:                                    # I16x16
+        i16mode, cbp_chroma, cbp_luma_nz = mb_type_i16_parse(intra_type)
+        ch_mode = rd.chroma_pred_mode(c)
+        cst.cipred[mby, mbx] = ch_mode
+        cst.cbp[mby, mbx] = (15 if cbp_luma_nz else 0) | (cbp_chroma << 4)
+        qp = self._prev_qp(mby * self.mb_w + mbx)
+        qp = (qp + rd.mb_qp_delta(c) + 52) % 52
+        self.mb_qp[mby, mbx] = qp
+        y0, x0 = mby * 16, mbx * 16
+        avail_t = mby > 0 and self._mb_ok(mby - 1, mbx)
+        avail_l = mbx > 0 and self._mb_ok(mby, mbx - 1)
+        top16 = self.rec_y[y0 - 1, x0:x0 + 16] if avail_t else \
+            np.zeros(16, np.int64)
+        left16 = self.rec_y[y0:y0 + 16, x0 - 1] if avail_l else \
+            np.zeros(16, np.int64)
+        corner = self.rec_y[y0 - 1, x0 - 1] if (avail_t and avail_l) else 0
+        preds, _ = IP.pred16x16_all(top16, left16, corner, avail_t, avail_l)
+        pred = preds[i16mode]
+        dc_zz = rd.residual_block(c, self.CB.LUMA_16DC)
+        dc_lev = Q.unzigzag(dc_zz)
+        dc_deq = Q.dequant_dc16(dc_lev, qp)
+        ac = np.zeros((4, 4, 4, 4), np.int64)
+        for k in range(16):
+            y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+            bby, bbx = by + y4, bx + x4
+            if cbp_luma_nz:
+                zz15 = rd.residual_block(c, self.CB.LUMA_16AC, by=bby, bx=bbx)
+                self.st_nnz[bby, bbx] = int((zz15 != 0).sum())
+                full = np.zeros(16, np.int64)
+                full[1:] = zz15
+                ac[y4, x4] = Q.unzigzag(full)
+            else:
+                self.st_nnz[bby, bbx] = 0
+        deq = Q.dequant4x4(ac, qp)
+        deq[:, :, 0, 0] = dc_deq
+        rec_b = Q.reconstruct(
+            pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3), Q.idct4x4(deq))
+        self.rec_y[y0:y0 + 16, x0:x0 + 16] = \
+            rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+        self.i4_modes[by:by + 4, bx:bx + 4] = -1
+        self._cabac_residual_chroma(mby, mbx, cbp_chroma, qp, c,
+                                    intra=True, ch_mode=ch_mode)
+
+
+def _cabac_residual_luma(self, mby, mbx, cbp_luma, qp, c, intra16):
+    rd = self.crd
+    by, bx = mby * 4, mbx * 4
+    y0, x0 = mby * 16, mbx * 16
+    lev = np.zeros((4, 4, 4, 4), np.int64)
+    for k in range(16):
+        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+        bby, bbx = by + y4, bx + x4
+        b8 = (y4 // 2) * 2 + (x4 // 2)
+        if cbp_luma & (1 << b8):
+            zz = rd.residual_block(c, self.CB.LUMA_4x4, by=bby, bx=bbx)
+            self.st_nnz[bby, bbx] = int((zz != 0).sum())
+            lev[y4, x4] = Q.unzigzag(zz)
+        else:
+            self.st_nnz[bby, bbx] = 0
+    if cbp_luma:
+        pred = self.rec_y[y0:y0 + 16, x0:x0 + 16]
+        deq = Q.dequant4x4(lev, qp)
+        rec_b = Q.reconstruct(
+            pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3), Q.idct4x4(deq))
+        self.rec_y[y0:y0 + 16, x0:x0 + 16] = \
+            rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+
+
+def _cabac_residual_chroma(self, mby, mbx, cbp_chroma, qp, c, intra,
+                           ch_mode=None):
+    rd = self.crd
+    qpc = Q.chroma_qp(qp, self.pps["chroma_qp_offset"])
+    cy, cx = mby * 8, mbx * 8
+    if intra:
+        avail_t = mby > 0 and self._mb_ok(mby - 1, mbx)
+        avail_l = mbx > 0 and self._mb_ok(mby, mbx - 1)
+        preds = []
+        for rec_p in (self.rec_u, self.rec_v):
+            top8 = rec_p[cy - 1, cx:cx + 8] if avail_t else \
+                np.zeros(8, np.int64)
+            left8 = rec_p[cy:cy + 8, cx - 1] if avail_l else \
+                np.zeros(8, np.int64)
+            corner = rec_p[cy - 1, cx - 1] if (avail_t and avail_l) else 0
+            pr, _ = IP.pred_chroma_all(top8, left8, corner, avail_t, avail_l)
+            preds.append(pr[ch_mode])
+    else:
+        preds = [self.rec_u[cy:cy + 8, cx:cx + 8].copy(),
+                 self.rec_v[cy:cy + 8, cx:cx + 8].copy()]
+
+    dc_deqs = [np.zeros((2, 2), np.int64), np.zeros((2, 2), np.int64)]
+    if cbp_chroma > 0:
+        for ci in range(2):
+            dc_zz = rd.residual_block(c, self.CB.CHROMA_DC, comp=ci)
+            dc_deqs[ci] = Q.dequant_dc_chroma(dc_zz, qpc)
+    acs = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
+    for ci in range(2):
+        for by4 in range(2):
+            for bx4 in range(2):
+                cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                if cbp_chroma == 2:
+                    zz15 = rd.residual_block(c, self.CB.CHROMA_AC,
+                                             by=cby, bx=cbx, comp=ci)
+                    self.nnz_c[ci, cby, cbx] = int((zz15 != 0).sum())
+                    full = np.zeros(16, np.int64)
+                    full[1:] = zz15
+                    acs[ci][by4, bx4] = Q.unzigzag(full)
+                else:
+                    self.nnz_c[ci, cby, cbx] = 0
+    for ci, rec_p in ((0, self.rec_u), (1, self.rec_v)):
+        deq = Q.dequant4x4(acs[ci], qpc) if cbp_chroma == 2 else \
+            np.zeros((2, 2, 4, 4), np.int64)
+        deq[:, :, 0, 0] = dc_deqs[ci]
+        rec_b = Q.reconstruct(
+            np.asarray(preds[ci]).reshape(2, 4, 2, 4).transpose(0, 2, 1, 3),
+            Q.idct4x4(deq))
+        rec_p[cy:cy + 8, cx:cx + 8] = \
+            rec_b.transpose(0, 2, 1, 3).reshape(8, 8)
+
+
+_SliceDecoder._decode_mb_cabac = _cabac_decode_mb
+_SliceDecoder._cabac_intra_mb = _cabac_intra_mb
+_SliceDecoder._cabac_residual_luma = _cabac_residual_luma
+_SliceDecoder._cabac_residual_chroma = _cabac_residual_chroma

@@ -422,3 +422,43 @@ def test_tpu_codec_ldecod_bit_exact(jm_tools, foreman_qcif, tmp_path,
     results, stream = codec.encode_sequence(frames)
     dec = ldecod_decode(tmp_path, stream)
     assert dec == recon_bytes([r.recon for r in results])
+
+
+def test_tpu_codec_cabac_ldecod_bit_exact(jm_tools, foreman_qcif, tmp_path):
+    """CABAC (Main profile) streams from the TPU encoder decode bit-exact
+    in JM 18.5 ldecod (VERDICT round-2 item 3, encoder direction)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, cabac=True)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8)
+    results, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([r.recon for r in results])
+
+
+def test_decode_lencod_cabac_stream_bit_exact(jm_tools, tmp_path):
+    """Our decoder decodes lencod Main-profile CABAC IPP streams (multi-ref,
+    MMCO, all sub-partitions) bit-exactly (item 3, decoder direction)."""
+    from h264tpu.avc.slice_dec import AVCDecoder
+
+    out264 = tmp_path / "jm_cabac.264"
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_main.cfg"),
+         "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+         "-p", "FramesToBeEncoded=3", "-p", "SourceWidth=176",
+         "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+         "-p", "OutputHeight=144", "-p", "IntraPeriod=0", "-p", "IDRPeriod=0",
+         "-p", "QPISlice=30", "-p", "QPPSlice=31", "-p", "SymbolMode=1",
+         "-p", "OutFileMode=0", "-p", f"OutputFile={out264}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=2", "-p", "RDOptimization=1",
+         "-p", "Transform8x8Mode=0", "-p", "NumberBFrames=0",
+         "-p", "SearchRange=16"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=300)
+    assert r.returncode == 0, r.stdout[-800:]
+    stream = out264.read_bytes()
+    frames = AVCDecoder().decode(stream)
+    jm = ldecod_decode(tmp_path, stream)
+    assert recon_bytes(frames) == jm

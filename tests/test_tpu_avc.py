@@ -115,3 +115,31 @@ def test_native_deblock_matches_python(frames3):
     assert np.array_equal(ry, cy)
     assert np.array_equal(ru, cu)
     assert np.array_equal(rv, cv)
+
+
+def test_cabac_roundtrip_own_decoder(frames3):
+    """CABAC (Main profile) encode on the device graph -> our own CABAC
+    decoder reproduces the encoder recon bit-exactly."""
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, cabac=True,
+                  num_ref_frames=2)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8)
+    results, stream = codec.encode_sequence(frames3)
+    dec, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr[c], results[i].recon[c]), (i, c)
+
+
+def test_cabac_bits_beat_cavlc(frames3):
+    pc = AVCParams(width=176, height=144, qp=30, profile_idc=77, cabac=True)
+    pv = AVCParams(width=176, height=144, qp=30)
+    rc, _ = TPUAVCCodec(pc, intra_period=0,
+                        search_range=8).encode_sequence(frames3)
+    rv, _ = TPUAVCCodec(pv, intra_period=0,
+                        search_range=8).encode_sequence(frames3)
+    cab = sum(r.bits for r in rc)
+    cav = sum(r.bits for r in rv)
+    assert cab < cav, (cab, cav)
+    # identical decisions -> identical recon; only entropy coding differs
+    for qc, qv in zip(rc, rv):
+        assert np.array_equal(qc.recon[0], qv.recon[0])
