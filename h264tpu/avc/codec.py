@@ -14,7 +14,7 @@ import dataclasses
 import numpy as np
 
 from .params import AVCParams, assemble_stream
-from .slice_enc import encode_i_frame, encode_p_frame
+from .slice_enc import encode_i_frame, encode_p_frame, encode_b_frame
 from .slice_dec import AVCDecoder
 from .deblock import DeblockContext, deblock_frame
 from .inter import RefPlanes
@@ -34,13 +34,23 @@ class AVCCodec:
 
     def __init__(self, p: AVCParams, intra_period: int = 0,
                  search_range: int = 16, use_satd: bool = True,
-                 check_conformance: bool = True):
+                 check_conformance: bool = True, bframes: int = 0):
         """``intra_period``: 0 = first frame IDR then all P (IPPP);
-        N>0 = IDR every N frames."""
+        N>0 = IDR every N frames.  ``bframes``: number of non-reference
+        B pictures between anchors (IbbPbbP...; requires poc_type 0 and
+        num_ref_frames >= 2 so both anchors stay in the DPB)."""
         self.p = p
         self.intra_period = intra_period
         self.sr = search_range
         self.use_satd = use_satd
+        self.bframes = bframes
+        if bframes > 0:
+            if p.poc_type != 0:
+                raise ValueError("bframes needs AVCParams(poc_type=0)")
+            if p.num_ref_frames < 2:
+                raise ValueError("bframes needs num_ref_frames >= 2")
+            if p.profile_idc == 66:
+                raise ValueError("B slices need Main profile (77)")
         if p.slice_groups > 1 and intra_period != 1:
             # encode_p_frame has no FMO support (one raster slice) while the
             # PPS would still signal num_slice_groups>1 — ldecod would walk
@@ -62,6 +72,8 @@ class AVCCodec:
         """frames: iterable of (Y, U, V) uint8.  ``force_intra``: optional
         callable idx -> [mb_h, mb_w] bool mask (errdo / intra refresh).
         Returns (results, Annex-B stream bytes)."""
+        if self.bframes > 0:
+            return self._encode_sequence_b(frames, qp, verbose)
         p = self.p
         qp = p.qp if qp is None else qp
         slices, results = [], []
@@ -107,6 +119,91 @@ class AVCCodec:
             if verbose:
                 print(f"frame {idx:3d} {ftype:3s} bits {res.bits:7d} "
                       f"PSNR-Y {res.psnr_y:6.2f}")
+        return results, assemble_stream(p, slices)
+
+    def _encode_sequence_b(self, frames, qp=None, verbose=False):
+        """IbbP GOP: anchors every (bframes+1) display positions, coded
+        first; disposable B pictures (spatial direct) between them.
+        Results return in DISPLAY order; the stream is in decode order
+        (JM ``pred_struct.c`` populate_frm_struct IBBP shape)."""
+        p = self.p
+        qp = p.qp if qp is None else qp
+        frames = list(frames)
+        n = len(frames)
+        G = self.bframes + 1
+        anchors = sorted(set(list(range(0, n, G)) + [n - 1]))
+
+        slices = []
+        results = [None] * n
+        anchor_data = {}              # disp idx -> (rec, motion(mv,ref))
+        frame_num = 0
+        prev_a = None
+        for a in anchors:
+            yuv = frames[a]
+            ctx = DeblockContext(p.mb_w, p.mb_h, qp, p.chroma_qp_offset)
+            if a == 0:
+                rbsp, rec, stats = encode_i_frame(yuv, p, qp=qp,
+                                                  frame_num=0, idr=True)
+                slices.append((True, rbsp, 3))
+                frame_num = 1
+                motion = (np.zeros((p.mb_h * 4, p.mb_w * 4, 2), np.int64),
+                          np.full((p.mb_h * 4, p.mb_w * 4), -1, np.int64))
+                ftype = "IDR"
+            else:
+                ref_list = [anchor_data[prev_a]["rp"]]
+                rbsp, rec, pctx, stats = encode_p_frame(
+                    yuv, ref_list, p, qp=qp, frame_num=frame_num,
+                    sr=self.sr, use_satd=self.use_satd, poc_lsb=2 * a)
+                ctx.mb_intra = pctx["mb_intra"]
+                ctx.nnz = pctx["nnz"]
+                ctx.mv = pctx["mvf"].mv
+                ctx.ref = pctx["mvf"].ref
+                slices.append((False, rbsp, 2))
+                frame_num += 1
+                motion = (pctx["mvf"].mv.copy(), pctx["mvf"].ref.copy())
+                ftype = "P"
+            if p.deblock:
+                rec = deblock_frame(*rec, ctx)
+            rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec)
+            anchor_data[a] = dict(rp=RefPlanes(*rec), motion=motion,
+                                  rec=rec8)
+            mse = ((np.asarray(yuv[0], np.float64) - rec8[0]) ** 2).mean()
+            results[a] = AVCFrameResult(
+                frame_type=ftype, bits=stats["bits"],
+                psnr_y=99.99 if mse == 0 else
+                float(10 * np.log10(255.0 ** 2 / mse)), recon=rec8)
+
+            if prev_a is not None:
+                for b in range(prev_a + 1, a):
+                    yuvb = frames[b]
+                    rbsp, recb, bctx, stats = encode_b_frame(
+                        yuvb, [anchor_data[prev_a]["rp"]],
+                        [anchor_data[a]["rp"]], anchor_data[a]["motion"],
+                        p, qp=qp, frame_num=frame_num, poc_lsb=2 * b,
+                        sr=self.sr, use_satd=self.use_satd,
+                        ref_pocs0=[2 * prev_a], ref_pocs1=[2 * a])
+                    ctxb = DeblockContext(p.mb_w, p.mb_h, qp,
+                                          p.chroma_qp_offset)
+                    ctxb.mb_intra = bctx["mb_intra"]
+                    ctxb.nnz = bctx["nnz"]
+                    ctxb.mv = bctx["mv"]
+                    ctxb.ref = bctx["ref"]
+                    ctxb.mv1 = bctx["mv1"]
+                    ctxb.ref1 = bctx["ref1"]
+                    if p.deblock:
+                        recb = deblock_frame(*recb, ctxb)
+                    rec8b = tuple(np.asarray(pl, np.uint8) for pl in recb)
+                    slices.append((False, rbsp, 0))
+                    mse = ((np.asarray(yuvb[0], np.float64)
+                            - rec8b[0]) ** 2).mean()
+                    results[b] = AVCFrameResult(
+                        frame_type="B", bits=stats["bits"],
+                        psnr_y=99.99 if mse == 0 else
+                        float(10 * np.log10(255.0 ** 2 / mse)),
+                        recon=rec8b)
+                    if verbose:
+                        print(f"frame {b:3d} B   bits {stats['bits']:7d}")
+            prev_a = a
         return results, assemble_stream(p, slices)
 
     @staticmethod

@@ -110,6 +110,16 @@ class DeblockContext:
         self.chroma_qp_offset = chroma_qp_offset
         self.alpha_off = 0
         self.beta_off = 0
+        # optional second-list motion for B pictures: per-cell PICTURE ids
+        # (-1 = list unused) + MVs.  When set, ``ref``/``mv`` above hold the
+        # list-0 picture ids/MVs (-1 where list 0 unused).
+        self.mv1 = None
+        self.ref1 = None
+
+
+def _mv_far(a, b):
+    return (np.abs(a[..., 0] - b[..., 0]) >= 4) | \
+           (np.abs(a[..., 1] - b[..., 1]) >= 4)
 
 
 def _bs_edge(ctx: DeblockContext, by_p, bx_p, by_q, bx_q, mb_edge: bool):
@@ -119,9 +129,36 @@ def _bs_edge(ctx: DeblockContext, by_p, bx_p, by_q, bx_q, mb_edge: bool):
     intra = mb_p | mb_q
     coded = (ctx.nnz[by_p, bx_p] > 0) | (ctx.nnz[by_q, bx_q] > 0)
     mv_p, mv_q = ctx.mv[by_p, bx_p], ctx.mv[by_q, bx_q]
-    moved = (np.abs(mv_p[..., 0] - mv_q[..., 0]) >= 4) | \
-            (np.abs(mv_p[..., 1] - mv_q[..., 1]) >= 4) | \
-            (ctx.ref[by_p, bx_p] != ctx.ref[by_q, bx_q])
+    r_p, r_q = ctx.ref[by_p, bx_p], ctx.ref[by_q, bx_q]
+    if ctx.ref1 is None:
+        moved = _mv_far(mv_p, mv_q) | (r_p != r_q)
+    else:
+        # two-list derivation: different picture sets or MV counts -> 1;
+        # same single pic -> one comparison; same pic twice -> either
+        # pairing small; two distinct pics -> match by picture
+        mv1_p, mv1_q = ctx.mv1[by_p, bx_p], ctx.mv1[by_q, bx_q]
+        r1_p, r1_q = ctx.ref1[by_p, bx_p], ctx.ref1[by_q, bx_q]
+        lo_p = np.minimum(r_p, r1_p)
+        hi_p = np.maximum(r_p, r1_p)
+        lo_q = np.minimum(r_q, r1_q)
+        hi_q = np.maximum(r_q, r1_q)
+        diff_sets = (lo_p != lo_q) | (hi_p != hi_q)
+        n_p = (r_p >= 0).astype(int) + (r1_p >= 0).astype(int)
+        n_q = (r_q >= 0).astype(int) + (r1_q >= 0).astype(int)
+        # single-MV cells: pick the used list's mv
+        one_p = np.where((r_p >= 0)[..., None], mv_p, mv1_p)
+        one_q = np.where((r_q >= 0)[..., None], mv_q, mv1_q)
+        far1 = _mv_far(one_p, one_q)
+        same_pic_twice = (r_p == r1_p)
+        straight = _mv_far(mv_p, mv_q) | _mv_far(mv1_p, mv1_q)
+        crossed = _mv_far(mv_p, mv1_q) | _mv_far(mv1_p, mv_q)
+        far2_same = straight & crossed
+        # distinct pics: pair by picture id (l0/l1 may be swapped)
+        swap = (r_p == r1_q) & (r_p != r_q)
+        far2_distinct = np.where(swap, crossed, straight)
+        far2 = np.where(same_pic_twice, far2_same, far2_distinct)
+        moved = diff_sets | (n_p != n_q) | \
+            np.where(n_p == 1, far1, far2)
     bs = np.where(coded, 2, np.where(moved, 1, 0))
     return np.where(intra, 4 if mb_edge else 3, bs)
 

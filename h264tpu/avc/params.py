@@ -25,6 +25,10 @@ class AVCParams:
     level_idc: int = 30
     cabac: bool = False            # entropy_coding_mode_flag (needs Main)
     log2_max_frame_num: int = 8
+    # POC: type 2 (decode order; IPPP only) or type 0 (explicit lsb, needed
+    # once B pictures reorder display vs decode; spec 8.2.1)
+    poc_type: int = 2
+    log2_max_poc_lsb: int = 8
     num_ref_frames: int = 1
     deblock: bool = True           # in-loop filter on (disable_idc = 0/1)
     chroma_qp_offset: int = 0
@@ -54,7 +58,9 @@ def write_sps(p: AVCParams) -> bytes:
     w.u(p.level_idc, 8)
     w.ue(0)                        # sps_id
     w.ue(p.log2_max_frame_num - 4)
-    w.ue(2)                        # pic_order_cnt_type = 2 (decode order)
+    w.ue(p.poc_type)
+    if p.poc_type == 0:
+        w.ue(p.log2_max_poc_lsb - 4)
     w.ue(p.num_ref_frames)
     w.u(0, 1)                      # gaps_in_frame_num_value_allowed_flag
     w.ue(p.mb_w - 1)
@@ -97,24 +103,36 @@ def write_pps(p: AVCParams) -> bytes:
 def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
                        frame_num: int, idr: bool, slice_qp: int,
                        first_mb: int = 0, idr_pic_id: int = 0,
-                       num_ref_idx_l0: int = 1):
-    """Slice header bits into ``w`` (spec 7.3.3; poc_type=2, frame coding)."""
+                       num_ref_idx_l0: int = 1, poc_lsb: int = 0,
+                       num_ref_idx_l1: int = 1, ref_pic: bool = True):
+    """Slice header bits into ``w`` (spec 7.3.3; frame coding)."""
     w.ue(first_mb)
     w.ue(slice_type + 5)           # all slices of the picture share the type
     w.ue(0)                        # pps_id
     w.u(frame_num % (1 << p.log2_max_frame_num), p.log2_max_frame_num)
     if idr:
         w.ue(idr_pic_id)
-    if slice_type == SLICE_P:
-        w.u(num_ref_idx_l0 != 1, 1)   # num_ref_idx_active_override_flag
-        if num_ref_idx_l0 != 1:
+    if p.poc_type == 0:
+        w.u(poc_lsb % (1 << p.log2_max_poc_lsb), p.log2_max_poc_lsb)
+    if slice_type == SLICE_B:
+        w.u(1, 1)                  # direct_spatial_mv_pred_flag
+    if slice_type in (SLICE_P, SLICE_B):
+        override = (num_ref_idx_l0 != 1
+                    or (slice_type == SLICE_B and num_ref_idx_l1 != 1))
+        w.u(1 if override else 0, 1)  # num_ref_idx_active_override_flag
+        if override:
             w.ue(num_ref_idx_l0 - 1)
+            if slice_type == SLICE_B:
+                w.ue(num_ref_idx_l1 - 1)
         w.u(0, 1)                  # ref_pic_list_modification_flag_l0
-    if idr:
-        w.u(0, 1)                  # no_output_of_prior_pics_flag
-        w.u(0, 1)                  # long_term_reference_flag
-    elif slice_type == SLICE_P:
-        w.u(0, 1)                  # adaptive_ref_pic_marking_mode_flag
+        if slice_type == SLICE_B:
+            w.u(0, 1)              # ref_pic_list_modification_flag_l1
+    if ref_pic:
+        if idr:
+            w.u(0, 1)              # no_output_of_prior_pics_flag
+            w.u(0, 1)              # long_term_reference_flag
+        else:
+            w.u(0, 1)              # adaptive_ref_pic_marking_mode_flag
     if p.cabac and slice_type != SLICE_I:
         w.ue(0)                    # cabac_init_idc
     w.se(slice_qp - p.qp)          # slice_qp_delta
@@ -127,9 +145,12 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
 def assemble_stream(p: AVCParams, slices) -> bytes:
     """Annex-B byte stream: SPS, PPS, then coded slices.
 
-    ``slices``: list of (idr: bool, rbsp: bytes).
+    ``slices``: list of (idr: bool, rbsp: bytes) or (idr, rbsp, ref_idc)
+    — ref_idc 0 marks non-reference pictures (disposable B).
     """
     nalus = [NALU(NAL_SPS, 3, write_sps(p)), NALU(NAL_PPS, 3, write_pps(p))]
-    for idr, rbsp in slices:
-        nalus.append(NALU(NAL_IDR if idr else NAL_SLICE, 3, rbsp))
+    for entry in slices:
+        idr, rbsp = entry[0], entry[1]
+        ref_idc = entry[2] if len(entry) > 2 else 3
+        nalus.append(NALU(NAL_IDR if idr else NAL_SLICE, ref_idc, rbsp))
     return annexb_write(nalus)

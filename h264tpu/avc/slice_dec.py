@@ -101,7 +101,11 @@ class AVCDecoder:
     def __init__(self, trace: bool = False):
         self.sps = {}
         self.pps = {}
-        self.dpb = []          # list of (frame_num, (y,u,v) uint8, RefPlanes)
+        # DPB entries: dict(fn, poc, frame, rp, mv, ref) — mv/ref are the
+        # stored picture's motion (colocated data for B spatial direct)
+        self.dpb = []
+        self._prev_poc_lsb = 0
+        self._prev_poc_msb = 0
         self.trace = [] if trace else None
 
     def _tr(self, r, name, value):
@@ -125,11 +129,14 @@ class AVCDecoder:
         entropy context is restricted to the current slice (spec 6.4.11
         availability)."""
         out = []
+        self._order = []       # (poc, decode_idx) per output frame
         self._pic = None
+        poc_reorder = False
         for n in annexb_parse(stream):
             if n.nal_type == NAL_SPS:
                 s = parse_sps(n.rbsp)
                 self.sps[s["sps_id"]] = s
+                poc_reorder |= s["poc_type"] == 0
             elif n.nal_type == NAL_PPS:
                 p = parse_pps(n.rbsp)
                 self.pps[p["pps_id"]] = p
@@ -144,6 +151,10 @@ class AVCDecoder:
         fr = self._finish_picture()
         if fr is not None:
             out.append(fr)
+        if poc_reorder and len(self._order) == len(out):
+            # output order = ascending POC (display order) per 8.2.1
+            order = sorted(range(len(out)), key=lambda i: self._order[i])
+            out = [out[i] for i in order]
         return out
 
     # ------------------------------------------------------------------
@@ -163,9 +174,13 @@ class AVCDecoder:
         ctx.mv = pic["mv"]
         ctx.ref = pic["ref"]
         ctx.alpha_off, ctx.beta_off = pic["a_off"], pic["b_off"]
+        if pic["is_b"]:
+            ctx.mv1 = pic["mv1"]
+            ctx.ref1 = pic["ref1"]
         if pic["disable_dbl"] != 1:
             rec = deblock_frame(*rec, ctx)
         frame = tuple(np.asarray(pl, np.uint8) for pl in rec)
+        self._order.append(pic["poc"])
         if pic["ref_idc"] != 0:
             frame_num = pic["frame_num"]
             max_fn = 1 << sps["log2_max_frame_num"]
@@ -173,22 +188,25 @@ class AVCDecoder:
             def picnum(fn):
                 return fn if fn <= frame_num else fn - max_fn
 
+            entry = dict(fn=frame_num, poc=pic["poc"], frame=frame,
+                         rp=INTER.RefPlanes(*rec), mv=pic["mv"],
+                         ref=pic["ref"])
             if pic.get("mmco"):
                 # spec 8.2.5.4 adaptive marking (ops 1 and 5)
                 for op in pic["mmco"]:
                     if op[0] == 1:
                         pic_num_x = frame_num - (op[1] + 1)
                         self.dpb = [e for e in self.dpb
-                                    if picnum(e[0]) != pic_num_x]
+                                    if picnum(e["fn"]) != pic_num_x]
                     elif op[0] == 5:
                         self.dpb = []
-                self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
+                self.dpb.append(entry)
             else:
-                self.dpb.append((frame_num, frame, INTER.RefPlanes(*rec)))
+                self.dpb.append(entry)
                 max_refs = max(sps["num_ref_frames"], 1)
                 if len(self.dpb) > max_refs:
                     # evict smallest FrameNumWrap (8.2.5.3 sliding window)
-                    self.dpb.sort(key=lambda t: picnum(t[0]))
+                    self.dpb.sort(key=lambda e: picnum(e["fn"]))
                     self.dpb.pop(0)
         return frame
 
@@ -198,7 +216,7 @@ class AVCDecoder:
         r = BitReader(rbsp)
         first_mb = self._tr(r, "first_mb_in_slice", r.ue())
         slice_type = self._tr(r, "slice_type", r.ue()) % 5
-        if slice_type not in (0, 2):
+        if slice_type not in (0, 1, 2):
             raise NotImplementedError(f"slice_type {slice_type}")
         pps = self.pps[r.ue()]
         sps = self.sps[pps["sps_id"]]
@@ -213,15 +231,39 @@ class AVCDecoder:
             r.ue()                          # idr_pic_id
             if first_mb == 0:
                 self.dpb = []
+        poc = 2 * frame_num                 # poc_type 2 approximation
         if sps["poc_type"] == 0:
-            r.u(sps["log2_max_poc_lsb"])    # pic_order_cnt_lsb
+            lsb = r.u(sps["log2_max_poc_lsb"])
             if pps["pic_order_present"]:
                 r.se()
+            # spec 8.2.1.1 PicOrderCntMsb tracking
+            max_lsb = 1 << sps["log2_max_poc_lsb"]
+            if idr and first_mb == 0:
+                self._prev_poc_lsb = self._prev_poc_msb = 0
+                msb = 0
+            else:
+                if (lsb < self._prev_poc_lsb
+                        and self._prev_poc_lsb - lsb >= max_lsb // 2):
+                    msb = self._prev_poc_msb + max_lsb
+                elif (lsb > self._prev_poc_lsb
+                      and lsb - self._prev_poc_lsb > max_lsb // 2):
+                    msb = self._prev_poc_msb - max_lsb
+                else:
+                    msb = self._prev_poc_msb
+            poc = msb + lsb
+            if ref_idc != 0:
+                self._prev_poc_lsb, self._prev_poc_msb = lsb, msb
+        if slice_type == 1:
+            if not r.u(1):                  # direct_spatial_mv_pred_flag
+                raise NotImplementedError("temporal direct")
         num_ref = pps["num_ref_idx_l0"]
+        num_ref_l1 = pps["num_ref_idx_l1"]
         reorder_ops = []
-        if slice_type == 0:                 # P
+        if slice_type in (0, 1):
             if r.u(1):                      # override flag
                 num_ref = r.ue() + 1
+                if slice_type == 1:
+                    num_ref_l1 = r.ue() + 1
             if r.u(1):                      # ref_pic_list_modification_l0
                 while True:
                     op = self._tr(r, "modification_of_pic_nums_idc", r.ue())
@@ -231,6 +273,8 @@ class AVCDecoder:
                         reorder_ops.append((op, r.ue()))
                     else:
                         raise NotImplementedError("long-term reordering")
+            if slice_type == 1 and r.u(1):
+                raise NotImplementedError("list1 reordering")
         mmco_ops = []
         if ref_idc != 0:
             if idr:
@@ -263,7 +307,7 @@ class AVCDecoder:
         if self._pic is None:
             self._pic = dict(
                 sps=sps, pps=pps, mb_w=mb_w, mb_h=mb_h, qp=qp,
-                mmco=mmco_ops,
+                mmco=mmco_ops, poc=poc, is_b=slice_type == 1,
                 frame_num=frame_num, ref_idc=ref_idc,
                 disable_dbl=disable_dbl, a_off=a_off, b_off=b_off,
                 rec=(np.zeros((H, W), np.int64),
@@ -272,6 +316,8 @@ class AVCDecoder:
                 nnz=np.zeros((mb_h * 4, mb_w * 4), np.int64),
                 mv=np.zeros((mb_h * 4, mb_w * 4, 2), np.int64),
                 ref=np.zeros((mb_h * 4, mb_w * 4), np.int64),
+                mv1=np.zeros((mb_h * 4, mb_w * 4, 2), np.int64),
+                ref1=np.full((mb_h * 4, mb_w * 4), -1, np.int64),
                 mb_intra=np.zeros((mb_h, mb_w), bool),
                 mb_qp=np.full((mb_h, mb_w), qp, np.int64))
         pic = self._pic
@@ -284,7 +330,18 @@ class AVCDecoder:
         def picnum(fn):
             return fn if fn <= frame_num else fn - max_fn
 
-        entries = sorted(self.dpb, key=lambda t: -picnum(t[0]))
+        entries = sorted(self.dpb, key=lambda e: -picnum(e["fn"]))
+        refs1 = []
+        col = None
+        if slice_type == 1:
+            before = sorted([e for e in self.dpb if e["poc"] < poc],
+                            key=lambda e: -e["poc"])
+            after = sorted([e for e in self.dpb if e["poc"] >= poc],
+                           key=lambda e: e["poc"])
+            entries = before + after
+            l1 = after + before
+            refs1 = l1[:num_ref_l1]
+            col = refs1[0] if refs1 else None
         if reorder_ops:
             # spec 8.2.4.3.1 short-term modification process
             max_pic_num = max_fn
@@ -304,17 +361,18 @@ class AVCDecoder:
                 pic_num = pic_num_no_wrap
                 if pic_num > frame_num:
                     pic_num -= max_pic_num
-                match = [e for e in lst if picnum(e[0]) == pic_num]
+                match = [e for e in lst if picnum(e["fn"]) == pic_num]
                 assert match, "reorder target not in DPB"
                 lst.remove(match[0])
                 lst.insert(idx, match[0])
                 idx += 1
             entries = lst
-        refs = [rp for _fn, _fr, rp in entries]
+        refs = entries[:num_ref] if slice_type == 1 else entries
 
         dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
                             mb_w, mb_h, num_ref, first_mb=first_mb, pic=pic,
-                            rbsp=rbsp, cabac_init_idc=cabac_init_idc)
+                            rbsp=rbsp, cabac_init_idc=cabac_init_idc,
+                            refs1=refs1, num_ref_l1=num_ref_l1, col=col)
         dec.run()
         return done
 
@@ -322,8 +380,16 @@ class AVCDecoder:
 class _SliceDecoder:
     def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
                  num_ref=1, first_mb=0, pic=None, rbsp=None,
-                 cabac_init_idc=0):
+                 cabac_init_idc=0, refs1=None, num_ref_l1=1, col=None):
         self.top = top
+        # refs arrive as DPB entry dicts (or bare RefPlanes in legacy use)
+        self.ref_entries = refs
+        refs = [e["rp"] if isinstance(e, dict) else e for e in refs]
+        self.refs1_entries = refs1 or []
+        self.refs1 = [e["rp"] for e in self.refs1_entries]
+        self.num_ref_l1 = num_ref_l1
+        self.col = col
+        self.mvf1 = INTER.MVField(mb_h, mb_w)
         self.sps, self.pps = sps, pps
         self.slice_type = slice_type
         self.qp = qp
@@ -395,14 +461,20 @@ class _SliceDecoder:
         mb = self.first_mb
         r = self.r
         while mb < n_mb and r.pos < self._stop:
-            if self.slice_type == 0:
+            if self.slice_type in (0, 1):
                 skip_run = self.top._tr(r, "mb_skip_run", r.ue())
                 for _ in range(skip_run):
-                    self._decode_skip(mb)
+                    if self.slice_type == 1:
+                        self._decode_b_direct(mb, skip=True)
+                    else:
+                        self._decode_skip(mb)
                     mb += 1
                 if mb >= n_mb or r.pos >= self._stop:
                     break
-            self._decode_mb(mb)
+            if self.slice_type == 1:
+                self._decode_b_mb(mb)
+            else:
+                self._decode_mb(mb)
             mb += 1
         return self._finish_slice()
 
@@ -410,8 +482,23 @@ class _SliceDecoder:
         if self.pic is not None:
             # merge this slice's MV field into the picture (deblock ctx)
             d = self.mvf.decoded
-            self.pic["mv"][d] = self.mvf.mv[d]
-            self.pic["ref"][d] = self.mvf.ref[d]
+            if self.slice_type == 1:
+                # B: translate list indices to picture POC ids (bS compares
+                # reference pictures) and merge both lists
+                ref_ids = np.full_like(self.mvf.ref, -1)
+                for i, e in enumerate(self.ref_entries):
+                    ref_ids[self.mvf.ref == i] = e["poc"]
+                self.pic["mv"][d] = self.mvf.mv[d]
+                self.pic["ref"][d] = ref_ids[d]
+                d1 = self.mvf1.decoded
+                ref1_ids = np.full_like(self.mvf1.ref, -1)
+                for i, e in enumerate(self.refs1_entries):
+                    ref1_ids[self.mvf1.ref == i] = e["poc"]
+                self.pic["mv1"][d1] = self.mvf1.mv[d1]
+                self.pic["ref1"][d1] = ref1_ids[d1]
+            else:
+                self.pic["mv"][d] = self.mvf.mv[d]
+                self.pic["ref"][d] = self.mvf.ref[d]
         return self.rec_y, self.rec_u, self.rec_v
 
     def _run_cabac(self):
@@ -1039,3 +1126,358 @@ _SliceDecoder._decode_mb_cabac = _cabac_decode_mb
 _SliceDecoder._cabac_intra_mb = _cabac_intra_mb
 _SliceDecoder._cabac_residual_luma = _cabac_residual_luma
 _SliceDecoder._cabac_residual_chroma = _cabac_residual_chroma
+
+
+# ---------------------------------------------------------------------------
+# B-slice parsing (CAVLC; spec 7.4.5 Table 7-14 subset + spatial direct)
+# ---------------------------------------------------------------------------
+
+def _b_mc_bi(self, mby, mbx, pred_parts):
+    """Store a B MB prediction: pred_parts = list of (py, pu, pv)."""
+    y0, x0 = mby * 16, mbx * 16
+    cy, cx = mby * 8, mbx * 8
+    if len(pred_parts) == 2:
+        py, pu, pv = (( a + b + 1) >> 1 for a, b in zip(*pred_parts))
+    else:
+        py, pu, pv = pred_parts[0]
+    self.rec_y[y0:y0 + 16, x0:x0 + 16] = py
+    self.rec_u[cy:cy + 8, cx:cx + 8] = pu
+    self.rec_v[cy:cy + 8, cx:cx + 8] = pv
+
+
+def _b_direct_pred(self, mby, mbx):
+    """Spatial direct derivation + MC for one MB; commits MV fields.
+
+    Returns the prediction tuple."""
+    from .slice_enc import spatial_direct_16x16, _mc_16x16_cells
+    by, bx = mby * 4, mbx * 4
+    col_mv = self.col["mv"] if self.col else np.zeros_like(self.mvf.mv)
+    col_ref = self.col["ref"] if self.col else \
+        np.full_like(self.mvf.ref, -1)
+    r0, r1, mv0c, mv1c, used0, used1 = spatial_direct_16x16(
+        self.mvf, self.mvf1, by, bx, col_mv, col_ref)
+    preds = []
+    if used0:
+        preds.append(_mc_16x16_cells(self.refs[r0], mby * 16, mbx * 16,
+                                     mv0c))
+        for cy4 in range(4):
+            for cx4 in range(4):
+                self.mvf.set_partition(by + cy4, bx + cx4, 1, 1,
+                                       mv0c[cy4, cx4], r0)
+    else:
+        self.mvf.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+    if used1:
+        preds.append(_mc_16x16_cells(self.refs1[r1], mby * 16, mbx * 16,
+                                     mv1c))
+        for cy4 in range(4):
+            for cx4 in range(4):
+                self.mvf1.set_partition(by + cy4, bx + cx4, 1, 1,
+                                        mv1c[cy4, cx4], r1)
+    else:
+        self.mvf1.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+    return preds
+
+
+def _b_decode_direct(self, mb, skip=False):
+    mby, mbx = mb // self.mb_w, mb % self.mb_w
+    preds = self._b_direct_pred(mby, mbx)
+    self._b_mc_bi(mby, mbx, preds)
+    by, bx = mby * 4, mbx * 4
+    self.st_nnz[by:by + 4, bx:bx + 4] = 0
+    self.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+    self.mb_qp[mby, mbx] = self._prev_qp(mb)
+    self.i4_modes[by:by + 4, bx:bx + 4] = -1
+    return preds
+
+
+def _b_decode_mb(self, mb):
+    r = self.r
+    mby, mbx = mb // self.mb_w, mb % self.mb_w
+    by, bx = mby * 4, mbx * 4
+    mb_type = self.top._tr(r, "mb_type", r.ue())
+
+    if mb_type >= 23:                        # intra (Table 7-14)
+        self._decode_intra_mb(mby, mbx, mb_type - 23)
+        self.mvf.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+        self.mvf1.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+        self.mb_intra[mby, mbx] = True
+        return
+    self.mb_intra[mby, mbx] = False
+    if mb_type == 22:                        # B_8x8 (Table 7-18 sub types)
+        self._decode_b_8x8(mb)
+    elif mb_type == 0:                       # B_Direct_16x16
+        preds = self._decode_b_direct(mb)
+        self._b_mc_bi(mby, mbx, preds)
+    else:
+        # Table 7-14 partition shapes + per-partition pred modes
+        L0, L1, BI = 1, 2, 3
+        if mb_type <= 3:
+            parts = [((0, 0, 4, 4), "none")]
+            modes = [(L0, L1, BI)[mb_type - 1]]
+        else:
+            idx = mb_type - 4
+            pair = [(L0, L0), (L1, L1), (L0, L1), (L1, L0), (L0, BI),
+                    (L1, BI), (BI, L0), (BI, L1), (BI, BI)][idx // 2]
+            if idx % 2 == 0:                 # 16x8
+                parts = [((0, 0, 4, 2), "16x8_top"),
+                         ((2, 0, 4, 2), "16x8_bot")]
+            else:                            # 8x16
+                parts = [((0, 0, 2, 4), "8x16_left"),
+                         ((0, 2, 2, 4), "8x16_right")]
+            modes = list(pair)
+        use0 = [m in (L0, BI) for m in modes]
+        use1 = [m in (L1, BI) for m in modes]
+        ris0 = [0] * len(parts)
+        ris1 = [0] * len(parts)
+        for pi in range(len(parts)):
+            if use0[pi] and self.num_ref > 1:
+                ris0[pi] = self.top._tr(r, "ref_idx_l0",
+                                        _te(r, self.num_ref - 1))
+        for pi in range(len(parts)):
+            if use1[pi] and self.num_ref_l1 > 1:
+                ris1[pi] = self.top._tr(r, "ref_idx_l1",
+                                        _te(r, self.num_ref_l1 - 1))
+        mvs0 = [None] * len(parts)
+        mvs1 = [None] * len(parts)
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            if use0[pi]:
+                pmv = self.mvf.predict(by + dy4, bx + dx4, w4, h4,
+                                       ris0[pi], tag)
+                mv = pmv + np.array([self.top._tr(r, "mvd_l0_x", r.se()),
+                                     self.top._tr(r, "mvd_l0_y", r.se())],
+                                    np.int64)
+                self.mvf.set_partition(by + dy4, bx + dx4, w4, h4, mv,
+                                       ris0[pi])
+                mvs0[pi] = mv
+            else:
+                self.mvf.set_partition(by + dy4, bx + dx4, w4, h4,
+                                       np.zeros(2, np.int64), -1)
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            if use1[pi]:
+                pmv = self.mvf1.predict(by + dy4, bx + dx4, w4, h4,
+                                        ris1[pi], tag)
+                mv = pmv + np.array([self.top._tr(r, "mvd_l1_x", r.se()),
+                                     self.top._tr(r, "mvd_l1_y", r.se())],
+                                    np.int64)
+                self.mvf1.set_partition(by + dy4, bx + dx4, w4, h4, mv,
+                                        ris1[pi])
+                mvs1[pi] = mv
+            else:
+                self.mvf1.set_partition(by + dy4, bx + dx4, w4, h4,
+                                        np.zeros(2, np.int64), -1)
+        # per-partition MC (+ bipred average)
+        y0, x0 = mby * 16, mbx * 16
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            py_, px_ = y0 + dy4 * 4, x0 + dx4 * 4
+            bh, bw = h4 * 4, w4 * 4
+            acc = []
+            for mv, ris, refs in ((mvs0[pi], ris0, self.refs),
+                                  (mvs1[pi], ris1, self.refs1)):
+                if mv is None:
+                    continue
+                rp = refs[ris[pi]]
+                acc.append((rp.luma_block(py_, px_, bh, bw,
+                                          int(mv[0]), int(mv[1])),
+                            rp.chroma_block("u", py_ // 2, px_ // 2,
+                                            bh // 2, bw // 2,
+                                            int(mv[0]), int(mv[1])),
+                            rp.chroma_block("v", py_ // 2, px_ // 2,
+                                            bh // 2, bw // 2,
+                                            int(mv[0]), int(mv[1]))))
+            if len(acc) == 2:
+                pl, pu, pv = ((a + b + 1) >> 1 for a, b in zip(*acc))
+            else:
+                pl, pu, pv = acc[0]
+            self.rec_y[py_:py_ + bh, px_:px_ + bw] = pl
+            self.rec_u[py_ // 2:py_ // 2 + bh // 2,
+                       px_ // 2:px_ // 2 + bw // 2] = pu
+            self.rec_v[py_ // 2:py_ // 2 + bh // 2,
+                       px_ // 2:px_ // 2 + bw // 2] = pv
+
+    cbp = int(CODENUM_TO_CBP_INTER[
+        self.top._tr(r, "coded_block_pattern", r.ue())])
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    qp = self._prev_qp(mb)
+    if cbp > 0:
+        qp = (qp + self.top._tr(r, "mb_qp_delta", r.se()) + 52) % 52
+    self.mb_qp[mby, mbx] = qp
+    self._decode_residual_luma(mby, mbx, cbp_luma, qp, intra16=False)
+    self._decode_residual_chroma(mby, mbx, cbp_chroma, qp, intra=False)
+
+
+_SliceDecoder._decode_b_mb = _b_decode_mb
+_SliceDecoder._decode_b_direct = _b_decode_direct
+_SliceDecoder._b_direct_pred = _b_direct_pred
+_SliceDecoder._b_mc_bi = _b_mc_bi
+
+
+# B_8x8 sub-partition decoding (Table 7-18; ldecod readMotionInfoFromNAL)
+_B_SUB = {0: ("direct", None), 1: ("l0", [(0, 0, 2, 2)]),
+          2: ("l1", [(0, 0, 2, 2)]), 3: ("bi", [(0, 0, 2, 2)]),
+          4: ("l0", [(0, 0, 2, 1), (1, 0, 2, 1)]),
+          5: ("l0", [(0, 0, 1, 2), (0, 1, 1, 2)]),
+          6: ("l1", [(0, 0, 2, 1), (1, 0, 2, 1)]),
+          7: ("l1", [(0, 0, 1, 2), (0, 1, 1, 2)]),
+          8: ("bi", [(0, 0, 2, 1), (1, 0, 2, 1)]),
+          9: ("bi", [(0, 0, 1, 2), (0, 1, 1, 2)]),
+          10: ("l0", [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)]),
+          11: ("l1", [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)]),
+          12: ("bi", [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)])}
+
+
+def _b_decode_8x8(self, mb):
+    from .slice_enc import spatial_direct_16x16
+    r = self.r
+    mby, mbx = mb // self.mb_w, mb % self.mb_w
+    by, bx = mby * 4, mbx * 4
+    subs = [self.top._tr(r, "sub_mb_type", r.ue()) for _ in range(4)]
+    if any(sx > 12 for sx in subs):
+        raise ValueError("bad B sub_mb_type")
+    kinds = [_B_SUB[sx][0] for sx in subs]
+
+    # MB-level spatial direct derivation (once; used by direct 8x8s)
+    if "direct" in kinds:
+        col_mv = self.col["mv"] if self.col else np.zeros_like(self.mvf.mv)
+        col_ref = self.col["ref"] if self.col else \
+            np.full_like(self.mvf.ref, -1)
+        r0d, r1d, mv0c, mv1c, used0d, used1d = spatial_direct_16x16(
+            self.mvf, self.mvf1, by, bx, col_mv, col_ref)
+        for b8 in range(4):
+            if kinds[b8] != "direct":
+                continue
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            for cy in range(2):
+                for cx4 in range(2):
+                    cyy, cxx = dy8 + cy, dx8 + cx4
+                    if used0d:
+                        self.mvf.set_partition(by + cyy, bx + cxx, 1, 1,
+                                               mv0c[cyy, cxx], r0d)
+                    else:
+                        self.mvf.set_partition(by + cyy, bx + cxx, 1, 1,
+                                               np.zeros(2, np.int64), -1)
+                    if used1d:
+                        self.mvf1.set_partition(by + cyy, bx + cxx, 1, 1,
+                                                mv1c[cyy, cxx], r1d)
+                    else:
+                        self.mvf1.set_partition(by + cyy, bx + cxx, 1, 1,
+                                                np.zeros(2, np.int64), -1)
+
+    ris0 = [0] * 4
+    ris1 = [0] * 4
+    for b8 in range(4):
+        if kinds[b8] in ("l0", "bi") and self.num_ref > 1:
+            ris0[b8] = self.top._tr(r, "ref_idx_l0",
+                                    _te(r, self.num_ref - 1))
+    for b8 in range(4):
+        if kinds[b8] in ("l1", "bi") and self.num_ref_l1 > 1:
+            ris1[b8] = self.top._tr(r, "ref_idx_l1",
+                                    _te(r, self.num_ref_l1 - 1))
+    mvs0 = {}
+    mvs1 = {}
+    for b8 in range(4):
+        if kinds[b8] in ("l0", "bi"):
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            for gi, (sy, sx, w4, h4) in enumerate(_B_SUB[subs[b8]][1]):
+                pby, pbx = by + dy8 + sy, bx + dx8 + sx
+                pmv = self.mvf.predict(pby, pbx, w4, h4, ris0[b8])
+                mv = pmv + np.array([self.top._tr(r, "mvd_l0_x", r.se()),
+                                     self.top._tr(r, "mvd_l0_y", r.se())],
+                                    np.int64)
+                self.mvf.set_partition(pby, pbx, w4, h4, mv, ris0[b8])
+                mvs0[(b8, gi)] = mv
+        elif kinds[b8] != "direct":
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            self.mvf.set_partition(by + dy8, bx + dx8, 2, 2,
+                                   np.zeros(2, np.int64), -1)
+    for b8 in range(4):
+        if kinds[b8] in ("l1", "bi"):
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            for gi, (sy, sx, w4, h4) in enumerate(_B_SUB[subs[b8]][1]):
+                pby, pbx = by + dy8 + sy, bx + dx8 + sx
+                pmv = self.mvf1.predict(pby, pbx, w4, h4, ris1[b8])
+                mv = pmv + np.array([self.top._tr(r, "mvd_l1_x", r.se()),
+                                     self.top._tr(r, "mvd_l1_y", r.se())],
+                                    np.int64)
+                self.mvf1.set_partition(pby, pbx, w4, h4, mv, ris1[b8])
+                mvs1[(b8, gi)] = mv
+        elif kinds[b8] != "direct":
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            self.mvf1.set_partition(by + dy8, bx + dx8, 2, 2,
+                                    np.zeros(2, np.int64), -1)
+
+    # MC
+    y0, x0 = mby * 16, mbx * 16
+    for b8 in range(4):
+        dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+        if kinds[b8] == "direct":
+            # per-4x4-cell MC from the committed direct field
+            for cy in range(2):
+                for cx4 in range(2):
+                    cby, cbx = by + dy8 + cy, bx + dx8 + cx4
+                    py_, px_ = cby * 4, cbx * 4
+                    acc = []
+                    for mvf, refs in ((self.mvf, self.refs),
+                                      (self.mvf1, self.refs1)):
+                        ri = int(mvf.ref[cby, cbx])
+                        if ri < 0:
+                            continue
+                        mv = mvf.mv[cby, cbx]
+                        rp = refs[ri]
+                        acc.append((rp.luma_block(py_, px_, 4, 4,
+                                                  int(mv[0]), int(mv[1])),
+                                    rp.chroma_block("u", py_ // 2, px_ // 2,
+                                                    2, 2, int(mv[0]),
+                                                    int(mv[1])),
+                                    rp.chroma_block("v", py_ // 2, px_ // 2,
+                                                    2, 2, int(mv[0]),
+                                                    int(mv[1]))))
+                    if len(acc) == 2:
+                        pl, pu, pv = ((a + b + 1) >> 1
+                                      for a, b in zip(*acc))
+                    else:
+                        pl, pu, pv = acc[0]
+                    self.rec_y[py_:py_ + 4, px_:px_ + 4] = pl
+                    self.rec_u[py_ // 2:py_ // 2 + 2,
+                               px_ // 2:px_ // 2 + 2] = pu
+                    self.rec_v[py_ // 2:py_ // 2 + 2,
+                               px_ // 2:px_ // 2 + 2] = pv
+            continue
+        for gi, (sy, sx, w4, h4) in enumerate(_B_SUB[subs[b8]][1]):
+            py_ = y0 + (dy8 + sy) * 4
+            px_ = x0 + (dx8 + sx) * 4
+            bh, bw = h4 * 4, w4 * 4
+            acc = []
+            if (b8, gi) in mvs0:
+                mv = mvs0[(b8, gi)]
+                rp = self.refs[ris0[b8]]
+                acc.append((rp.luma_block(py_, px_, bh, bw,
+                                          int(mv[0]), int(mv[1])),
+                            rp.chroma_block("u", py_ // 2, px_ // 2,
+                                            bh // 2, bw // 2,
+                                            int(mv[0]), int(mv[1])),
+                            rp.chroma_block("v", py_ // 2, px_ // 2,
+                                            bh // 2, bw // 2,
+                                            int(mv[0]), int(mv[1]))))
+            if (b8, gi) in mvs1:
+                mv = mvs1[(b8, gi)]
+                rp = self.refs1[ris1[b8]]
+                acc.append((rp.luma_block(py_, px_, bh, bw,
+                                          int(mv[0]), int(mv[1])),
+                            rp.chroma_block("u", py_ // 2, px_ // 2,
+                                            bh // 2, bw // 2,
+                                            int(mv[0]), int(mv[1])),
+                            rp.chroma_block("v", py_ // 2, px_ // 2,
+                                            bh // 2, bw // 2,
+                                            int(mv[0]), int(mv[1]))))
+            if len(acc) == 2:
+                pl, pu, pv = ((a + b + 1) >> 1 for a, b in zip(*acc))
+            else:
+                pl, pu, pv = acc[0]
+            self.rec_y[py_:py_ + bh, px_:px_ + bw] = pl
+            self.rec_u[py_ // 2:py_ // 2 + bh // 2,
+                       px_ // 2:px_ // 2 + bw // 2] = pu
+            self.rec_v[py_ // 2:py_ // 2 + bh // 2,
+                       px_ // 2:px_ // 2 + bw // 2] = pv
+
+
+_SliceDecoder._decode_b_8x8 = _b_decode_8x8

@@ -474,7 +474,7 @@ def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
 
 from ..ops.transform import COEFF_COST as _COEFF_COST          # noqa: E402
 from .tables import CBP_TO_CODENUM_INTER                        # noqa: E402
-from .params import SLICE_P                                     # noqa: E402
+from .params import SLICE_P, SLICE_B                            # noqa: E402
 from . import inter as INTER                                    # noqa: E402
 
 
@@ -624,7 +624,7 @@ def _te_bits(v: int, num_ref: int) -> int:
 def encode_p_frame(org_yuv, ref, p: AVCParams,
                    qp: int = None, frame_num: int = 1, sr: int = 16,
                    try_intra: bool = True, force_intra_mask=None,
-                   use_satd: bool = False):
+                   use_satd: bool = False, poc_lsb: int = 0):
     """Encode one frame as a single P slice.
 
     ``ref``: one RefPlanes or a list of them (reference list 0, most recent
@@ -648,7 +648,7 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
 
     w = BitWriter()
     write_slice_header(w, p, SLICE_P, frame_num, False, qp,
-                       num_ref_idx_l0=num_ref)
+                       num_ref_idx_l0=num_ref, poc_lsb=poc_lsb)
     skip_run = 0
     n_skip = n_intra = 0
 
@@ -929,4 +929,394 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
     stats = dict(bits=len(rbsp) * 8, n_skip=n_skip, n_intra=n_intra,
                  n_mb=p.mb_h * p.mb_w)
     ctx = dict(mvf=mvf, nnz=st.nnz_y.copy(), mb_intra=st.mb_intra.copy())
+    return rbsp, (st.rec_y, st.rec_u, st.rec_v), ctx, stats
+
+
+# ===========================================================================
+# B slices (spec 7.4.3 / 8.4.1.2; JM twins pred_struct.c + mc_direct.c)
+# ===========================================================================
+
+def _min_positive(a: int, b: int) -> int:
+    """spec 8.4.1.2.2 MinPositive."""
+    if a >= 0 and b >= 0:
+        return min(a, b)
+    return max(a, b)
+
+
+def spatial_direct_16x16(mvf0, mvf1, by, bx, col_mv, col_ref,
+                         col_short_term=True):
+    """Spatial direct derivation for one MB (spec 8.4.1.2.2).
+
+    mvf0/mvf1: per-list MVFields of the current picture; col_mv/col_ref:
+    the colocated (first list-1 reference) picture's stored motion.
+    Returns (ref0, ref1, mv0_cells [4,4,2], mv1_cells [4,4,2],
+    used0, used1)."""
+    def nbr_refs(mvf):
+        mv_a, ref_a, av_a = mvf.cell(by, bx - 1)
+        mv_b, ref_b, av_b = mvf.cell(by - 1, bx)
+        mv_c, ref_c, av_c = mvf.cell(by - 1, bx + 4)
+        if not av_c:
+            mv_c, ref_c, av_c = mvf.cell(by - 1, bx - 1)
+        return ref_a, ref_b, ref_c
+
+    r0 = _min_positive(_min_positive(*nbr_refs(mvf0)[:2]), nbr_refs(mvf0)[2])
+    r1 = _min_positive(_min_positive(*nbr_refs(mvf1)[:2]), nbr_refs(mvf1)[2])
+    direct_zero = r0 < 0 and r1 < 0
+    if direct_zero:
+        r0 = r1 = 0
+        mv0 = np.zeros(2, np.int64)
+        mv1 = np.zeros(2, np.int64)
+    else:
+        mv0 = mvf0.predict(by, bx, 4, 4, r0) if r0 >= 0 else \
+            np.zeros(2, np.int64)
+        mv1 = mvf1.predict(by, bx, 4, 4, r1) if r1 >= 0 else \
+            np.zeros(2, np.int64)
+    used0, used1 = r0 >= 0, r1 >= 0
+    if not used0:
+        r0 = 0
+    if not used1:
+        r1 = 0
+
+    mv0_cells = np.broadcast_to(mv0, (4, 4, 2)).copy()
+    mv1_cells = np.broadcast_to(mv1, (4, 4, 2)).copy()
+    if not direct_zero and col_short_term:
+        # direct_8x8_inference_flag = 1: each 8x8 quadrant uses the
+        # colocated MACROBLOCK's corner 4x4 (cells (0,0),(0,3),(3,0),(3,3))
+        for qy in range(2):
+            for qx in range(2):
+                rc = int(col_ref[by + 3 * qy, bx + 3 * qx])
+                mc = col_mv[by + 3 * qy, bx + 3 * qx]
+                # intra colocated (ref < 0) counts as "moving" (JM
+                # ldecod mc_direct.c get_colocated_info: colZero needs
+                # ref_idx 0 with |mv| <= 1)
+                col_zero = (rc == 0 and abs(int(mc[0])) <= 1
+                            and abs(int(mc[1])) <= 1)
+                if col_zero:
+                    sl = (slice(2 * qy, 2 * qy + 2),
+                          slice(2 * qx, 2 * qx + 2))
+                    if used0 and r0 == 0:
+                        mv0_cells[sl[0], sl[1]] = 0
+                    if used1 and r1 == 0:
+                        mv1_cells[sl[0], sl[1]] = 0
+    return r0, r1, mv0_cells, mv1_cells, used0, used1
+
+
+def _mc_16x16_cells(rp, y0, x0, mv_cells):
+    """Luma+chroma MC of a 16x16 MB with per-4x4-cell MVs."""
+    pred = np.zeros((16, 16), np.int64)
+    pu = np.zeros((8, 8), np.int64)
+    pv = np.zeros((8, 8), np.int64)
+    for cy in range(4):
+        for cx4 in range(4):
+            mv = mv_cells[cy, cx4]
+            pred[cy * 4:cy * 4 + 4, cx4 * 4:cx4 * 4 + 4] = rp.luma_block(
+                y0 + cy * 4, x0 + cx4 * 4, 4, 4, int(mv[0]), int(mv[1]))
+    for cy in range(2):
+        for cx4 in range(2):
+            mv = mv_cells[cy * 2, cx4 * 2]     # chroma per 8x8 uses 4x4 mvs
+            pass
+    # chroma: per 4x4 luma cell -> 2x2 chroma block
+    for cy in range(4):
+        for cx4 in range(4):
+            mv = mv_cells[cy, cx4]
+            pu[cy * 2:cy * 2 + 2, cx4 * 2:cx4 * 2 + 2] = rp.chroma_block(
+                "u", y0 // 2 + cy * 2, x0 // 2 + cx4 * 2, 2, 2,
+                int(mv[0]), int(mv[1]))
+            pv[cy * 2:cy * 2 + 2, cx4 * 2:cx4 * 2 + 2] = rp.chroma_block(
+                "v", y0 // 2 + cy * 2, x0 // 2 + cx4 * 2, 2, 2,
+                int(mv[0]), int(mv[1]))
+    return pred, pu, pv
+
+
+def encode_b_frame(org_yuv, refs0, refs1, col_motion, p: AVCParams,
+                   qp: int = None, frame_num: int = 0, poc_lsb: int = 0,
+                   sr: int = 16, use_satd: bool = False,
+                   ref_pocs0=None, ref_pocs1=None):
+    """Encode one frame as a single B slice (spatial direct).
+
+    refs0/refs1: RefPlanes lists (list0 backward, list1 forward in the
+    IbbP sense).  col_motion: (mv [h4,w4,2], ref [h4,w4]) of the first
+    list-1 reference (colocated data for spatial direct).  Modes per MB:
+    B_Skip/B_Direct_16x16, B_L0/L1/Bi_16x16, intra 4x4/16x16.
+    Returns (rbsp, recon, deblock ctx, stats)."""
+    qp = p.qp if qp is None else qp
+    qpc = Q.chroma_qp(qp, p.chroma_qp_offset)
+    lam = lambda_mode(qp)
+    lam_me = lambda_me(qp)
+    org_y, org_u, org_v = (np.asarray(x, np.int64) for x in org_yuv)
+    st = FrameState(p)
+    mvf0 = INTER.MVField(p.mb_h, p.mb_w)
+    mvf1 = INTER.MVField(p.mb_h, p.mb_w)
+    col_mv, col_ref = col_motion
+
+    w = BitWriter()
+    write_slice_header(w, p, SLICE_B, frame_num, False, qp,
+                       num_ref_idx_l0=len(refs0), num_ref_idx_l1=len(refs1),
+                       poc_lsb=poc_lsb, ref_pic=False)
+    skip_run = 0
+    n_skip = n_direct = n_intra = 0
+
+    for mby in range(p.mb_h):
+        for mbx in range(p.mb_w):
+            y0, x0 = mby * 16, mbx * 16
+            by, bx = mby * 4, mbx * 4
+            org16 = org_y[y0:y0 + 16, x0:x0 + 16]
+            org_u8 = org_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+            org_v8 = org_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+            st.mb_decoded[mby, mbx] = True
+
+            # ---- direct candidate ----
+            r0d, r1d, mv0c, mv1c, used0, used1 = spatial_direct_16x16(
+                mvf0, mvf1, by, bx, col_mv, col_ref)
+            preds = []
+            if used0:
+                preds.append(_mc_16x16_cells(refs0[r0d], y0, x0, mv0c))
+            if used1:
+                preds.append(_mc_16x16_cells(refs1[r1d], y0, x0, mv1c))
+            if len(preds) == 2:
+                dp_ = tuple((a + b + 1) >> 1 for a, b in zip(*preds))
+            else:
+                dp_ = preds[0]
+            sad_dir = int(np.abs(org16 - dp_[0]).sum())
+            cands = [("direct", sad_dir + lam * 1.0,
+                      dict(pred=dp_, mvs=None))]
+
+            # ---- L0 / L1 / Bi 16x16 ----
+            sides = {}
+            for lname, refs, mvf in (("l0", refs0, mvf0), ("l1", refs1, mvf1)):
+                pmv = mvf.predict(by, bx, 4, 4, 0)
+                mv, _ = INTER.full_search_block(
+                    org_y, refs[0], y0, x0, 16, 16, sr, pmv, lam_me,
+                    use_satd=use_satd)
+                pl = refs[0].luma_block(y0, x0, 16, 16, int(mv[0]), int(mv[1]))
+                pu = refs[0].chroma_block("u", mby * 8, mbx * 8, 8, 8,
+                                          int(mv[0]), int(mv[1]))
+                pv = refs[0].chroma_block("v", mby * 8, mbx * 8, 8, 8,
+                                          int(mv[0]), int(mv[1]))
+                bits = 3 + INTER.mvd_bits(int(mv[0] - pmv[0]),
+                                          int(mv[1] - pmv[1]))
+                sad = int(np.abs(org16 - pl).sum())
+                sides[lname] = dict(mv=mv, pmv=pmv, pred=(pl, pu, pv))
+                cands.append((lname, sad + lam * bits, sides[lname]))
+            bi_pred = tuple((a + b + 1) >> 1 for a, b in
+                            zip(sides["l0"]["pred"], sides["l1"]["pred"]))
+            bi_bits = 5 + INTER.mvd_bits(*(sides["l0"]["mv"]
+                                           - sides["l0"]["pmv"])) \
+                + INTER.mvd_bits(*(sides["l1"]["mv"] - sides["l1"]["pmv"]))
+            cands.append(("bi", int(np.abs(org16 - bi_pred[0]).sum())
+                          + lam * bi_bits, dict(pred=bi_pred)))
+
+            # ---- intra ----
+            i16 = encode_i16_mb(st, org_y, mby, mbx, qp, lam)
+            saved_rec = st.rec_y[y0:y0 + 16, x0:x0 + 16].copy()
+            saved_modes = st.i4_modes[by:by + 4, bx:bx + 4].copy()
+            saved_nnz = st.nnz_y[by:by + 4, bx:bx + 4].copy()
+            i4 = encode_i4x4_mb(st, org_y, mby, mbx, qp, lam)
+            i4_rec = st.rec_y[y0:y0 + 16, x0:x0 + 16].copy()
+            i4_modes_mb = st.i4_modes[by:by + 4, bx:bx + 4].copy()
+            st.rec_y[y0:y0 + 16, x0:x0 + 16] = saved_rec
+            st.i4_modes[by:by + 4, bx:bx + 4] = saved_modes
+            st.nnz_y[by:by + 4, bx:bx + 4] = saved_nnz
+            cands.append(("i16", i16["cost"] + lam * 13, dict()))
+            cands.append(("i4", i4["cost"] + lam * 11, dict()))
+
+            cands.sort(key=lambda c: c[1])
+            mode, _, info = cands[0]
+
+            if mode in ("i16", "i4"):
+                n_intra += 1
+                use_i16 = mode == "i16"
+                if use_i16:
+                    st.rec_y[y0:y0 + 16, x0:x0 + 16] = i16["rec"]
+                    st.i4_modes[by:by + 4, bx:bx + 4] = -1
+                else:
+                    st.rec_y[y0:y0 + 16, x0:x0 + 16] = i4_rec
+                    st.i4_modes[by:by + 4, bx:bx + 4] = i4_modes_mb
+                ch = encode_chroma_mb(st, org_u, org_v, mby, mbx, qpc)
+                st.rec_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = \
+                    ch["recs"][0]
+                st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = \
+                    ch["recs"][1]
+                w.ue(skip_run)
+                skip_run = 0
+                # intra mb_type in B = 23 + I code (Table 7-14)
+                if use_i16:
+                    w.ue(23 + mb_type_i16(i16["i16mode"], ch["cbp_chroma"],
+                                          i16["cbp_luma"]))
+                    w.ue(ch["mode"])
+                    w.se(0)
+                    nc = _nc_luma(st, by, bx)
+                    CV.write_block(w, i16["dc_zz"], nc, 16)
+                    for k in range(16):
+                        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                        bby, bbx = by + y4, bx + x4
+                        if i16["cbp_luma"]:
+                            nc = _nc_luma(st, bby, bbx)
+                            st.nnz_y[bby, bbx] = CV.write_block(
+                                w, i16["ac_zzs"][y4, x4], nc, 15)
+                        else:
+                            st.nnz_y[bby, bbx] = 0
+                    if ch["cbp_chroma"] > 0:
+                        for ci in range(2):
+                            CV.write_block(w, ch["dc_levels"][ci], -1, 4)
+                    for ci in range(2):
+                        for by4 in range(2):
+                            for bx4 in range(2):
+                                cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                                if ch["cbp_chroma"] == 2:
+                                    nc = _nc_chroma(st, ci, cby, cbx)
+                                    st.nnz_c[ci, cby, cbx] = CV.write_block(
+                                        w, ch["ac_zzs"][ci, by4, bx4], nc, 15)
+                                else:
+                                    st.nnz_c[ci, cby, cbx] = 0
+                else:
+                    w.ue(23 + MB_I4x4)
+                    for flag, rem in i4["flags"]:
+                        w.u(flag, 1)
+                        if not flag:
+                            w.u(rem, 3)
+                    w.ue(ch["mode"])
+                    cbp_luma_bits = 0
+                    for b8 in range(4):
+                        if (i4["zzs"][4 * b8:4 * b8 + 4] != 0).any():
+                            cbp_luma_bits |= 1 << b8
+                    cbp = cbp_luma_bits | (ch["cbp_chroma"] << 4)
+                    w.ue(int(CBP_TO_CODENUM_INTRA[cbp]))
+                    if cbp > 0:
+                        w.se(0)
+                    for k in range(16):
+                        y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
+                        bby, bbx = by + y4, bx + x4
+                        b8 = (y4 // 2) * 2 + (x4 // 2)
+                        if cbp_luma_bits & (1 << b8):
+                            nc = _nc_luma(st, bby, bbx)
+                            st.nnz_y[bby, bbx] = CV.write_block(
+                                w, i4["zzs"][k], nc, 16)
+                        else:
+                            st.nnz_y[bby, bbx] = 0
+                    if ch["cbp_chroma"] > 0:
+                        for ci in range(2):
+                            CV.write_block(w, ch["dc_levels"][ci], -1, 4)
+                    for ci in range(2):
+                        for by4 in range(2):
+                            for bx4 in range(2):
+                                cby, cbx = mby * 2 + by4, mbx * 2 + bx4
+                                if ch["cbp_chroma"] == 2:
+                                    nc = _nc_chroma(st, ci, cby, cbx)
+                                    st.nnz_c[ci, cby, cbx] = CV.write_block(
+                                        w, ch["ac_zzs"][ci, by4, bx4], nc, 15)
+                                else:
+                                    st.nnz_c[ci, cby, cbx] = 0
+                mvf0.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+                mvf1.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+                st.mb_intra[mby, mbx] = True
+                continue
+
+            # ---- inter B path ----
+            st.mb_intra[mby, mbx] = False
+            if mode == "direct":
+                pred16, pred_u8, pred_v8 = info["pred"]
+            elif mode == "bi":
+                pred16, pred_u8, pred_v8 = info["pred"]
+            else:
+                pred16, pred_u8, pred_v8 = info["pred"]
+
+            zz_coding, rec16, cbp_luma_bits = code_inter_luma_mb(
+                org16, pred16, qp)
+            dc_levels, ac_zzs, ch_recs, cbp_chroma = code_inter_chroma_mb(
+                org_u8, org_v8, pred_u8, pred_v8, qpc)
+            cbp = cbp_luma_bits | (cbp_chroma << 4)
+
+            # commit MV fields
+            if mode == "direct":
+                if used0:
+                    for cy in range(4):
+                        for cx4 in range(4):
+                            mvf0.set_partition(by + cy, bx + cx4, 1, 1,
+                                               mv0c[cy, cx4], r0d)
+                else:
+                    mvf0.set_partition(by, bx, 4, 4,
+                                       np.zeros(2, np.int64), -1)
+                if used1:
+                    for cy in range(4):
+                        for cx4 in range(4):
+                            mvf1.set_partition(by + cy, bx + cx4, 1, 1,
+                                               mv1c[cy, cx4], r1d)
+                else:
+                    mvf1.set_partition(by, bx, 4, 4,
+                                       np.zeros(2, np.int64), -1)
+            elif mode == "l0":
+                mvf0.set_partition(by, bx, 4, 4, info["mv"], 0)
+                mvf1.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+            elif mode == "l1":
+                mvf0.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+                mvf1.set_partition(by, bx, 4, 4, info["mv"], 0)
+            else:
+                mvf0.set_partition(by, bx, 4, 4, sides["l0"]["mv"], 0)
+                mvf1.set_partition(by, bx, 4, 4, sides["l1"]["mv"], 0)
+
+            # ---- B_Skip ----
+            if mode == "direct" and cbp == 0:
+                skip_run += 1
+                n_skip += 1
+                st.rec_y[y0:y0 + 16, x0:x0 + 16] = pred16
+                st.rec_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pred_u8
+                st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pred_v8
+                st.nnz_y[by:by + 4, bx:bx + 4] = 0
+                st.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+                st.i4_modes[by:by + 4, bx:bx + 4] = -1
+                continue
+
+            st.rec_y[y0:y0 + 16, x0:x0 + 16] = rec16
+            st.rec_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch_recs[0]
+            st.rec_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = ch_recs[1]
+            st.i4_modes[by:by + 4, bx:bx + 4] = -1
+
+            w.ue(skip_run)
+            skip_run = 0
+            mb_type = {"direct": 0, "l0": 1, "l1": 2, "bi": 3}[mode]
+            w.ue(mb_type)
+            if mode == "direct":
+                n_direct += 1
+            if mode in ("l0", "bi") and len(refs0) > 1:
+                w.u(1, 1) if len(refs0) == 2 else w.ue(0)   # ref 0 te(v)
+            if mode in ("l1", "bi") and len(refs1) > 1:
+                w.u(1, 1) if len(refs1) == 2 else w.ue(0)
+            if mode in ("l0", "bi"):
+                w.se(int(sides["l0"]["mv"][0] - sides["l0"]["pmv"][0]))
+                w.se(int(sides["l0"]["mv"][1] - sides["l0"]["pmv"][1]))
+            if mode in ("l1", "bi"):
+                w.se(int(sides["l1"]["mv"][0] - sides["l1"]["pmv"][0]))
+                w.se(int(sides["l1"]["mv"][1] - sides["l1"]["pmv"][1]))
+            w.ue(int(CBP_TO_CODENUM_INTER[cbp]))
+            if cbp > 0:
+                w.se(0)
+                _write_inter_residual(w, st, mby, mbx, zz_coding,
+                                      cbp_luma_bits, dc_levels, ac_zzs,
+                                      cbp_chroma)
+            else:
+                st.nnz_y[by:by + 4, bx:bx + 4] = 0
+                st.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+
+    if skip_run > 0:
+        w.ue(skip_run)
+    w.u(1, 1)
+    rbsp = w.to_bytes()
+    stats = dict(bits=len(rbsp) * 8, n_skip=n_skip, n_direct=n_direct,
+                 n_intra=n_intra, n_mb=p.mb_h * p.mb_w)
+    # deblock ctx: two-list motion with per-cell PICTURE ids (spec 8.7.2.1
+    # compares reference pictures, not list indices)
+    rp0 = ref_pocs0 if ref_pocs0 is not None else list(range(len(refs0)))
+    rp1 = ref_pocs1 if ref_pocs1 is not None else \
+        [100 + i for i in range(len(refs1))]
+
+    def ids(mvf, pocs):
+        out = np.full_like(mvf.ref, -1)
+        for i, pid in enumerate(pocs):
+            out[mvf.ref == i] = pid
+        return out
+
+    ctx = dict(mv=mvf0.mv.copy(), ref=ids(mvf0, rp0),
+               mv1=mvf1.mv.copy(), ref1=ids(mvf1, rp1),
+               nnz=st.nnz_y.copy(), mb_intra=st.mb_intra.copy())
     return rbsp, (st.rec_y, st.rec_u, st.rec_v), ctx, stats

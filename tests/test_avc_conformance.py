@@ -462,3 +462,48 @@ def test_decode_lencod_cabac_stream_bit_exact(jm_tools, tmp_path):
     frames = AVCDecoder().decode(stream)
     jm = ldecod_decode(tmp_path, stream)
     assert recon_bytes(frames) == jm
+
+
+def test_b_slices_ldecod_bit_exact(jm_tools, foreman_qcif, tmp_path):
+    """Our IbbP streams (B slices, spatial direct, bipred) decode bit-exact
+    in JM ldecod (VERDICT round-2 item 4, encoder direction)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    frames += [tuple(np.roll(pl, (1, -2), (0, 1)) for pl in frames[2])]
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, poc_type=0,
+                  num_ref_frames=2)
+    codec = AVCCodec(p, intra_period=0, search_range=8, bframes=2,
+                     use_satd=False)
+    res, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+
+
+def test_decode_lencod_b_stream_bit_exact(jm_tools, tmp_path):
+    """Our decoder decodes lencod B streams (B_8x8 sub-partitions, two-list
+    deblock bS, spatial direct) bit-exactly (item 4, decoder direction)."""
+    from h264tpu.avc.slice_dec import AVCDecoder
+
+    out264 = tmp_path / "jm_b.264"
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_main.cfg"),
+         "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+         "-p", "FramesToBeEncoded=3", "-p", "SourceWidth=176",
+         "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+         "-p", "OutputHeight=144", "-p", "IntraPeriod=0", "-p", "IDRPeriod=0",
+         "-p", "QPISlice=30", "-p", "QPPSlice=31", "-p", "QPBSlice=32",
+         "-p", "SymbolMode=0", "-p", "OutFileMode=0",
+         "-p", f"OutputFile={out264}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=2", "-p", "RDOptimization=1",
+         "-p", "Transform8x8Mode=0", "-p", "NumberBFrames=1",
+         "-p", "PicOrderCntType=0", "-p", "SearchRange=16",
+         "-p", "DirectModeType=1"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=300)
+    assert r.returncode == 0, r.stdout[-800:]
+    stream = out264.read_bytes()
+    frames = AVCDecoder().decode(stream)
+    jm = ldecod_decode(tmp_path, stream)
+    assert recon_bytes(frames) == jm

@@ -143,3 +143,20 @@ def test_cabac_bits_beat_cavlc(frames3):
     # identical decisions -> identical recon; only entropy coding differs
     for qc, qv in zip(rc, rv):
         assert np.array_equal(qc.recon[0], qv.recon[0])
+
+
+def test_b_slices_roundtrip(frames3):
+    """IbbP GOP (spatial direct, bipred, disposable Bs) round trips in our
+    own decoder with POC display-order output."""
+    import numpy as np
+    f = frames3 + [tuple(np.roll(pl, (1, -2), (0, 1)) for pl in frames3[2])]
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, poc_type=0,
+                  num_ref_frames=2)
+    codec = AVCCodec(p, intra_period=0, search_range=8, bframes=2,
+                     use_satd=False)
+    res, stream = codec.encode_sequence(f)
+    assert [q.frame_type for q in res] == ["IDR", "B", "B", "P"]
+    dec, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
