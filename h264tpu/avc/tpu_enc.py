@@ -253,10 +253,26 @@ def _gather_block(up, y0, x0, mvx, mvy, bh: int, bw: int, P: int):
     return sl[::4, ::4]
 
 
-def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me):
+_H4J = jnp.asarray(np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                             [1, -1, -1, 1], [1, -1, 1, -1]], np.int32))
+
+
+def _satd(diff):
+    """4x4 Hadamard SATD of [bh, bw] residual (JM HadamardSAD4x4)."""
+    bh, bw = diff.shape
+    b = diff.reshape(bh // 4, 4, bw // 4, 4).transpose(0, 2, 1, 3)
+    t = jnp.einsum("ij,...jk,kl->...il", _H4J, b, _H4J)
+    s = jnp.abs(t).sum(axis=(-1, -2))
+    return ((s + 1) >> 1).sum().astype(jnp.int32)
+
+
+def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me,
+                   use_satd: bool = True):
     """Refine every (ref, slot, MB) to quarter-pel.
 
-    Returns (mv_q [R, 9, nmb, 2], sad_q [R, 9, nmb])."""
+    ``use_satd``: JM's Hadamard subpel metric (cfg ``hadamard``); the
+    integer stage stays SAD like JM.  Returns (mv_q [R, 9, nmb, 2],
+    dist_q [R, 9, nmb])."""
     H, W = org_y.shape
     mb_h, mb_w = H // 16, W // 16
     nmb = mb_h * mb_w
@@ -283,7 +299,10 @@ def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me):
 
             def cost_at(cx_, cy_):
                 pred = _gather_block(up_r, yy, xx, cx_, cy_, bh, bw, P)
-                sad = jnp.abs(obk - pred).sum(dtype=jnp.int32)
+                if use_satd:
+                    sad = _satd(obk - pred)
+                else:
+                    sad = jnp.abs(obk - pred).sum(dtype=jnp.int32)
                 bits = se_bits(cx_ - pm[0]) + se_bits(cy_ - pm[1])
                 return sad, sad.astype(jnp.float32) + lam_me * bits
 
@@ -626,6 +645,14 @@ def _coeff_cost(zz):
     return jnp.where(nz, per, 0).sum(axis=-1)
 
 
+import os as _os
+# JM's single-coefficient thresholding (drop an 8x8 when run-cost <= 4,
+# the MB when total <= 5) is a LOW-COMPLEXITY-mode tool; JM 18.5 with
+# RDOptimization on does not apply it.  Default off (better BD-rate);
+# H264TPU_COEFF_DROPS=1 restores the JM-8.6-style behavior.
+_COEFF_DROPS = _os.environ.get("H264TPU_COEFF_DROPS", "0") == "1"
+
+
 def _code_inter_luma(org16, pred16, qp):
     """-> (zz_coding [16,16], rec [16,16], cbp_luma_bits int32)."""
     res = org16.astype(jnp.int32) - pred16
@@ -634,16 +661,17 @@ def _code_inter_luma(org16, pred16, qp):
     lev = QJ.quant4x4(w, qp, False)
     zz = QJ.zigzag(lev)                                         # [4,4,16]
 
-    cost44 = _coeff_cost(zz)                                    # [4,4]
-    c8 = cost44.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4)
-    cost8 = c8.sum(-1)                                          # [4] b8 order
-    drop8 = cost8 <= 4
-    total = jnp.where(drop8, 0, cost8).sum()
-    drop8 = drop8 | (total <= 5)
-    drop44 = drop8.reshape(2, 2)
-    drop44 = jnp.repeat(jnp.repeat(drop44, 2, 0), 2, 1)         # [4,4] y4,x4
-    zz = jnp.where(drop44[..., None], 0, zz)
-    lev = jnp.where(drop44[..., None, None], 0, lev)
+    if _COEFF_DROPS:
+        cost44 = _coeff_cost(zz)                                # [4,4]
+        c8 = cost44.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(4, 4)
+        cost8 = c8.sum(-1)                                      # [4] b8 order
+        drop8 = cost8 <= 4
+        total = jnp.where(drop8, 0, cost8).sum()
+        drop8 = drop8 | (total <= 5)
+        drop44 = drop8.reshape(2, 2)
+        drop44 = jnp.repeat(jnp.repeat(drop44, 2, 0), 2, 1)     # [4,4] y4,x4
+        zz = jnp.where(drop44[..., None], 0, zz)
+        lev = jnp.where(drop44[..., None, None], 0, lev)
 
     deq = QJ.dequant4x4(lev, qp)
     pred_b = pred16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
@@ -672,10 +700,11 @@ def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
         ac_lev = QJ.quant4x4(w, qpc, False)
         ac_lev = ac_lev.at[..., 0, 0].set(0)
         ac_zz = QJ.zigzag(ac_lev)[..., 1:]
-        c_cost = _coeff_cost(ac_zz).sum()
-        keep = c_cost >= 4
-        ac_zz = jnp.where(keep, ac_zz, 0)
-        ac_lev = jnp.where(keep, ac_lev, 0)
+        if _COEFF_DROPS:
+            c_cost = _coeff_cost(ac_zz).sum()
+            keep = c_cost >= 4
+            ac_zz = jnp.where(keep, ac_zz, 0)
+            ac_lev = jnp.where(keep, ac_lev, 0)
         dc_levels.append(dc_lev)
         ac_zzs.append(ac_zz)
         parts.append((pred, ac_lev, QJ.dequant_dc_chroma(dc_lev, qpc)))
