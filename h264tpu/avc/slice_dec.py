@@ -1,18 +1,20 @@
-"""Standard H.264 decoder (Baseline/CAVLC subset, host reference model).
+"""Standard H.264 decoder (Baseline + Main progressive, host model).
 
 Decodes real H.264 Annex-B streams — including JM 18.5 ``lencod`` output —
-bit-exactly: I/IDR and P slices, CAVLC, intra 4x4/16x16/PCM-less, inter
-16x16/16x8/8x16/P8x8 (all sub-partitions), P_Skip, multi-ref sliding-window
-DPB, mb_qp_delta, in-loop deblocking.  Decode twin of our ``slice_enc``; the
-JM counterpart is ``JM/ldecod/src/{image.c:809 decode_one_frame,
-mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c}`` (SURVEY §3.5, J17/J18).
+bit-exactly: I/IDR, P, and B slices (all Table 7-14/7-18 partition and
+sub-partition types incl. spatial direct and B_8x8), CAVLC and CABAC
+entropy (``avc/cabac.py``), intra 4x4/16x16, P_Skip/B_Skip, multi-ref
+sliding-window DPB with MMCO ops 1/5 and short-term ref list
+modification, POC types 0/2 with display-order output, multi-slice
+pictures (spec 6.4.11 slice-restricted availability), mb_qp_delta,
+in-loop deblocking (incl. the two-list B bS derivation).  Decode twin of
+our ``slice_enc``; the JM counterpart is ``JM/ldecod/src/{image.c:809
+decode_one_frame, mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c,
+mc_direct.c}`` (SURVEY §3.5, J17/J18).
 
-Multi-slice pictures (contiguous slices, first_mb_in_slice > 0) are
-supported with spec 6.4.11 slice-restricted availability.
-CABAC entropy decoding (Main profile I/P) is supported via avc/cabac.py;
-MMCO ops 1/5 and short-term ref list modification are handled.
-Unsupported (raises): fields/MBAFF, B slices, FMO>1 slice groups,
-4:2:2/4:4:4, 8x8 transform, long-term references, data partitioning.
+Unsupported (raises): fields/MBAFF, FMO>1 slice groups, 4:2:2/4:4:4,
+8x8 transform, weighted prediction, long-term references, temporal
+direct, data partitioning, PCM.
 """
 
 from __future__ import annotations
