@@ -44,6 +44,13 @@ class AVCCodec:
         self.sr = search_range
         self.use_satd = use_satd
         self.bframes = bframes
+        if p.cabac:
+            # the host slice writers emit CAVLC syntax only; with
+            # entropy_coding_mode_flag=1 in the PPS the stream would be
+            # undecodable.  CABAC lives on the device path (TPUAVCCodec
+            # -> pack_cabac).
+            raise ValueError("AVCCodec is CAVLC-only; use TPUAVCCodec "
+                             "for CABAC streams")
         if bframes > 0:
             if p.poc_type != 0:
                 raise ValueError("bframes needs AVCParams(poc_type=0)")

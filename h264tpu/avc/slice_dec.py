@@ -131,7 +131,8 @@ class AVCDecoder:
         entropy context is restricted to the current slice (spec 6.4.11
         availability)."""
         out = []
-        self._order = []       # (poc, decode_idx) per output frame
+        self._order = []       # (idr_epoch, poc) per output frame
+        self._idr_epoch = 0
         self._pic = None
         poc_reorder = False
         for n in annexb_parse(stream):
@@ -149,12 +150,16 @@ class AVCDecoder:
                     out.append(fr)
                     if max_frames and len(out) >= max_frames:
                         self._pic = None
-                        return out
+                        return self._display_order(out, poc_reorder)
         fr = self._finish_picture()
         if fr is not None:
             out.append(fr)
+        return self._display_order(out, poc_reorder)
+
+    def _display_order(self, out, poc_reorder):
+        """Ascending-POC display reorder per 8.2.1; POC resets at each
+        IDR, so the sort key is (idr_epoch, poc)."""
         if poc_reorder and len(self._order) == len(out):
-            # output order = ascending POC (display order) per 8.2.1
             order = sorted(range(len(out)), key=lambda i: self._order[i])
             out = [out[i] for i in order]
         return out
@@ -182,7 +187,7 @@ class AVCDecoder:
         if pic["disable_dbl"] != 1:
             rec = deblock_frame(*rec, ctx)
         frame = tuple(np.asarray(pl, np.uint8) for pl in rec)
-        self._order.append(pic["poc"])
+        self._order.append((pic.get("epoch", 0), pic["poc"]))
         if pic["ref_idc"] != 0:
             frame_num = pic["frame_num"]
             max_fn = 1 << sps["log2_max_frame_num"]
@@ -233,6 +238,7 @@ class AVCDecoder:
             r.ue()                          # idr_pic_id
             if first_mb == 0:
                 self.dpb = []
+                self._idr_epoch = getattr(self, "_idr_epoch", 0) + 1
         poc = 2 * frame_num                 # poc_type 2 approximation
         if sps["poc_type"] == 0:
             lsb = r.u(sps["log2_max_poc_lsb"])
@@ -296,6 +302,10 @@ class AVCDecoder:
                             raise NotImplementedError(f"MMCO op {op}")
         cabac_init_idc = 0
         if pps["cabac"] and slice_type != 2:
+            if slice_type == 1:
+                # _decode_mb_cabac has no B-slice syntax readers yet; a
+                # Main-profile B+CABAC stream would decode to garbage
+                raise NotImplementedError("CABAC B slices")
             cabac_init_idc = r.ue()
         qp = pps["pic_init_qp"] + self._tr(r, "slice_qp_delta", r.se())
         disable_dbl = 0
@@ -309,6 +319,7 @@ class AVCDecoder:
         if self._pic is None:
             self._pic = dict(
                 sps=sps, pps=pps, mb_w=mb_w, mb_h=mb_h, qp=qp,
+                epoch=getattr(self, "_idr_epoch", 0),
                 mmco=mmco_ops, poc=poc, is_b=slice_type == 1,
                 frame_num=frame_num, ref_idc=ref_idc,
                 disable_dbl=disable_dbl, a_off=a_off, b_off=b_off,
@@ -343,6 +354,11 @@ class AVCDecoder:
             entries = before + after
             l1 = after + before
             refs1 = l1[:num_ref_l1]
+            # spec 8.2.4.2.3: when RefPicList1 would be identical to
+            # RefPicList0 and has more than one entry (e.g. low-delay B
+            # with all DPB refs on one POC side), swap its first two
+            if len(refs1) > 1 and refs1 == entries[:num_ref]:
+                refs1[0], refs1[1] = refs1[1], refs1[0]
             col = refs1[0] if refs1 else None
         if reorder_ops:
             # spec 8.2.4.3.1 short-term modification process

@@ -1011,10 +1011,6 @@ def _mc_16x16_cells(rp, y0, x0, mv_cells):
             mv = mv_cells[cy, cx4]
             pred[cy * 4:cy * 4 + 4, cx4 * 4:cx4 * 4 + 4] = rp.luma_block(
                 y0 + cy * 4, x0 + cx4 * 4, 4, 4, int(mv[0]), int(mv[1]))
-    for cy in range(2):
-        for cx4 in range(2):
-            mv = mv_cells[cy * 2, cx4 * 2]     # chroma per 8x8 uses 4x4 mvs
-            pass
     # chroma: per 4x4 luma cell -> 2x2 chroma block
     for cy in range(4):
         for cx4 in range(4):

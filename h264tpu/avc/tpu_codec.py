@@ -106,12 +106,17 @@ class TPUAVCCodec:
 
     def __init__(self, p: AVCParams, intra_period: int = 0,
                  search_range: int = 16, check_conformance: bool = True,
-                 n_slices: int = 1):
+                 n_slices: int = 1, mesh=None, mesh_axis: str = "slice"):
         """``n_slices``: split each picture into that many equal row-band
         slices (must divide mb_h).  Slices reset all prediction/entropy
         contexts, so the device decision scan runs them concurrently —
         the standard-compliant intra-frame parallel axis (~n_slices x
-        fewer sequential steps at a small bitrate cost)."""
+        fewer sequential steps at a small bitrate cost).
+
+        ``mesh``: a ``jax.sharding.Mesh`` to shard the per-frame encode
+        over (row-band slices distributed along ``mesh_axis``; n_slices
+        must be a multiple of the axis size).  The sharded encode is
+        byte-identical to the single-device one."""
         if p.slice_groups != 1:
             raise ValueError("TPU path has no FMO; use AVCCodec for FMO")
         if p.mb_h % n_slices:
@@ -120,9 +125,25 @@ class TPUAVCCodec:
         self.intra_period = intra_period
         self.sr = search_range
         self.n_slices = n_slices
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._sharded = {}
         if check_conformance:
             conformance.check_params(p)
         self._dummy = None
+
+    def _encode_fn(self, intra_only: bool):
+        """The per-frame device graph (mesh-sharded when configured)."""
+        p = self.p
+        kw = dict(mb_h=p.mb_h, mb_w=p.mb_w, sr=self.sr,
+                  intra_only=intra_only, n_slices=self.n_slices,
+                  chroma_qp_offset=p.chroma_qp_offset)
+        if self.mesh is None:
+            return functools.partial(TE.encode_frame, **kw)
+        if intra_only not in self._sharded:
+            self._sharded[intra_only] = TE.make_sharded_encode(
+                self.mesh, self.mesh_axis, **kw)
+        return self._sharded[intra_only]
 
     def _is_idr(self, idx: int) -> bool:
         if idx == 0:
@@ -166,11 +187,9 @@ class TPUAVCCodec:
             idr = self._is_idr(idx)
             if idr:
                 ups, us, vs = self._dummy_refs()
-                sym, rec, tctx = TE.encode_frame(
+                sym, rec, tctx = self._encode_fn(True)(
                     y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(0),
-                    no_force, mb_h=mb_h, mb_w=mb_w, sr=self.sr,
-                    intra_only=True, n_slices=self.n_slices,
-                    chroma_qp_offset=p.chroma_qp_offset)
+                    no_force)
                 buf, recbuf = _pack_out(sym, tctx, rec)
                 buf, recbuf = jax.device_get((buf, recbuf))
                 sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)
@@ -204,11 +223,9 @@ class TPUAVCCodec:
                 vs = jnp.stack([r[2] for r in refs])
                 fim = force_intra(idx) if force_intra else None
                 fim = no_force if fim is None else jnp.asarray(fim, bool)
-                sym, rec, tctx = TE.encode_frame(
+                sym, rec, tctx = self._encode_fn(False)(
                     y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(n_valid),
-                    fim, mb_h=mb_h, mb_w=mb_w, sr=self.sr, intra_only=False,
-                    n_slices=self.n_slices,
-                    chroma_qp_offset=p.chroma_qp_offset)
+                    fim)
                 buf, recbuf = _pack_out(sym, tctx, rec)
                 buf, recbuf = jax.device_get((buf, recbuf))
                 sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)

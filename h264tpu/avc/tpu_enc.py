@@ -24,9 +24,15 @@ Architecture (TPU-first, not a translation of the C):
   half-pel grid (6-tap spec filter, ``ops/me.py``).
 * **Stage C** — one ``lax.scan`` over MBs in raster order carrying the
   reconstruction/MV-field/nnz state: spec 8.4.1.3 median MV prediction,
-  P_Skip detection, intra 4x4 (9 modes, sequential 16-block sub-scan)
-  / 16x16 / chroma evaluation, JM-exact mode decision, residual coding
-  of the winner, symbol emission.
+  intra 4x4 (9 modes, sequential 16-block sub-scan) / 16x16 / chroma
+  evaluation, and **full-RD mode decision** (JM rdopt.c:1807
+  RDCost_for_macroblocks semantics): the reference index per mode is
+  picked by ME cost (SATD + lambda_me * header bits), then every inter
+  mode's residual is actually transform/quant/reconstructed — batched
+  over the mode axis — and the winner among {P_Skip, 16x16, 16x8, 8x16,
+  P8x8, I16, I4} minimizes reconstruction SSD over Y+U+V plus
+  lambda_mode * exact-syntax bits (CAVLC residual bits via the
+  chain-free estimator ``cavlc_jax.block_bits_est``).
 
 Reference semantics: ``JM/lencod/src/slice.c:431`` encode_one_slice,
 ``mv_search.c:960`` BlockMotionSearch, ``rdopt.c`` Lagrangian costs;
@@ -46,7 +52,7 @@ from ..ops.transform import COEFF_COST
 from . import quant_jax as QJ
 from . import intra_jax as IJ
 from . import cavlc_jax as CJ
-from .tables import BLOCK_SCAN, BLOCK_SCAN_INV
+from .tables import BLOCK_SCAN, BLOCK_SCAN_INV, CBP_TO_CODENUM_INTER
 
 BIG = jnp.float32(1e18)
 
@@ -85,6 +91,15 @@ def te_bits(v, num_ref: int):
         return jnp.int32(1)
     v = v.astype(jnp.int32)
     return 2 * (31 - jax.lax.clz(v + 1)) + 1
+
+
+def ue_bits(v):
+    """Exact ue(v) bit length, elementwise traced int32."""
+    v = v.astype(jnp.int32)
+    return 2 * (31 - jax.lax.clz(v + 1)) + 1
+
+
+_CBP_INTER_J = jnp.asarray(np.asarray(CBP_TO_CODENUM_INTER, np.int32))
 
 
 def lambdas(qp):
@@ -765,39 +780,27 @@ def te_bits_t(v, n_active):
     return jnp.where(n_active <= 1, 0, jnp.where(n_active == 2, 1, ue))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
-                              "chroma_qp_offset", "n_slices"))
-def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
-                 force_intra, *, mb_h: int, mb_w: int, sr: int,
-                 intra_only: bool, chroma_qp_offset: int = 0,
-                 n_slices: int = 1):
-    """Encode one frame's decisions + residuals on device.
+def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
+                 force_intra, *, sb_h: int, mb_w: int, sr: int,
+                 intra_only: bool, chroma_qp_offset: int = 0):
+    """Encode ONE row-band slice (search + subpel + decision scan).
 
-    org_*: int32 planes.  ref_ups [R, 4*(H+2P), 4*(W+2P)]: quarter-pel
-    grids of reference list 0 (most recent first; pad slots by repeating
-    and set ``n_valid``); ref_us/ref_vs: padded chroma planes.  qp traced
-    int32; force_intra [mb_h, mb_w] traced bool.
+    All arrays are band views: org_y [sb_h*16, W]; ref_ups
+    [R, 4*(sb_h*16+2P), 4*(W+2P)] (the band's rows of the quarter-pel
+    grid including the P-sample halo above/below); ref_us/ref_vs the
+    band's padded chroma rows; force_intra [sb_h, mb_w].  Slices reset
+    every prediction/entropy context, so a band encodes with no
+    knowledge of its neighbors — this function is the unit that
+    ``encode_frame`` vmaps over and ``make_sharded_encode`` shard_maps
+    over a device mesh (SURVEY §2.3 MB-tile axis on the AVC path).
 
-    ``n_slices`` splits the picture into that many equal row-band slices
-    (must divide mb_h).  Slices are the H.264 parallelism unit: every
-    context (intra availability, MV prediction, nC, skip run) resets at
-    the slice boundary, so the sequential decision scan runs all slices
-    concurrently via vmap — nmb/n_slices steps instead of nmb (the
-    standard-compliant tile axis of SURVEY §2.3 applied to the AVC path).
-
-    Returns (symbols dict of [nmb, ...] arrays in global raster order,
-    (rec_y, rec_u, rec_v), ctx dict with nnz/mv/ref/mb_intra).
+    Returns (sym dict of [nmb_s, ...] arrays in band raster order,
+    state dict with the band's rec/mv/ref/nnz planes).
     """
-    if mb_h % n_slices:
-        raise ValueError(f"n_slices {n_slices} must divide mb_h {mb_h}")
-    S = n_slices
-    sb_h = mb_h // S                           # MB rows per slice
     nmb_s = sb_h * mb_w
-    H, W = mb_h * 16, mb_w * 16
+    W = mb_w * 16
     W2 = W // 2
     sh4, w4 = sb_h * 4, mb_w * 4
-    nmb = mb_h * mb_w
     qp = jnp.asarray(qp, jnp.int32)
     lam, lam_me = lambdas(qp)
     qpc = QJ.chroma_qp(qp, chroma_qp_offset)
@@ -812,41 +815,36 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         mv_int, _sad_int, pmv2 = _integer_search(org_y, ref_pads, sr, lam_me)
         mv_q, sad_q = _subpel_refine(org_y, ref_ups, mv_int, _sad_int,
                                      pmv2, sr, lam_me)
-        # [R, 9, nmb, ...] -> xs layout [nmb_s (steps), S, R, 9, ...]
-        mv_q = jnp.moveaxis(mv_q, 2, 0).reshape(S, nmb_s, R, 9, 2)
-        mv_q = jnp.swapaxes(mv_q, 0, 1)
-        sad_q = jnp.moveaxis(sad_q, 2, 0).reshape(S, nmb_s, R, 9)
-        sad_q = jnp.swapaxes(sad_q, 0, 1)
+        # [R, 9, nmb_s, ...] -> xs layout [nmb_s (steps), R, 9, ...]
+        mv_q = jnp.moveaxis(mv_q, 2, 0)
+        sad_q = jnp.moveaxis(sad_q, 2, 0)
     else:
         R = 1
-        mv_q = jnp.zeros((nmb_s, S, 1, 9, 2), jnp.int32)
-        sad_q = jnp.zeros((nmb_s, S, 1, 9), jnp.int32)
+        mv_q = jnp.zeros((nmb_s, 1, 9, 2), jnp.int32)
+        sad_q = jnp.zeros((nmb_s, 1, 9), jnp.int32)
 
     state = dict(
-        rec_y=jnp.zeros((S, sb_h * 16 + 1, W + 9), jnp.int32),
-        rec_u=jnp.zeros((S, sb_h * 8 + 1, W2 + 1), jnp.int32),
-        rec_v=jnp.zeros((S, sb_h * 8 + 1, W2 + 1), jnp.int32),
-        mv=jnp.zeros((S, sh4, w4, 2), jnp.int32),
-        ref=jnp.full((S, sh4, w4), -2, jnp.int32),
-        nnz_y=jnp.zeros((S, sh4, w4), jnp.int32),
-        nnz_c=jnp.zeros((S, 2, sb_h * 2, mb_w * 2), jnp.int32),
-        i4m=jnp.full((S, sh4, w4), -1, jnp.int32),
+        rec_y=jnp.zeros((sb_h * 16 + 1, W + 9), jnp.int32),
+        rec_u=jnp.zeros((sb_h * 8 + 1, W2 + 1), jnp.int32),
+        rec_v=jnp.zeros((sb_h * 8 + 1, W2 + 1), jnp.int32),
+        mv=jnp.zeros((sh4, w4, 2), jnp.int32),
+        ref=jnp.full((sh4, w4), -2, jnp.int32),
+        nnz_y=jnp.zeros((sh4, w4), jnp.int32),
+        nnz_c=jnp.zeros((2, sb_h * 2, mb_w * 2), jnp.int32),
+        i4m=jnp.full((sh4, w4), -1, jnp.int32),
     )
-    srow0 = jnp.arange(S, dtype=jnp.int32) * sb_h
 
-    def mb_body(st, j, mv_mb, sad_mb, forced, row0):
-        """One MB of one slice; st holds this slice's band arrays."""
-        mby = j // mb_w                        # slice-local MB row
+    def mb_body(st, j, mv_mb, sad_mb, forced):
+        """One MB of the band; st holds the band arrays."""
+        mby = j // mb_w                        # band-local MB row
         mbx = j % mb_w
-        gy0 = (row0 + mby) * 16                # global pixel coords (org/MC)
         y0, x0 = mby * 16, mbx * 16            # band-local pixel coords
-        gcy0 = (row0 + mby) * 8
         cy0, cx0 = mby * 8, mbx * 8
         by0, bx0 = mby * 4, mbx * 4
 
-        org16 = jax.lax.dynamic_slice(org_y, (gy0, x0), (16, 16))
-        org_u8 = jax.lax.dynamic_slice(org_u, (gcy0, cx0), (8, 8))
-        org_v8 = jax.lax.dynamic_slice(org_v, (gcy0, cx0), (8, 8))
+        org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16))
+        org_u8 = jax.lax.dynamic_slice(org_u, (cy0, cx0), (8, 8))
+        org_v8 = jax.lax.dynamic_slice(org_v, (cy0, cx0), (8, 8))
 
         # ---- intra candidates ----
         i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam)
@@ -878,8 +876,12 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             crecs_int = jnp.zeros((2, 8, 8), jnp.int32)
             cbp_c_int = jnp.int32(0)
         else:
-            # ---- inter candidate costs per (mode, ref) ----
+            # ---- stage 1: ME cost per (mode, ref) for REFERENCE selection
+            # (JM picks ref_idx in the motion search by SATD + lambda_me *
+            # header bits, mv_search.c:960; the MODE is then chosen by full
+            # RD below, rdopt.c:1807 RDCost_for_macroblocks) ----
             mode_costs = []
+            mode_bits = []
             mode_mvds = []
             mode_mvs = []
             for m, (parts, tags, slots) in enumerate(
@@ -911,32 +913,27 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                                            dx4:dx4 + w4p].set(r_val)
                         mvds = mvds.at[pi].set(mv - pm)
                         mvs = mvs.at[pi].set(mv)
-                    cost = sad.astype(jnp.float32) + lam * bits
-                    return cost, mvds, mvs
+                    cost = sad.astype(jnp.float32) + lam_me * bits
+                    return cost, bits, mvds, mvs
 
-                c_r, mvd_r, mv_r = jax.vmap(eval_ref)(
+                c_r, b_r, mvd_r, mv_r = jax.vmap(eval_ref)(
                     jnp.arange(R, dtype=jnp.int32), mv_mb, sad_mb)
                 mode_costs.append(c_r)             # [R]
+                mode_bits.append(b_r)              # [R]
                 mode_mvds.append(mvd_r)            # [R,4,2]
                 mode_mvs.append(mv_r)
             cost_mat = jnp.stack(mode_costs, axis=1)          # [R, 4]
             valid = jnp.arange(R) < n_valid
             cost_mat = jnp.where(valid[:, None], cost_mat, BIG)
-            cost_mat = jnp.where(forced, BIG, cost_mat)
-            inter_flat = cost_mat.reshape(-1)                  # ri-major
-            costs = jnp.concatenate(
-                [inter_flat, jnp.stack([i16_cost, i4_cost])])
-            win = jnp.argmin(costs)
-            is_intra = win >= 4 * R
-            use_i16 = win == 4 * R
-            win_r = jnp.where(is_intra, 0, win // 4).astype(jnp.int32)
-            win_m = jnp.where(is_intra, 0, win % 4).astype(jnp.int32)
-            mvds_all = jnp.stack(mode_mvds, axis=1)            # [R,4,4,2]
-            mvs_all = jnp.stack(mode_mvs, axis=1)
-            win_mvds = mvds_all[win_r, win_m]                  # [4,2]
-            win_mvs = mvs_all[win_r, win_m]
+            ar4 = jnp.arange(4)
+            ref_m = jnp.argmin(cost_mat, axis=0).astype(jnp.int32)   # [4]
+            hdr_bits_m = jnp.stack(mode_bits, axis=1)[ref_m, ar4]    # [4]
+            mvds_m = jnp.stack(mode_mvds, axis=1)[ref_m, ar4]        # [4,4,2]
+            mvs_m = jnp.stack(mode_mvs, axis=1)[ref_m, ar4]
 
-            # ---- winner prediction blocks (gather all refs, select) ----
+            # ---- per-mode prediction blocks (each mode uses its own best
+            # ref; every slot belongs to exactly one mode) ----
+            SLOT_MODE = (0, 1, 1, 2, 2, 3, 3, 3, 3)
             lsel = []
             usel = []
             vsel = []
@@ -944,21 +941,22 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 bh, bw = chs * 8, cws * 8
 
                 def lg(up_r, mv_s, cy=cy, cx=cx, bh=bh, bw=bw):
-                    return _gather_block(up_r, gy0 + cy * 8, x0 + cx * 8,
+                    return _gather_block(up_r, y0 + cy * 8, x0 + cx * 8,
                                          mv_s[0], mv_s[1], bh, bw, P)
 
                 def cg(pl_r, mv_s, comp_bh=bh // 2, comp_bw=bw // 2,
                        ccy=cy * 4, ccx=cx * 4):
-                    return _chroma_block(pl_r, gcy0 + ccy, cx0 + ccx,
+                    return _chroma_block(pl_r, cy0 + ccy, cx0 + ccx,
                                          mv_s[0], mv_s[1],
                                          comp_bh, comp_bw, PC)
 
+                rm = ref_m[SLOT_MODE[s]]
                 lp = jax.vmap(lg)(ref_ups, mv_mb[:, s])        # [R,bh,bw]
                 upb = jax.vmap(cg)(ref_us, mv_mb[:, s])
                 vpb = jax.vmap(cg)(ref_vs, mv_mb[:, s])
-                lsel.append(lp[win_r])
-                usel.append(upb[win_r])
-                vsel.append(vpb[win_r])
+                lsel.append(lp[rm])
+                usel.append(upb[rm])
+                vsel.append(vpb[rm])
 
             def quad(parts):
                 return jnp.stack([
@@ -971,23 +969,114 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                         axis=0),
                 ])
 
-            pred16 = quad(lsel)[win_m]
-            pred_u8 = quad(usel)[win_m]
-            pred_v8 = quad(vsel)[win_m]
+            pred16_modes = quad(lsel)              # [4,16,16]
+            predu_modes = quad(usel)               # [4,8,8]
+            predv_modes = quad(vsel)
 
-            zzc, rec16_int, cbp_bits_int = _code_inter_luma(
-                org16, pred16, qp)
-            dcl_int, acz_int, crecs_int, cbp_c_int = _code_inter_chroma(
-                org_u8, org_v8, pred_u8, pred_v8, qpc)
-
-            # ---- P_Skip ----
+            # ---- P_Skip candidate prediction ----
             ov0_mv = jnp.zeros((4, 4, 2), jnp.int32)
             ov0_ref = jnp.full((4, 4), -2, jnp.int32)
             smv = _skip_mv(st["mv"], st["ref"], ov0_mv, ov0_ref,
                            by0, bx0, by0, bx0, sh4, w4)
-            is_skip = (~is_intra) & (win_m == 0) & (win_r == 0) \
-                & (cbp_bits_int == 0) & (cbp_c_int == 0) \
-                & (win_mvs[0, 0] == smv[0]) & (win_mvs[0, 1] == smv[1])
+            pred16_sk = _gather_block(ref_ups[0], y0, x0,
+                                      smv[0], smv[1], 16, 16, P)
+            predu_sk = _chroma_block(ref_us[0], cy0, cx0,
+                                     smv[0], smv[1], 8, 8, PC)
+            predv_sk = _chroma_block(ref_vs[0], cy0, cx0,
+                                     smv[0], smv[1], 8, 8, PC)
+
+            # ---- stage 2: full RD — code every mode's residual, cost =
+            # reconstruction SSD (Y+U+V) + lambda_mode * true bits ----
+            zzc_m, rec_m, cbpL_m = jax.vmap(
+                _code_inter_luma, in_axes=(None, 0, None))(
+                    org16, pred16_modes, qp)
+            dcl_m, acz_m, crecs_m, cbpC_m = jax.vmap(
+                _code_inter_chroma, in_axes=(None, None, 0, 0, None))(
+                    org_u8, org_v8, predu_modes, predv_modes, qpc)
+
+            ssd_m = ((org16[None] - rec_m) ** 2).sum(axis=(1, 2)) \
+                + ((org_u8[None] - crecs_m[:, 0]) ** 2).sum(axis=(1, 2)) \
+                + ((org_v8[None] - crecs_m[:, 1]) ** 2).sum(axis=(1, 2))
+            cbp_m = cbpL_m | (cbpC_m << 4)                      # [4]
+            cbp_ue_m = ue_bits(_CBP_INTER_J[cbp_m])
+            lum_bits = CJ.block_bits_est(
+                zzc_m.reshape(4 * 16, 16),
+                jnp.zeros(4 * 16, jnp.int32), 16).reshape(4, 16)
+            blk_coded = ((cbpL_m[:, None] >> (jnp.arange(16) // 4)) & 1) > 0
+            lum_bits = jnp.where(blk_coded, lum_bits, 0).sum(-1)
+            cdc_bits = CJ.block_bits_est(
+                dcl_m.reshape(4 * 2, 4), jnp.zeros(8, jnp.int32), 4,
+                chroma_dc=True).reshape(4, 2).sum(-1)
+            cac_bits = CJ.block_bits_est(
+                acz_m.reshape(4 * 8, 15),
+                jnp.zeros(4 * 8, jnp.int32), 15).reshape(4, 8).sum(-1)
+            res_bits_m = lum_bits + jnp.where(cbpC_m >= 1, cdc_bits, 0) \
+                + jnp.where(cbpC_m == 2, cac_bits, 0)
+            bits_m = hdr_bits_m + 1.0 + cbp_ue_m.astype(jnp.float32) \
+                + (cbp_m > 0).astype(jnp.float32) \
+                + res_bits_m.astype(jnp.float32)
+            cost_inter = ssd_m.astype(jnp.float32) + lam * bits_m    # [4]
+            cost_inter = jnp.where(forced, BIG, cost_inter)
+
+            ssd_sk = ((org16 - pred16_sk) ** 2).sum() \
+                + ((org_u8 - predu_sk) ** 2).sum() \
+                + ((org_v8 - predv_sk) ** 2).sum()
+            cost_sk = ssd_sk.astype(jnp.float32) + lam * 1.0
+            cost_sk = jnp.where(forced, BIG, cost_sk)
+
+            # intra candidates compete on the same footing: add chroma
+            # SSD + bits (identical for i16/i4 — shared chroma decision)
+            ch_ssd = ((org_u8 - ch["recs"][0]) ** 2).sum() \
+                + ((org_v8 - ch["recs"][1]) ** 2).sum()
+            ch_dc_b = CJ.block_bits_est(
+                ch["dc_levels"], jnp.zeros(2, jnp.int32), 4,
+                chroma_dc=True).sum()
+            ch_ac_b = CJ.block_bits_est(
+                ch["ac_zzs"].reshape(8, 15),
+                jnp.zeros(8, jnp.int32), 15).sum()
+            ch_bits = jnp.where(ch["cbp_chroma"] >= 1, ch_dc_b, 0) \
+                + jnp.where(ch["cbp_chroma"] == 2, ch_ac_b, 0) \
+                + ue_bits(ch["mode"])
+            i16_cost = i16_cost + ch_ssd.astype(jnp.float32) \
+                + lam * ch_bits.astype(jnp.float32)
+            i4_cost = i4_cost + ch_ssd.astype(jnp.float32) \
+                + lam * ch_bits.astype(jnp.float32)
+
+            costs = jnp.concatenate(
+                [cost_sk[None], cost_inter, jnp.stack([i16_cost, i4_cost])])
+            win = jnp.argmin(costs)                              # [7]
+            skip_cand = win == 0
+            is_intra = win >= 5
+            use_i16 = win == 5
+            win_m = jnp.clip(win - 1, 0, 3).astype(jnp.int32)
+            win_m = jnp.where(skip_cand | is_intra, 0, win_m)
+            win_r = jnp.where(skip_cand | is_intra, 0, ref_m[win_m])
+            win_mvds = jnp.where(skip_cand | is_intra, 0, mvds_m[win_m])
+            win_mvs = jnp.where(
+                is_intra, 0,
+                jnp.where(skip_cand,
+                          jnp.broadcast_to(smv, (4, 2)), mvs_m[win_m]))
+
+            # winner arrays (explicit skip zeroes residual/cbp)
+            nsk = ~skip_cand
+            zzc = jnp.where(nsk, zzc_m[win_m], 0)
+            rec16_int = jnp.where(nsk, rec_m[win_m], pred16_sk)
+            cbp_bits_int = jnp.where(nsk, cbpL_m[win_m], 0)
+            dcl_int = jnp.where(nsk, dcl_m[win_m], 0)
+            acz_int = jnp.where(nsk, acz_m[win_m], 0)
+            crecs_int = jnp.where(nsk, crecs_m[win_m],
+                                  jnp.stack([predu_sk, predv_sk]))
+            cbp_c_int = jnp.where(nsk, cbpC_m[win_m], 0)
+            pred16 = jnp.where(skip_cand, pred16_sk, pred16_modes[win_m])
+            pred_u8 = jnp.where(skip_cand, predu_sk, predu_modes[win_m])
+            pred_v8 = jnp.where(skip_cand, predv_sk, predv_modes[win_m])
+
+            # emit as P_Skip: the explicit candidate, or a 16x16/ref0
+            # winner that happens to match the skip derivation with cbp 0
+            is_skip = skip_cand | (
+                (~is_intra) & (win_m == 0) & (win_r == 0)
+                & (cbp_bits_int == 0) & (cbp_c_int == 0)
+                & (win_mvs[0, 0] == smv[0]) & (win_mvs[0, 1] == smv[1]))
 
         # ---- select winner outputs ----
         sel_intra = is_intra
@@ -1080,23 +1169,155 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
     def step(st, xs):
         j, mv_j, sad_j, forced_j = xs
-        return jax.vmap(
-            lambda s_st, mvv, sdd, ff, r0: mb_body(s_st, j, mvv, sdd, ff, r0)
-        )(st, mv_j, sad_j, forced_j, srow0)
+        return mb_body(st, j, mv_j, sad_j, forced_j)
 
-    forced_xs = jnp.swapaxes(force_intra.reshape(S, nmb_s), 0, 1)
-    xs = (jnp.arange(nmb_s, dtype=jnp.int32), mv_q, sad_q, forced_xs)
+    xs = (jnp.arange(nmb_s, dtype=jnp.int32), mv_q, sad_q,
+          force_intra.reshape(nmb_s))
     state, sym = jax.lax.scan(step, state, xs)
+    return sym, state
 
-    # ys arrive [steps, S, ...]; reorder to global raster [nmb, ...]
-    sym = {k: jnp.swapaxes(v, 0, 1).reshape(nmb, *v.shape[2:])
-           for k, v in sym.items()}
 
-    rec = (state["rec_y"][:, 1:, 1:W + 1].reshape(H, W),
-           state["rec_u"][:, 1:, 1:].reshape(H // 2, W2),
-           state["rec_v"][:, 1:, 1:].reshape(H // 2, W2))
-    ctx = dict(nnz=state["nnz_y"].reshape(mb_h * 4, w4),
-               mv=state["mv"].reshape(mb_h * 4, w4, 2),
-               ref=jnp.maximum(state["ref"], -1).reshape(mb_h * 4, w4),
+def _band_views(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, force_intra,
+                S: int, sb_h: int, mb_w: int, sr: int):
+    """Split frame inputs into S per-band views (leading band axis).
+
+    Reference planes are sliced with the search halo (the padded grids
+    already contain P/PC rows of margin, so band s's view is rows
+    [s*bandH, s*bandH + bandH + 2*pad) — the halo is real neighbor-band
+    pixel data, exactly what cross-boundary motion search needs)."""
+    P, PC = luma_pad(sr), chroma_pad(sr)
+    W = mb_w * 16
+    bandH = sb_h * 16
+    org_y_b = org_y.reshape(S, bandH, W)
+    org_u_b = org_u.reshape(S, bandH // 2, W // 2)
+    org_v_b = org_v.reshape(S, bandH // 2, W // 2)
+    force_b = force_intra.reshape(S, sb_h, mb_w)
+    R = ref_ups.shape[0]
+    r0s = jnp.arange(S, dtype=jnp.int32) * bandH
+
+    def slice_refs(r0):
+        ups = jax.lax.dynamic_slice(
+            ref_ups, (0, 4 * r0, 0),
+            (R, 4 * (bandH + 2 * P), ref_ups.shape[2]))
+        us = jax.lax.dynamic_slice(
+            ref_us, (0, r0 // 2, 0),
+            (R, bandH // 2 + 2 * PC, ref_us.shape[2]))
+        vs = jax.lax.dynamic_slice(
+            ref_vs, (0, r0 // 2, 0),
+            (R, bandH // 2 + 2 * PC, ref_vs.shape[2]))
+        return ups, us, vs
+
+    ups_b, us_b, vs_b = jax.vmap(slice_refs)(r0s)
+    return org_y_b, org_u_b, org_v_b, ups_b, us_b, vs_b, force_b
+
+
+def _assemble_bands(sym_b, state_b, S: int, sb_h: int, mb_h: int, mb_w: int):
+    """[S, nmb_s, ...] band outputs -> frame-global raster outputs."""
+    nmb = mb_h * mb_w
+    W = mb_w * 16
+    H = mb_h * 16
+    W2 = W // 2
+    w4 = mb_w * 4
+    sym = {k: v.reshape(nmb, *v.shape[2:]) for k, v in sym_b.items()}
+    rec = (state_b["rec_y"][:, 1:, 1:W + 1].reshape(H, W),
+           state_b["rec_u"][:, 1:, 1:].reshape(H // 2, W2),
+           state_b["rec_v"][:, 1:, 1:].reshape(H // 2, W2))
+    ctx = dict(nnz=state_b["nnz_y"].reshape(mb_h * 4, w4),
+               mv=state_b["mv"].reshape(mb_h * 4, w4, 2),
+               ref=jnp.maximum(state_b["ref"], -1).reshape(mb_h * 4, w4),
                mb_intra=sym["mb_intra"].reshape(mb_h, mb_w))
     return sym, rec, ctx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
+                              "chroma_qp_offset", "n_slices"))
+def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
+                 force_intra, *, mb_h: int, mb_w: int, sr: int,
+                 intra_only: bool, chroma_qp_offset: int = 0,
+                 n_slices: int = 1):
+    """Encode one frame's decisions + residuals on device.
+
+    org_*: int32 planes.  ref_ups [R, 4*(H+2P), 4*(W+2P)]: quarter-pel
+    grids of reference list 0 (most recent first; pad slots by repeating
+    and set ``n_valid``); ref_us/ref_vs: padded chroma planes.  qp traced
+    int32; force_intra [mb_h, mb_w] traced bool.
+
+    ``n_slices`` splits the picture into that many equal row-band slices
+    (must divide mb_h).  Slices are the H.264 parallelism unit: every
+    context (intra availability, MV prediction, nC, skip run) resets at
+    the slice boundary, so the sequential decision scan runs all bands
+    concurrently via vmap over :func:`_encode_band` — nmb/n_slices steps
+    instead of nmb (SURVEY §2.3 MB-tile axis on the AVC path).
+
+    Returns (symbols dict of [nmb, ...] arrays in global raster order,
+    (rec_y, rec_u, rec_v), ctx dict with nnz/mv/ref/mb_intra).
+    """
+    if mb_h % n_slices:
+        raise ValueError(f"n_slices {n_slices} must divide mb_h {mb_h}")
+    S = n_slices
+    sb_h = mb_h // S
+    banded = _band_views(org_y, org_u, org_v, ref_ups, ref_us, ref_vs,
+                         force_intra, S, sb_h, mb_w, sr)
+    f = functools.partial(_encode_band, sb_h=sb_h, mb_w=mb_w, sr=sr,
+                          intra_only=intra_only,
+                          chroma_qp_offset=chroma_qp_offset)
+    sym_b, state_b = jax.vmap(
+        lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
+                                             qp, n_valid, fb))(*banded)
+    return _assemble_bands(sym_b, state_b, S, sb_h, mb_h, mb_w)
+
+
+def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
+                        intra_only: bool, chroma_qp_offset: int = 0,
+                        n_slices: int = 1):
+    """Build a jitted frame encoder sharded over ``mesh`` axis ``axis``.
+
+    The picture's ``n_slices`` row-band slices are distributed over the
+    mesh axis (n_slices % axis_size == 0); each device encodes its bands
+    with :func:`_encode_band` — no cross-device communication is needed
+    during the frame because slices reset every context and each band's
+    reference view carries its own search halo.  The returned callable
+    has the same signature/outputs as :func:`encode_frame` and produces
+    byte-identical symbols (tests/test_tpu_avc.py asserts 1-way == N-way
+    streams).  This is BASELINE config 4's "sharded across chips" axis;
+    mesh layout twin of ``parallel/tiled_search.py`` (fractal path).
+    """
+    from jax.sharding import PartitionSpec as PS
+    from jax import shard_map
+
+    if mb_h % n_slices:
+        raise ValueError(f"n_slices {n_slices} must divide mb_h {mb_h}")
+    n_dev = mesh.shape[axis]
+    if n_slices % n_dev:
+        raise ValueError(f"n_slices {n_slices} must divide over {n_dev} "
+                         f"devices on mesh axis {axis!r}")
+    S = n_slices
+    sb_h = mb_h // S
+    f = functools.partial(_encode_band, sb_h=sb_h, mb_w=mb_w, sr=sr,
+                          intra_only=intra_only,
+                          chroma_qp_offset=chroma_qp_offset)
+
+    sh = PS(axis)
+    rep = PS()
+
+    def local_bands(oy, ou, ov, up, us, vs, qp, n_valid, fb):
+        return jax.vmap(
+            lambda a, b, c, d, e, g, h: f(a, b, c, d, e, g,
+                                          qp, n_valid, h))(
+            oy, ou, ov, up, us, vs, fb)
+
+    @jax.jit
+    def encode(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
+               force_intra):
+        banded = _band_views(org_y, org_u, org_v, ref_ups, ref_us, ref_vs,
+                             force_intra, S, sb_h, mb_w, sr)
+        sym_b, state_b = shard_map(
+            local_bands, mesh=mesh,
+            in_specs=(sh, sh, sh, sh, sh, sh, rep, rep, sh),
+            out_specs=sh, check_vma=False)(
+                *banded[:6], jnp.asarray(qp, jnp.int32),
+                jnp.asarray(n_valid, jnp.int32), banded[6])
+        return _assemble_bands(sym_b, state_b, S, sb_h, mb_h, mb_w)
+
+    return encode

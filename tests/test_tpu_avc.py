@@ -160,3 +160,24 @@ def test_b_slices_roundtrip(frames3):
     for i, fr in enumerate(dec):
         for c in range(3):
             assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+
+
+def test_mesh_sharded_encode_byte_identical(frames3):
+    """N-way mesh-sharded AVC encode == 1-device encode, byte for byte
+    (SURVEY §2.3 MB-tile axis / BASELINE config 4 'sharded across chips').
+
+    Row-band slices are the standard's own shard boundary: contexts reset
+    per slice, each band's reference view carries its own search halo, so
+    distributing bands over a mesh must not change a single bit."""
+    import jax
+    from jax.sharding import Mesh
+
+    p = AVCParams(width=176, height=144, qp=30)
+    base = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3)
+    r1, s1 = base.encode_sequence(frames3)
+    mesh = Mesh(np.array(jax.devices()[:3]), ("slice",))
+    sharded = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                          mesh=mesh)
+    r2, s2 = sharded.encode_sequence(frames3)
+    assert s1 == s2
+    assert all(a.bits == b.bits for a, b in zip(r1, r2))
