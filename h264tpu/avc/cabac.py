@@ -125,6 +125,11 @@ class MBState:
         self.cbp_bits = np.zeros((mb_h, mb_w), np.int64)  # 41-bit set
         self.mvd = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
         self.ref = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+        # B slices: list-1 twins + per-cell direct flag (b8 mode 0 /
+        # mb_type 0 cells count as ref 0 / |mvd| 0 in ctx derivations)
+        self.mvd1 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
+        self.ref1 = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+        self.direct = np.zeros((mb_h * 4, mb_w * 4), bool)
         self.cipred = np.zeros((mb_h, mb_w), np.int64)
         self.first_mb = 0
         self.last_dqp = 0
@@ -204,6 +209,14 @@ class _Common:
     def dqp_ctx(self):
         return 1 if self.st.last_dqp != 0 else 0
 
+    def b_mbtype_ctx(self):
+        """B mb_type bin-0 ctx: neighbor mb_type != 0 (direct counts 0
+        even with coefficients; writeMB_B_typeInfo_CABAC)."""
+        st, mby, mbx = self.st, self.mby, self.mbx
+        b = 1 if (self.up and not st.direct[(mby - 1) * 4, mbx * 4]) else 0
+        a = 1 if (self.left and not st.direct[mby * 4, (mbx - 1) * 4]) else 0
+        return a + b
+
     # --- cell neighbors (luma 4x4 / chroma 2x2 grids) ---
     def _cell(self, by, bx, cells):
         """(mby, mbx, in_frame+same_slice avail) of the cell's MB."""
@@ -214,25 +227,32 @@ class _Common:
             return None
         return mby, mbx
 
-    def mvd_ctx(self, by, bx, comp):
+    def mvd_ctx(self, by, bx, comp, lst: int = 0):
         """|mvdA| + |mvdB| threshold ctx (writeMVD_CABAC)."""
         st = self.st
+        mvd = st.mvd if lst == 0 else st.mvd1
         s = 0
         for (nby, nbx) in ((by, bx - 1), (by - 1, bx)):
             n = self._cell(nby, nbx, 4)
             if n is not None:
-                s += abs(int(st.mvd[nby, nbx, comp]))
+                s += abs(int(mvd[nby, nbx, comp]))
         if s < 3:
             return 5 * comp
         return 5 * comp + (3 if s > 32 else 2)
 
-    def ref_ctx(self, by, bx):
+    def ref_ctx(self, by, bx, lst: int = 0):
+        """ref_idx ctx; in B slices a skip/direct neighbor cell counts
+        as 0 (writeRefPic_B_CABAC)."""
         st = self.st
-        n = self._cell(by - 1, bx, 4)
-        b = 2 if (n is not None and st.ref[by - 1, bx] > 0) else 0
-        n = self._cell(by, bx - 1, 4)
-        a = 1 if (n is not None and st.ref[by, bx - 1] > 0) else 0
-        return a + b
+        ref = st.ref if lst == 0 else st.ref1
+
+        def nb(nby, nbx):
+            n = self._cell(nby, nbx, 4)
+            if n is None or st.direct[nby, nbx]:
+                return 0
+            return 1 if ref[nby, nbx] > 0 else 0
+
+        return nb(by, bx - 1) + 2 * nb(by - 1, bx)
 
     def cbf_ctx(self, cat: int, by: int, bx: int, comp: int = 0):
         """coded_block_flag ctx (write_and_store_CBP_block_bit).
@@ -462,16 +482,16 @@ class CabacWriter:
             self.enc.bit(B + 3, 1)
             self.enc.bit(B + 4, 0)
 
-    def ref_idx(self, c: _Common, by, bx, ref: int):
-        ctx = OFF_REF_NO + c.ref_ctx(by, bx)
+    def ref_idx(self, c: _Common, by, bx, ref: int, lst: int = 0):
+        ctx = OFF_REF_NO + c.ref_ctx(by, bx, lst)
         if ref == 0:
             self.enc.bit(ctx, 0)
         else:
             self.enc.bit(ctx, 1)
             self._unary(ref - 1, OFF_REF_NO + 4, OFF_REF_NO + 5)
 
-    def mvd(self, c: _Common, by, bx, comp, val: int):
-        ctx = OFF_MV_RES + c.mvd_ctx(by, bx, comp)
+    def mvd(self, c: _Common, by, bx, comp, val: int, lst: int = 0):
+        ctx = OFF_MV_RES + c.mvd_ctx(by, bx, comp, lst)
         a = abs(val)
         if a == 0:
             self.enc.bit(ctx, 0)
@@ -479,6 +499,56 @@ class CabacWriter:
             self.enc.bit(ctx, 1)
             self._ueg_mv(a - 1, OFF_MV_RES + 10 + 5 * comp)
             self.enc.bypass(1 if val < 0 else 0)
+
+    # ---- B-slice syntax (JM cabac.c writeMB_Bskip_flagInfo_CABAC,
+    # writeMB_B_typeInfo_CABAC) ----
+    def mb_skip_flag_b(self, c: _Common, skip: bool):
+        """B skip bin: mb_type_contexts[2][7 + ctx]; neighbor 'skip' =
+        direct-with-no-coefficients."""
+        ctx = OFF_MB_TYPE + 22 + 7 + c.skip_ctx()
+        self.enc.bit(ctx, 1 if skip else 0)
+
+    def mb_type_b_slice(self, c: _Common, mb_type: int, i16_code=None):
+        """B mb_type (Table 9-37): 0 direct, 1 L0_16x16, 2 L1_16x16,
+        3 Bi_16x16, ..., 23 I_4x4, 23+code I_16x16."""
+        B = OFF_MB_TYPE + 22
+        ctx0 = B + c.b_mbtype_ctx()      # a/b: neighbor mb_type != 0
+        act = mb_type if i16_code is None else 24
+        if act == 0:
+            self.enc.bit(ctx0, 0)
+        elif act <= 2:
+            self.enc.bit(ctx0, 1)
+            self.enc.bit(B + 4, 0)
+            self.enc.bit(B + 6, 1 if act != 1 else 0)
+        elif act <= 10:
+            t = act - 3
+            self.enc.bit(ctx0, 1)
+            self.enc.bit(B + 4, 1)
+            self.enc.bit(B + 5, 0)
+            self.enc.bit(B + 6, (t >> 2) & 1)
+            self.enc.bit(B + 6, (t >> 1) & 1)
+            self.enc.bit(B + 6, t & 1)
+        elif act in (11, 22):
+            self.enc.bit(ctx0, 1)
+            self.enc.bit(B + 4, 1)
+            self.enc.bit(B + 5, 1)
+            self.enc.bit(B + 6, 1)
+            self.enc.bit(B + 6, 1)
+            self.enc.bit(B + 6, 1 if act != 11 else 0)
+        else:
+            t = act - 13 if act > 22 else act - 12
+            self.enc.bit(ctx0, 1)
+            self.enc.bit(B + 4, 1)
+            self.enc.bit(B + 5, 1)
+            self.enc.bit(B + 6, (t >> 3) & 1)
+            self.enc.bit(B + 6, (t >> 2) & 1)
+            self.enc.bit(B + 6, (t >> 1) & 1)
+            self.enc.bit(B + 6, t & 1)
+        if i16_code is not None:         # I_16x16 suffix on the P row
+            M = OFF_MB_TYPE + 11
+            self.enc.terminate0()
+            self._i16_suffix(i16_code - 1, M + 8, M + 9, M + 9,
+                             M + 10, M + 10)
 
     def intra_pred_mode(self, flag: int, rem: int):
         if flag:

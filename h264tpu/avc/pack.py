@@ -102,11 +102,13 @@ def _write_chroma_residual(w, cdc, cac, cbp_chroma, nnz_c, mby, mbx,
 
 
 def _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i, use_i16: bool,
-                         in_p: bool, top_row=0):
-    """mb_type .. residual for one intra MB (shared I/P logic)."""
+                         in_p: bool, top_row=0, base=None):
+    """mb_type .. residual for one intra MB (shared I/P/B logic);
+    ``base`` = intra mb_type offset (0 in I, 5 in P, 23 in B)."""
     cbp_luma = int(sym["cbp_luma"][i])
     cbp_chroma = int(sym["cbp_chroma"][i])
-    base = 5 if in_p else 0
+    if base is None:
+        base = 5 if in_p else 0
     if use_i16:
         w.ue(base + mb_type_i16(int(sym["i16mode"][i]), cbp_chroma,
                                 cbp_luma != 0))
@@ -156,7 +158,8 @@ def pack_i_slice(sym, p: AVCParams, qp: int, frame_num: int = 0,
 
 
 def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
-                 num_ref: int, row0: int = 0, n_rows: int = None) -> bytes:
+                 num_ref: int, row0: int = 0, n_rows: int = None,
+                 poc_lsb: int = 0, mmco=None, reorder_l0=None) -> bytes:
     """Pack a P frame's symbols into one P slice RBSP covering MB rows
     [row0, row0 + n_rows)."""
     mb_h, mb_w = p.mb_h, p.mb_w
@@ -167,7 +170,8 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
     ri = np.asarray(sym["ri"])
     w = BitWriter()
     write_slice_header(w, p, SLICE_P, frame_num, False, qp,
-                       num_ref_idx_l0=num_ref, first_mb=row0 * mb_w)
+                       num_ref_idx_l0=num_ref, first_mb=row0 * mb_w,
+                       poc_lsb=poc_lsb, mmco=mmco, reorder_l0=reorder_l0)
     skip_run = 0
     for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
         mby, mbx = i // mb_w, i % mb_w
@@ -198,6 +202,78 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
         for pi in range(nparts):
             w.se(int(mvd[i, pi, 0]))
             w.se(int(mvd[i, pi, 1]))
+        cbp_luma = int(sym["cbp_luma"][i])
+        cbp_chroma = int(sym["cbp_chroma"][i])
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(int(CBP_TO_CODENUM_INTER[cbp]))
+        if cbp > 0:
+            w.se(0)
+            _write_luma_residual(w, np.asarray(sym["zz"][i]), cbp_luma,
+                                 nnz_y, mby, mbx, False, top_by=row0 * 4)
+            _write_chroma_residual(w, np.asarray(sym["cdc"][i]),
+                                   np.asarray(sym["cac"][i]), cbp_chroma,
+                                   nnz_c, mby, mbx, top_by=row0 * 2)
+    if skip_run > 0:
+        w.ue(skip_run)
+    w.u(1, 1)
+    return w.to_bytes()
+
+
+# win codes for B slices (tpu_enc._encode_band_b)
+WIN_B_SKIP, WIN_B_DIRECT, WIN_B_L0, WIN_B_L1, WIN_B_BI = range(5)
+
+
+def pack_b_slice(sym, p: AVCParams, qp: int, frame_num: int,
+                 num_ref0: int, num_ref1: int, poc_lsb: int = 0,
+                 ref_pic: bool = False, row0: int = 0,
+                 n_rows: int = None) -> bytes:
+    """Pack a B frame's device symbols into one B slice RBSP covering MB
+    rows [row0, row0 + n_rows).  Syntax mirror of the (ldecod-verified)
+    host writer ``slice_enc.encode_b_frame``: spatial direct, mb_types
+    {B_Direct_16x16, B_L0_16x16, B_L1_16x16, B_Bi_16x16, intra 23+}."""
+    from .params import SLICE_B
+    mb_h, mb_w = p.mb_h, p.mb_w
+    n_rows = mb_h - row0 if n_rows is None else n_rows
+    nnz_y, nnz_c = _nnz_planes(sym, mb_h, mb_w)
+    win = np.asarray(sym["win"])
+    mvd0 = np.asarray(sym["mvd0"])
+    mvd1 = np.asarray(sym["mvd1"])
+    ri0 = np.asarray(sym["ri0"])
+    ri1 = np.asarray(sym["ri1"])
+    w = BitWriter()
+    write_slice_header(w, p, SLICE_B, frame_num, False, qp,
+                       num_ref_idx_l0=num_ref0, num_ref_idx_l1=num_ref1,
+                       poc_lsb=poc_lsb, ref_pic=ref_pic,
+                       first_mb=row0 * mb_w)
+    skip_run = 0
+    for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
+        mby, mbx = i // mb_w, i % mb_w
+        wc = int(win[i])
+        if wc == WIN_B_SKIP:
+            skip_run += 1
+            continue
+        w.ue(skip_run)
+        skip_run = 0
+        if wc in (WIN_I4, WIN_I16):
+            _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i,
+                                 use_i16=wc == WIN_I16, in_p=True,
+                                 top_row=row0, base=23)
+            continue
+        mb_type = {WIN_B_DIRECT: 0, WIN_B_L0: 1, WIN_B_L1: 2,
+                   WIN_B_BI: 3}[wc]
+        w.ue(mb_type)
+        if wc in (WIN_B_L0, WIN_B_BI) and num_ref0 > 1:
+            r = int(ri0[i])
+            w.u(1 - r, 1) if num_ref0 == 2 else w.ue(r)
+        if wc in (WIN_B_L1, WIN_B_BI) and num_ref1 > 1:
+            r = int(ri1[i])
+            w.u(1 - r, 1) if num_ref1 == 2 else w.ue(r)
+        if wc in (WIN_B_L0, WIN_B_BI):
+            w.se(int(mvd0[i, 0]))
+            w.se(int(mvd0[i, 1]))
+        if wc in (WIN_B_L1, WIN_B_BI):
+            w.se(int(mvd1[i, 0]))
+            w.se(int(mvd1[i, 1]))
         cbp_luma = int(sym["cbp_luma"][i])
         cbp_chroma = int(sym["cbp_chroma"][i])
         cbp = cbp_luma | (cbp_chroma << 4)

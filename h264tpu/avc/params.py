@@ -104,7 +104,8 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
                        frame_num: int, idr: bool, slice_qp: int,
                        first_mb: int = 0, idr_pic_id: int = 0,
                        num_ref_idx_l0: int = 1, poc_lsb: int = 0,
-                       num_ref_idx_l1: int = 1, ref_pic: bool = True):
+                       num_ref_idx_l1: int = 1, ref_pic: bool = True,
+                       mmco=None, reorder_l0=None):
     """Slice header bits into ``w`` (spec 7.3.3; frame coding)."""
     w.ue(first_mb)
     w.ue(slice_type + 5)           # all slices of the picture share the type
@@ -124,13 +125,27 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
             w.ue(num_ref_idx_l0 - 1)
             if slice_type == SLICE_B:
                 w.ue(num_ref_idx_l1 - 1)
-        w.u(0, 1)                  # ref_pic_list_modification_flag_l0
+        if reorder_l0:
+            w.u(1, 1)              # ref_pic_list_modification_flag_l0
+            for op, val in reorder_l0:   # (0/1, abs_diff_pic_num_minus1)
+                w.ue(op)
+                w.ue(val)
+            w.ue(3)                # end of modification ops
+        else:
+            w.u(0, 1)              # ref_pic_list_modification_flag_l0
         if slice_type == SLICE_B:
             w.u(0, 1)              # ref_pic_list_modification_flag_l1
     if ref_pic:
         if idr:
             w.u(0, 1)              # no_output_of_prior_pics_flag
             w.u(0, 1)              # long_term_reference_flag
+        elif mmco:
+            w.u(1, 1)              # adaptive_ref_pic_marking_mode_flag
+            for op in mmco:        # (1, diff) short-term -> unused, etc.
+                w.ue(op[0])
+                for v in op[1:]:
+                    w.ue(v)
+            w.ue(0)                # end of ops
         else:
             w.u(0, 1)              # adaptive_ref_pic_marking_mode_flag
     if p.cabac and slice_type != SLICE_I:

@@ -46,15 +46,43 @@ def fdct4x4(x):
     return jnp.einsum("ij,...jk,lk->...il", _CF, x.astype(jnp.int32), _CF)
 
 
-def quant4x4(w, qp, intra):
-    """intra: static bool."""
+def quant4x4(w, qp, intra, offsets=None):
+    """intra: static bool.  ``offsets``: optional [4, 4] int32 rounding
+    offsets in Q11 (JVT-N011 adaptive rounding state; OffsetBits=11 as
+    ``JM/lencod/src/q_offsets.c``); None = the fixed 682/342 defaults
+    (``quant4x4_normal.c``)."""
     qp = jnp.asarray(qp, jnp.int32)
     per, rem = qp // 6, qp % 6
-    off = jnp.int32(OFFSET_INTRA if intra else OFFSET_INTER) << (4 + per)
+    if offsets is None:
+        off = jnp.int32(OFFSET_INTRA if intra else OFFSET_INTER) << (4 + per)
+    else:
+        off = offsets.astype(jnp.int32) << (4 + per)
     mf = _MF[rem]
     lev = (jnp.abs(w) * mf + off) >> (Q_BITS + per)
     lev = jnp.minimum(lev, CAVLC_LEVEL_LIMIT)
     return jnp.sign(w) * lev
+
+
+AR_WEIGHT = 8          # JM AdaptRndWeight default
+AR_RANGE = 1024        # 1 << (OffsetBits - 1)
+
+
+def ar_fadjust(w, lev, qp):
+    """JVT-N011 per-position rounding adjustment (quant4x4_around.c:96):
+    rshift_rnd_sf(W * (scaled - (level << q_bits)), q_bits + 1) where the
+    coefficient was quantized to a nonzero level, else 0.
+
+    w / lev: [..., 4, 4] transform coefficients and signed levels;
+    returns [..., 4, 4] int32 adjustments (caller sums over blocks and
+    adds to the Q11 offset state, clipped to [0, AR_RANGE])."""
+    qp = jnp.asarray(qp, jnp.int32)
+    per, rem = qp // 6, qp % 6
+    qbits = Q_BITS + per
+    la = jnp.abs(lev)
+    scaled = jnp.abs(w) * _MF[rem]
+    diff = AR_WEIGHT * (scaled - (la << qbits))
+    adj = (diff + (jnp.int32(1) << qbits)) >> (qbits + 1)
+    return jnp.where((w != 0) & (la != 0), adj, 0)
 
 
 def dequant4x4(lev, qp):

@@ -197,7 +197,7 @@ class AVCDecoder:
 
             entry = dict(fn=frame_num, poc=pic["poc"], frame=frame,
                          rp=INTER.RefPlanes(*rec), mv=pic["mv"],
-                         ref=pic["ref"])
+                         ref=pic.get("col_ref", pic["ref"]))
             if pic.get("mmco"):
                 # spec 8.2.5.4 adaptive marking (ops 1 and 5)
                 for op in pic["mmco"]:
@@ -508,6 +508,13 @@ class _SliceDecoder:
                     ref_ids[self.mvf.ref == i] = e["poc"]
                 self.pic["mv"][d] = self.mvf.mv[d]
                 self.pic["ref"][d] = ref_ids[d]
+                # colocated data for later direct derivation keeps LIST
+                # indices (refIdxCol semantics), not the POC ids the
+                # deblock ctx wants — a reference B in the DPB (hier-B)
+                # must expose its l0 indices to spatial direct
+                self.pic.setdefault(
+                    "col_ref", np.full_like(self.mvf.ref, -1))[d] = \
+                    self.mvf.ref[d]
                 d1 = self.mvf1.decoded
                 ref1_ids = np.full_like(self.mvf1.ref, -1)
                 for i, e in enumerate(self.refs1_entries):

@@ -106,7 +106,8 @@ class TPUAVCCodec:
 
     def __init__(self, p: AVCParams, intra_period: int = 0,
                  search_range: int = 16, check_conformance: bool = True,
-                 n_slices: int = 1, mesh=None, mesh_axis: str = "slice"):
+                 n_slices: int = 1, mesh=None, mesh_axis: str = "slice",
+                 bframes: int = 0, hierarchical: bool = False):
         """``n_slices``: split each picture into that many equal row-band
         slices (must divide mb_h).  Slices reset all prediction/entropy
         contexts, so the device decision scan runs them concurrently —
@@ -127,7 +128,21 @@ class TPUAVCCodec:
         self.n_slices = n_slices
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        self.bframes = bframes
+        self.hierarchical = hierarchical
         self._sharded = {}
+        if bframes > 0:
+            if p.poc_type != 0:
+                raise ValueError("bframes needs AVCParams(poc_type=0)")
+            if p.profile_idc == 66:
+                raise ValueError("B slices need Main profile (77)")
+            if hierarchical and bframes != 3:
+                raise ValueError("hierarchical GOP supports bframes=3 "
+                                 "(dyadic GOP of 4) for now")
+            if hierarchical and p.num_ref_frames < 3:
+                # decoder DPB must hold {prev anchor, ref-B, anchor}
+                raise ValueError("hierarchical GOP needs "
+                                 "num_ref_frames >= 3")
         if check_conformance:
             conformance.check_params(p)
         self._dummy = None
@@ -166,6 +181,8 @@ class TPUAVCCodec:
                         force_intra=None):
         """frames: iterable of (Y, U, V) uint8.  Returns
         (results, Annex-B stream bytes) like AVCCodec.encode_sequence."""
+        if self.bframes > 0:
+            return self._encode_sequence_b(frames, qp, verbose)
         p = self.p
         qp = p.qp if qp is None else qp
         R = max(p.num_ref_frames, 1)
@@ -280,3 +297,217 @@ class TPUAVCCodec:
                 print(f"frame {idx:3d} {ftype:3s} bits {res.bits:7d} "
                       f"PSNR-Y {res.psnr_y:6.2f}")
         return results, assemble_stream(p, slices)
+
+
+def _tpu_b_sequence(codec, frames, qp=None, verbose=False):
+    """Device-graph B-GOP sequence encode for :class:`TPUAVCCodec`.
+
+    ``bframes`` disposable B pictures between anchors (IbbP), or — with
+    ``hierarchical=True`` and bframes=3 — the dyadic GOP-of-4 structure
+    of ``JM/lencod/src/pred_struct.c`` populate_frm_struct: anchor P,
+    then a REFERENCE B at the midpoint (own DPB slot, MMCO-dropped at
+    the next anchor), then the two leaf Bs predicting from it.  Layered
+    QP cascade (anchor qp, ref-B qp+1, leaf B qp+2) per JM pyramid
+    defaults.  Stream is decode order; results display order."""
+    import jax.numpy as jnp
+    from . import pack as PK
+    from . import pack_cabac as PKC
+    p = codec.p
+    qp = p.qp if qp is None else qp
+    frames = list(frames)
+    n = len(frames)
+    G = codec.bframes + 1
+    anchors = sorted(set(list(range(0, n, G)) + [n - 1]))
+    mb_h, mb_w = p.mb_h, p.mb_w
+    H, W = p.height, p.width
+    no_force = jnp.zeros((mb_h, mb_w), bool)
+    max_fn = 1 << p.log2_max_frame_num
+    max_poc = 1 << p.log2_max_poc_lsb
+
+    slices = []
+    results = [None] * n
+    frame_num = 0
+    prev = None          # dict(prep, motion(np mv,ref), poc)
+    pending_bref_fn = None
+
+    def device_encode_p(yuv, prep_list, fqp):
+        y, u, v = _split_org(jnp.asarray(_orgbuf(yuv)), H=H, W=W)
+        ups = jnp.stack([r[0] for r in prep_list])
+        us = jnp.stack([r[1] for r in prep_list])
+        vs = jnp.stack([r[2] for r in prep_list])
+        sym, rec, tctx = codec._encode_fn(False)(
+            y, u, v, ups, us, vs, jnp.int32(fqp),
+            jnp.int32(len(prep_list)), no_force)
+        buf, recbuf = _pack_out(sym, tctx, rec)
+        buf, recbuf = jax.device_get((buf, recbuf))
+        return _unpack_out(buf, recbuf, mb_h, mb_w)
+
+    def device_encode_b(yuv, prep0, prep1, col_motion, fqp):
+        y, u, v = _split_org(jnp.asarray(_orgbuf(yuv)), H=H, W=W)
+        sym, rec, tctx = TE.encode_frame_b(
+            y, u, v,
+            prep0[0][None], prep0[1][None], prep0[2][None],
+            prep1[0][None], prep1[1][None], prep1[2][None],
+            jnp.asarray(col_motion[0], jnp.int32),
+            jnp.asarray(col_motion[1], jnp.int32),
+            jnp.int32(fqp), jnp.int32(1), jnp.int32(1),
+            mb_h=mb_h, mb_w=mb_w, sr=codec.sr,
+            chroma_qp_offset=p.chroma_qp_offset,
+            n_slices=codec.n_slices)
+        sym = jax.device_get(sym)
+        tctx = jax.device_get(tctx)
+        rec_np = tuple(np.asarray(pl, np.int64) for pl in jax.device_get(rec))
+        return sym, tctx, rec_np
+
+    def deblock_b(rec_np, tctx, fqp, poc0, poc1):
+        ctx = DeblockContext(mb_w, mb_h, fqp, p.chroma_qp_offset)
+        ctx.mb_intra = np.asarray(tctx["mb_intra"])
+        ctx.nnz = np.asarray(tctx["nnz"], np.int64)
+        r0 = np.asarray(tctx["ref0"], np.int64)
+        r1 = np.asarray(tctx["ref1"], np.int64)
+        ctx.mv = np.asarray(tctx["mv0"], np.int64)
+        ctx.ref = np.where(r0 == 0, poc0, -1)
+        ctx.mv1 = np.asarray(tctx["mv1"], np.int64)
+        ctx.ref1 = np.where(r1 == 0, poc1, -1)
+        return deblock_frame(*rec_np, ctx) if p.deblock else rec_np
+
+    def finish(rec_np, yuv, disp, ftype, bits):
+        rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec_np)
+        mse = ((np.asarray(yuv[0], np.float64) - rec8[0]) ** 2).mean()
+        results[disp] = AVCFrameResult(
+            frame_type=ftype, bits=bits,
+            psnr_y=99.99 if mse == 0 else
+            float(10 * np.log10(255.0 ** 2 / mse)), recon=rec8)
+        if verbose:
+            print(f"frame {disp:3d} {ftype:3s} bits {bits:7d} "
+                  f"PSNR-Y {results[disp].psnr_y:6.2f}")
+        return rec8
+
+    def prep(rec_np):
+        refbuf = np.concatenate(
+            [rec_np[0], np.concatenate([rec_np[1], rec_np[2]], axis=1)],
+            axis=0).astype(np.uint8)
+        return _prep_ref_packed(jnp.asarray(refbuf), sr=codec.sr, H=H, W=W)
+
+    def encode_b(disp, prep0, poc0, prep1, poc1, col_motion, fqp,
+                 ref_pic=False):
+        nonlocal frame_num
+        sym, tctx, rec_np = device_encode_b(frames[disp], prep0, prep1,
+                                            col_motion, fqp)
+        rows = mb_h // codec.n_slices
+        packb = PKC.pack_b_slice_cabac if p.cabac else PK.pack_b_slice
+        rbsps = [packb(sym, p, fqp, frame_num=frame_num % max_fn,
+                       num_ref0=1, num_ref1=1,
+                       poc_lsb=(2 * disp) % max_poc,
+                       ref_pic=ref_pic, row0=s0 * rows, n_rows=rows)
+                 for s0 in range(codec.n_slices)]
+        rec_np = deblock_b(rec_np, tctx, fqp, poc0, poc1)
+        for rb in rbsps:
+            slices.append((False, rb, 2 if ref_pic else 0))
+        finish(rec_np, frames[disp], disp, "B",
+               sum(len(rb) for rb in rbsps) * 8)
+        out = dict(rec=rec_np,
+                   motion=(np.asarray(tctx["mv0"], np.int64),
+                           np.asarray(tctx["ref0"], np.int64)))
+        if ref_pic:
+            frame_num += 1
+        return out
+
+    for a in anchors:
+        yuv = frames[a]
+        fqp = qp
+        if a == 0:
+            y, u, v = _split_org(jnp.asarray(_orgbuf(yuv)), H=H, W=W)
+            ups, us, vs = codec._dummy_refs()
+            sym, rec, tctx = codec._encode_fn(True)(
+                y, u, v, ups, us, vs, jnp.int32(fqp), jnp.int32(0),
+                no_force)
+            buf, recbuf = _pack_out(sym, tctx, rec)
+            buf, recbuf = jax.device_get((buf, recbuf))
+            sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)
+            rows = mb_h // codec.n_slices
+            packi = PKC.pack_i_slice_cabac if p.cabac else PK.pack_i_slice
+            rbsps = [packi(sym, p, fqp, frame_num=0, idr=True,
+                           row0=s0 * rows, n_rows=rows)
+                     for s0 in range(codec.n_slices)]
+            if p.deblock:
+                ctx = DeblockContext(mb_w, mb_h, fqp, p.chroma_qp_offset)
+                rec_np = deblock_frame(*rec_np, ctx)
+            for rb in rbsps:
+                slices.append((True, rb, 3))
+            frame_num = 1
+            motion = (np.zeros((mb_h * 4, mb_w * 4, 2), np.int64),
+                      np.full((mb_h * 4, mb_w * 4), -1, np.int64))
+            finish(rec_np, yuv, a, "IDR", sum(len(r) for r in rbsps) * 8)
+            anchor_fn = 0
+        else:
+            sym, tctx, rec_np = device_encode_p(yuv, [prev["prep"]], fqp)
+            rows = mb_h // codec.n_slices
+            mmco = None
+            reorder = None
+            if pending_bref_fn is not None:
+                # the reference B outranks the previous anchor in the
+                # default l0 init (higher frame_num), so explicitly pick
+                # the anchor (spec 8.2.4.3.1) and MMCO-drop the ref B
+                # (marking applies after this picture decodes)
+                diff = (frame_num - pending_bref_fn - 1) % max_fn
+                mmco = [(1, diff)]
+                adiff = (frame_num - prev["fn"] - 1) % max_fn
+                if adiff:
+                    reorder = [(0, adiff)]
+            packp = PKC.pack_p_slice_cabac if p.cabac else PK.pack_p_slice
+            rbsps = [packp(sym, p, fqp,
+                           frame_num=frame_num % max_fn,
+                           num_ref=1,
+                           poc_lsb=(2 * a) % max_poc,
+                           row0=s0 * rows, n_rows=rows,
+                           mmco=mmco, reorder_l0=reorder)
+                     for s0 in range(codec.n_slices)]
+            pending_bref_fn = None
+            if p.deblock:
+                ctx = DeblockContext(mb_w, mb_h, fqp, p.chroma_qp_offset)
+                ctx.mb_intra = np.asarray(tctx["mb_intra"])
+                ctx.nnz = np.asarray(tctx["nnz"], np.int64)
+                ctx.mv = np.asarray(tctx["mv"], np.int64)
+                ctx.ref = np.asarray(tctx["ref"], np.int64)
+                rec_np = deblock_frame(*rec_np, ctx)
+            for rb in rbsps:
+                slices.append((False, rb, 2))
+            anchor_fn = frame_num
+            frame_num += 1
+            motion = (np.asarray(tctx["mv"], np.int64),
+                      np.asarray(tctx["ref"], np.int64))
+            finish(rec_np, yuv, a, "P", sum(len(r) for r in rbsps) * 8)
+        cur = dict(prep=prep(rec_np), motion=motion, poc=2 * a,
+                   fn=anchor_fn)
+
+        if prev is not None:
+            gap = a - prev["disp"]
+            if codec.hierarchical and gap == 4:
+                m = prev["disp"] + 2
+                bref = encode_b(m, prev["prep"], prev["poc"], cur["prep"],
+                                cur["poc"], cur["motion"], qp + 1,
+                                ref_pic=True)
+                pending_bref_fn = frame_num - 1
+                brefp = prep(bref["rec"])
+                encode_b(prev["disp"] + 1, prev["prep"], prev["poc"],
+                         brefp, 2 * m, bref["motion"], qp + 2)
+                encode_b(prev["disp"] + 3, brefp, 2 * m, cur["prep"],
+                         cur["poc"], cur["motion"], qp + 2)
+            else:
+                for b in range(prev["disp"] + 1, a):
+                    encode_b(b, prev["prep"], prev["poc"], cur["prep"],
+                             cur["poc"], cur["motion"], qp)
+        cur["disp"] = a
+        prev = cur
+    return results, assemble_stream(p, slices)
+
+
+def _orgbuf(yuv):
+    return np.concatenate(
+        [np.asarray(yuv[0], np.uint8),
+         np.concatenate([np.asarray(yuv[1], np.uint8),
+                         np.asarray(yuv[2], np.uint8)], axis=1)], axis=0)
+
+
+TPUAVCCodec._encode_sequence_b = _tpu_b_sequence

@@ -438,9 +438,9 @@ for _k in range(16):
 _TR_INMB_OK = jnp.asarray(_TR_INMB_OK)
 
 
-def _eval_i16(rec_pad, org16, mby, mbx, qp, lam):
+def _eval_i16(rec_pad, org16, mby, mbx, qp, lam, ar_off=None):
     """Intra 16x16 RD over 4 modes.  Returns dict(i16mode, dc_zz [16],
-    ac_zzs [4,4,15], cbp_luma bool, rec [16,16], ssd, cost).
+    ac_zzs [4,4,15], cbp_luma bool, rec [16,16], ssd, cost, fadj).
 
     ``mby``/``mbx`` are slice-local coordinates into ``rec_pad``; the MB's
     original pixels come pre-sliced in ``org16``."""
@@ -460,7 +460,7 @@ def _eval_i16(rec_pad, org16, mby, mbx, qp, lam):
     had = QJ.hadamard4x4_fwd(dc)
     dc_lev = QJ.quant_dc16(had, qp)
     dc_deq = QJ.dequant_dc16(dc_lev, qp)
-    ac_lev = QJ.quant4x4(w, qp, True)
+    ac_lev = QJ.quant4x4(w, qp, True, offsets=ar_off)
     ac_lev = ac_lev.at[..., 0, 0].set(0)
     ac_zz = QJ.zigzag(ac_lev)[..., 1:]                          # [4,4,4,15]
     cbp = (ac_zz != 0).any(axis=(-1, -2, -3))                   # [4]
@@ -484,17 +484,18 @@ def _eval_i16(rec_pad, org16, mby, mbx, qp, lam):
     cost = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32)
     cost = jnp.where(allowed, cost, BIG)
     m = jnp.argmin(cost)
+    fadj = QJ.ar_fadjust(w[m], ac_lev[m], qp).sum(axis=(0, 1))
     return dict(i16mode=m.astype(jnp.int32), dc_zz=dc_zz[m], ac_zzs=ac_zz[m],
-                cbp_luma=cbp[m], rec=rec[m], cost=cost[m])
+                cbp_luma=cbp[m], rec=rec[m], cost=cost[m], fadj=fadj)
 
 
 def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
-             mb_h: int, mb_w: int):
+             mb_h: int, mb_w: int, ar_off=None):
     """Intra 4x4 RD (sequential 16-block sub-scan).
 
     ``mby``/``mbx``/``mb_h`` are slice-local; org pixels pre-sliced.
     Returns dict(modes [16] coding order, zzs [16,16], flags [16,2],
-    rec [16,16], nnz_cells [4,4], modes_cells [4,4], cost)."""
+    rec [16,16], nnz_cells [4,4], modes_cells [4,4], cost, fadj)."""
     y0, x0 = mby * 16, mbx * 16
     by0, bx0 = mby * 4, mbx * 4
     h4, w4 = mb_h * 4, mb_w * 4
@@ -512,7 +513,7 @@ def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
     has_t_mb = mby > 0
 
     def blk(carry, k):
-        patch, modes_loc, nnz_loc, ssd_tot, bits_tot = carry
+        patch, modes_loc, nnz_loc, ssd_tot, bits_tot, fadj_tot = carry
         y4 = _SCANY[k]
         x4 = _SCANX[k]
         avail_t = (y4 > 0) | has_t_mb
@@ -548,7 +549,7 @@ def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
 
         org4 = jax.lax.dynamic_slice(org16, (4 * y4, 4 * x4), (4, 4))
         w = QJ.fdct4x4(org4[None] - preds)
-        lev = QJ.quant4x4(w, qp, True)
+        lev = QJ.quant4x4(w, qp, True, offsets=ar_off)
         zz = QJ.zigzag(lev)                                     # [9,16]
         deq = QJ.dequant4x4(lev, qp)
         rec9 = QJ.reconstruct(preds, QJ.idct4x4(deq))
@@ -571,16 +572,20 @@ def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
         rem = m - (m > mpm)
         ssd_tot = ssd_tot + ssd9[m]
         bits_tot = bits_tot + mode_bits9[m] + coeff9[m]
-        return (patch, modes_loc, nnz_loc, ssd_tot, bits_tot), \
+        fadj_tot = fadj_tot + QJ.ar_fadjust(w[m], lev[m], qp)
+        return (patch, modes_loc, nnz_loc, ssd_tot, bits_tot, fadj_tot), \
             (m, zz[m], jnp.stack([flag, rem]))
 
     init = (patch, jnp.full((4, 4), -1, jnp.int32),
-            jnp.zeros((4, 4), jnp.int32), jnp.int32(0), jnp.int32(0))
-    (patch, modes_loc, nnz_loc, ssd_tot, bits_tot), (modes, zzs, flags) = \
+            jnp.zeros((4, 4), jnp.int32), jnp.int32(0), jnp.int32(0),
+            jnp.zeros((4, 4), jnp.int32))
+    (patch, modes_loc, nnz_loc, ssd_tot, bits_tot, fadj_tot), \
+        (modes, zzs, flags) = \
         jax.lax.scan(blk, init, jnp.arange(16, dtype=jnp.int32))
     cost = ssd_tot.astype(jnp.float32) + lam * bits_tot.astype(jnp.float32)
     return dict(modes=modes, zzs=zzs, flags=flags, rec=patch[1:17, 1:17],
-                nnz_cells=nnz_loc, modes_cells=modes_loc, cost=cost)
+                nnz_cells=nnz_loc, modes_cells=modes_loc, cost=cost,
+                fadj=fadj_tot)
 
 
 def _eval_chroma_intra(recu_pad, recv_pad, org_u8, org_v8, mby, mbx, qpc):
@@ -668,12 +673,13 @@ import os as _os
 _COEFF_DROPS = _os.environ.get("H264TPU_COEFF_DROPS", "0") == "1"
 
 
-def _code_inter_luma(org16, pred16, qp):
-    """-> (zz_coding [16,16], rec [16,16], cbp_luma_bits int32)."""
+def _code_inter_luma(org16, pred16, qp, ar_off=None):
+    """-> (zz_coding [16,16], rec [16,16], cbp_luma_bits int32,
+    fadj [4,4] JVT-N011 rounding adjustment sum)."""
     res = org16.astype(jnp.int32) - pred16
     blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)      # [y4,x4,4,4]
     w = QJ.fdct4x4(blocks)
-    lev = QJ.quant4x4(w, qp, False)
+    lev = QJ.quant4x4(w, qp, False, offsets=ar_off)
     zz = QJ.zigzag(lev)                                         # [4,4,16]
 
     if _COEFF_DROPS:
@@ -698,7 +704,8 @@ def _code_inter_luma(org16, pred16, qp):
     cbp_bits = (nz8.reshape(4).astype(jnp.int32)
                 * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
     zz_coding = zz[_SCANY, _SCANX]                              # [16,16]
-    return zz_coding, rec, cbp_bits
+    fadj = QJ.ar_fadjust(w, lev, qp).sum(axis=(0, 1))           # [4,4]
+    return zz_coding, rec, cbp_bits, fadj
 
 
 def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
@@ -782,7 +789,8 @@ def te_bits_t(v, n_active):
 
 def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, *, sb_h: int, mb_w: int, sr: int,
-                 intra_only: bool, chroma_qp_offset: int = 0):
+                 intra_only: bool, chroma_qp_offset: int = 0,
+                 adaptive_rounding: bool = True):
     """Encode ONE row-band slice (search + subpel + decision scan).
 
     All arrays are band views: org_y [sb_h*16, W]; ref_ups
@@ -832,6 +840,9 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         nnz_y=jnp.zeros((sh4, w4), jnp.int32),
         nnz_c=jnp.zeros((2, sb_h * 2, mb_w * 2), jnp.int32),
         i4m=jnp.full((sh4, w4), -1, jnp.int32),
+        # JVT-N011 adaptive-rounding offset state (Q11, per scan pos)
+        ar_i=jnp.full((4, 4), QJ.OFFSET_INTRA, jnp.int32),
+        ar_p=jnp.full((4, 4), QJ.OFFSET_INTER, jnp.int32),
     )
 
     def mb_body(st, j, mv_mb, sad_mb, forced):
@@ -841,15 +852,17 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         y0, x0 = mby * 16, mbx * 16            # band-local pixel coords
         cy0, cx0 = mby * 8, mbx * 8
         by0, bx0 = mby * 4, mbx * 4
+        ar_i = st["ar_i"] if adaptive_rounding else None
+        ar_p = st["ar_p"] if adaptive_rounding else None
 
         org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16))
         org_u8 = jax.lax.dynamic_slice(org_u, (cy0, cx0), (8, 8))
         org_v8 = jax.lax.dynamic_slice(org_v, (cy0, cx0), (8, 8))
 
         # ---- intra candidates ----
-        i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam)
+        i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam, ar_off=ar_i)
         i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org16, mby, mbx,
-                      qp, lam, sb_h, mb_w)
+                      qp, lam, sb_h, mb_w, ar_off=ar_i)
         ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u8, org_v8,
                                 mby, mbx, qpc)
         i16_cost = i16["cost"] + lam * 11.0
@@ -987,9 +1000,9 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
             # ---- stage 2: full RD — code every mode's residual, cost =
             # reconstruction SSD (Y+U+V) + lambda_mode * true bits ----
-            zzc_m, rec_m, cbpL_m = jax.vmap(
-                _code_inter_luma, in_axes=(None, 0, None))(
-                    org16, pred16_modes, qp)
+            zzc_m, rec_m, cbpL_m, fadj_m = jax.vmap(
+                _code_inter_luma, in_axes=(None, 0, None, None))(
+                    org16, pred16_modes, qp, ar_p)
             dcl_m, acz_m, crecs_m, cbpC_m = jax.vmap(
                 _code_inter_chroma, in_axes=(None, None, 0, 0, None))(
                     org_u8, org_v8, predu_modes, predv_modes, qpc)
@@ -1146,6 +1159,16 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             st["nnz_c"], nnzc_cells, (0, mby * 2, mbx * 2))
         st["i4m"] = jax.lax.dynamic_update_slice(
             st["i4m"], i4m_cells, (by0, bx0))
+        if adaptive_rounding:
+            # JVT-N011: commit the winning mode's rounding adjustments
+            # into the matching offset list (q_around.c:132)
+            fadj_intra = jnp.where(sel_i16, i16["fadj"], i4["fadj"])
+            st["ar_i"] = jnp.clip(
+                st["ar_i"] + jnp.where(sel_intra, fadj_intra, 0),
+                0, QJ.AR_RANGE)
+            if not intra_only:
+                upd = jnp.where(is_skip | sel_intra, 0, fadj_m[win_m])
+                st["ar_p"] = jnp.clip(st["ar_p"] + upd, 0, QJ.AR_RANGE)
 
         win_code = jnp.where(sel_i16, 6,
                              jnp.where(sel_i4, 5,
@@ -1231,11 +1254,12 @@ def _assemble_bands(sym_b, state_b, S: int, sb_h: int, mb_h: int, mb_w: int):
 
 @functools.partial(
     jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
-                              "chroma_qp_offset", "n_slices"))
+                              "chroma_qp_offset", "n_slices",
+                              "adaptive_rounding"))
 def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, *, mb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
-                 n_slices: int = 1):
+                 n_slices: int = 1, adaptive_rounding: bool = True):
     """Encode one frame's decisions + residuals on device.
 
     org_*: int32 planes.  ref_ups [R, 4*(H+2P), 4*(W+2P)]: quarter-pel
@@ -1261,7 +1285,8 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                          force_intra, S, sb_h, mb_w, sr)
     f = functools.partial(_encode_band, sb_h=sb_h, mb_w=mb_w, sr=sr,
                           intra_only=intra_only,
-                          chroma_qp_offset=chroma_qp_offset)
+                          chroma_qp_offset=chroma_qp_offset,
+                          adaptive_rounding=adaptive_rounding)
     sym_b, state_b = jax.vmap(
         lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
                                              qp, n_valid, fb))(*banded)
@@ -1270,7 +1295,7 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
 def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                         intra_only: bool, chroma_qp_offset: int = 0,
-                        n_slices: int = 1):
+                        n_slices: int = 1, adaptive_rounding: bool = True):
     """Build a jitted frame encoder sharded over ``mesh`` axis ``axis``.
 
     The picture's ``n_slices`` row-band slices are distributed over the
@@ -1296,7 +1321,8 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
     sb_h = mb_h // S
     f = functools.partial(_encode_band, sb_h=sb_h, mb_w=mb_w, sr=sr,
                           intra_only=intra_only,
-                          chroma_qp_offset=chroma_qp_offset)
+                          chroma_qp_offset=chroma_qp_offset,
+                          adaptive_rounding=adaptive_rounding)
 
     sh = PS(axis)
     rep = PS()
@@ -1321,3 +1347,454 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
         return _assemble_bands(sym_b, state_b, S, sb_h, mb_h, mb_w)
 
     return encode
+
+
+# ===========================================================================
+# B slices on device (spec 7.4.3 / 8.4.1.2; JM twins pred_struct.c,
+# mc_direct.c; host oracle: slice_enc.encode_b_frame)
+# ===========================================================================
+
+def _minpos(a, b):
+    """spec 8.4.1.2.2 MinPositive, elementwise."""
+    both = (a >= 0) & (b >= 0)
+    return jnp.where(both, jnp.minimum(a, b), jnp.maximum(a, b))
+
+
+def _direct_spatial_mb(mv0f, ref0f, mv1f, ref1f, by0, bx0,
+                       col_mv, col_ref, h4: int, w4: int):
+    """Spatial direct derivation for one MB (direct_8x8_inference_flag=1).
+
+    col_mv/col_ref: the first list-1 reference's stored motion (band
+    view).  Returns (r0, r1, used0, used1, qmv0 [2,2,2], qmv1 [2,2,2])
+    — per-8x8-quadrant MVs (each quadrant uses the colocated MB's corner
+    cell for the moving-block test; intra colocated counts as moving)."""
+    ov_mv = jnp.zeros((4, 4, 2), jnp.int32)
+    ov_ref = jnp.full((4, 4), -2, jnp.int32)
+
+    def nbr_refs(mvf, reff):
+        args = (mvf, reff, ov_mv, ov_ref, by0, bx0)
+        _, ref_a, _ = _cell_read(*args, by0, bx0 - 1, h4, w4)
+        _, ref_b, _ = _cell_read(*args, by0 - 1, bx0, h4, w4)
+        _, ref_c, av_c = _cell_read(*args, by0 - 1, bx0 + 4, h4, w4)
+        _, ref_d, _ = _cell_read(*args, by0 - 1, bx0 - 1, h4, w4)
+        ref_c = jnp.where(av_c, ref_c, ref_d)
+        return ref_a, ref_b, ref_c
+
+    ra, rb, rc = nbr_refs(mv0f, ref0f)
+    r0 = _minpos(_minpos(ra, rb), rc)
+    ra, rb, rc = nbr_refs(mv1f, ref1f)
+    r1 = _minpos(_minpos(ra, rb), rc)
+    direct_zero = (r0 < 0) & (r1 < 0)
+    used0 = (r0 >= 0) | direct_zero
+    used1 = (r1 >= 0) | direct_zero
+    r0c = jnp.maximum(r0, 0)
+    r1c = jnp.maximum(r1, 0)
+    mv0 = _predict_mv(mv0f, ref0f, ov_mv, ov_ref, by0, bx0, by0, bx0,
+                      4, r0c, "none", h4, w4)
+    mv1 = _predict_mv(mv1f, ref1f, ov_mv, ov_ref, by0, bx0, by0, bx0,
+                      4, r1c, "none", h4, w4)
+    mv0 = jnp.where((r0 >= 0) & ~direct_zero, mv0, 0)
+    mv1 = jnp.where((r1 >= 0) & ~direct_zero, mv1, 0)
+
+    # per-quadrant colocated moving-block test (corner cells 0/3)
+    qmv0 = jnp.broadcast_to(mv0, (2, 2, 2)).astype(jnp.int32)
+    qmv1 = jnp.broadcast_to(mv1, (2, 2, 2)).astype(jnp.int32)
+    cyx = jnp.asarray([0, 3], jnp.int32)
+    rcq = col_ref[by0 + cyx[:, None], bx0 + cyx[None, :]]        # [2,2]
+    mcq = col_mv[by0 + cyx[:, None], bx0 + cyx[None, :]]         # [2,2,2]
+    col_zero = (rcq == 0) & (jnp.abs(mcq) <= 1).all(-1)
+    z0 = (~direct_zero) & col_zero & used0 & (r0c == 0)
+    z1 = (~direct_zero) & col_zero & used1 & (r1c == 0)
+    qmv0 = jnp.where(z0[..., None], 0, qmv0)
+    qmv1 = jnp.where(z1[..., None], 0, qmv1)
+    return r0c, r1c, used0, used1, qmv0, qmv1
+
+
+def _encode_band_b(org_y, org_u, org_v,
+                   r0_ups, r0_us, r0_vs, r1_ups, r1_us, r1_vs,
+                   col_mv, col_ref, qp, nv0, nv1, *,
+                   sb_h: int, mb_w: int, sr: int,
+                   chroma_qp_offset: int = 0,
+                   adaptive_rounding: bool = True):
+    """Encode ONE row-band B slice on device.
+
+    Candidates per MB (full RD like the P path): B_Direct_16x16 (spatial,
+    8x8 inference), B_L0/L1/Bi_16x16 (best ref per list by ME cost),
+    I16/I4.  B_Skip emitted when direct wins with cbp 0.  r0_*/r1_* are
+    the band views of reference lists 0/1; col_mv/col_ref the first
+    list-1 ref's motion (band rows).  Returns (sym [nmb_s,...], state).
+    """
+    nmb_s = sb_h * mb_w
+    W = mb_w * 16
+    W2 = W // 2
+    sh4, w4 = sb_h * 4, mb_w * 4
+    qp = jnp.asarray(qp, jnp.int32)
+    lam, lam_me = lambdas(qp)
+    qpc = QJ.chroma_qp(qp, chroma_qp_offset)
+    P, PC = luma_pad(sr), chroma_pad(sr)
+    org_y = org_y.astype(jnp.int32)
+    org_u = org_u.astype(jnp.int32)
+    org_v = org_v.astype(jnp.int32)
+
+    R0 = r0_ups.shape[0]
+    R1 = r1_ups.shape[0]
+    searches = []
+    for ups in (r0_ups, r1_ups):
+        pads = ups[:, ::4, ::4]
+        mv_i, sad_i, pmv2 = _integer_search(org_y, pads, sr, lam_me)
+        mv_q, sad_q = _subpel_refine(org_y, ups, mv_i, sad_i, pmv2, sr,
+                                     lam_me)
+        # keep the 16x16 slot only: [R, nmb_s, 2] / [R, nmb_s]
+        searches.append((jnp.moveaxis(mv_q[:, 0], 1, 0),
+                         jnp.moveaxis(sad_q[:, 0], 1, 0)))
+    (mv0_q, sad0_q), (mv1_q, sad1_q) = searches      # [nmb_s, R, ...]
+
+    state = dict(
+        rec_y=jnp.zeros((sb_h * 16 + 1, W + 9), jnp.int32),
+        rec_u=jnp.zeros((sb_h * 8 + 1, W2 + 1), jnp.int32),
+        rec_v=jnp.zeros((sb_h * 8 + 1, W2 + 1), jnp.int32),
+        mv0=jnp.zeros((sh4, w4, 2), jnp.int32),
+        ref0=jnp.full((sh4, w4), -2, jnp.int32),
+        mv1=jnp.zeros((sh4, w4, 2), jnp.int32),
+        ref1=jnp.full((sh4, w4), -2, jnp.int32),
+        nnz_y=jnp.zeros((sh4, w4), jnp.int32),
+        nnz_c=jnp.zeros((2, sb_h * 2, mb_w * 2), jnp.int32),
+        i4m=jnp.full((sh4, w4), -1, jnp.int32),
+        ar_i=jnp.full((4, 4), QJ.OFFSET_INTRA, jnp.int32),
+        ar_p=jnp.full((4, 4), QJ.OFFSET_INTER, jnp.int32),
+    )
+
+    def mb_body(st, j, mv0_mb, sad0_mb, mv1_mb, sad1_mb):
+        mby = j // mb_w
+        mbx = j % mb_w
+        y0, x0 = mby * 16, mbx * 16
+        cy0, cx0 = mby * 8, mbx * 8
+        by0, bx0 = mby * 4, mbx * 4
+        ar_i = st["ar_i"] if adaptive_rounding else None
+        ar_p = st["ar_p"] if adaptive_rounding else None
+
+        org16 = jax.lax.dynamic_slice(org_y, (y0, x0), (16, 16))
+        org_u8 = jax.lax.dynamic_slice(org_u, (cy0, cx0), (8, 8))
+        org_v8 = jax.lax.dynamic_slice(org_v, (cy0, cx0), (8, 8))
+
+        # ---- intra candidates ----
+        i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam, ar_off=ar_i)
+        i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org16, mby, mbx,
+                      qp, lam, sb_h, mb_w, ar_off=ar_i)
+        ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u8, org_v8,
+                                mby, mbx, qpc)
+        ch_ssd = ((org_u8 - ch["recs"][0]) ** 2).sum() \
+            + ((org_v8 - ch["recs"][1]) ** 2).sum()
+        ch_dc_b = CJ.block_bits_est(ch["dc_levels"],
+                                    jnp.zeros(2, jnp.int32), 4,
+                                    chroma_dc=True).sum()
+        ch_ac_b = CJ.block_bits_est(ch["ac_zzs"].reshape(8, 15),
+                                    jnp.zeros(8, jnp.int32), 15).sum()
+        ch_bits = jnp.where(ch["cbp_chroma"] >= 1, ch_dc_b, 0) \
+            + jnp.where(ch["cbp_chroma"] == 2, ch_ac_b, 0) \
+            + ue_bits(ch["mode"])
+        i16_cost = i16["cost"] + lam * 13.0 + ch_ssd.astype(jnp.float32) \
+            + lam * ch_bits.astype(jnp.float32)
+        i4_cost = i4["cost"] + lam * 11.0 + ch_ssd.astype(jnp.float32) \
+            + lam * ch_bits.astype(jnp.float32)
+
+        # ---- direct candidate ----
+        r0d, r1d, used0, used1, qmv0, qmv1 = _direct_spatial_mb(
+            st["mv0"], st["ref0"], st["mv1"], st["ref1"], by0, bx0,
+            col_mv, col_ref, sh4, w4)
+
+        def quad_mc(ups, us, vs, qmv, rsel):
+            """Per-quadrant MC of a 16x16 MB (+8x8 chroma) from one list."""
+            pl = jnp.zeros((16, 16), jnp.int32)
+            pu = jnp.zeros((8, 8), jnp.int32)
+            pv = jnp.zeros((8, 8), jnp.int32)
+            for qy in range(2):
+                for qx in range(2):
+                    mvq = qmv[qy, qx]
+                    lb = jax.vmap(lambda u_r: _gather_block(
+                        u_r, y0 + 8 * qy, x0 + 8 * qx,
+                        mvq[0], mvq[1], 8, 8, P))(ups)[rsel]
+                    ub = jax.vmap(lambda p_r: _chroma_block(
+                        p_r, cy0 + 4 * qy, cx0 + 4 * qx,
+                        mvq[0], mvq[1], 4, 4, PC))(us)[rsel]
+                    vb = jax.vmap(lambda p_r: _chroma_block(
+                        p_r, cy0 + 4 * qy, cx0 + 4 * qx,
+                        mvq[0], mvq[1], 4, 4, PC))(vs)[rsel]
+                    pl = jax.lax.dynamic_update_slice(
+                        pl, lb, (8 * qy, 8 * qx))
+                    pu = jax.lax.dynamic_update_slice(
+                        pu, ub, (4 * qy, 4 * qx))
+                    pv = jax.lax.dynamic_update_slice(
+                        pv, vb, (4 * qy, 4 * qx))
+            return pl, pu, pv
+
+        d0 = quad_mc(r0_ups, r0_us, r0_vs, qmv0, r0d)
+        d1 = quad_mc(r1_ups, r1_us, r1_vs, qmv1, r1d)
+        both = used0 & used1
+        dpred = tuple(
+            jnp.where(both, (a + b + 1) >> 1,
+                      jnp.where(used0, a, b)) for a, b in zip(d0, d1))
+
+        # ---- L0 / L1 16x16 (best ref per list by ME cost) ----
+        ov_mv = jnp.zeros((4, 4, 2), jnp.int32)
+        ov_ref = jnp.full((4, 4), -2, jnp.int32)
+
+        def side(mv_mb, sad_mb, mvf, reff, ups, us, vs, R, nv):
+            def per_ref(r_val, mv_r, sad_r):
+                pm = _predict_mv(mvf, reff, ov_mv, ov_ref, by0, bx0,
+                                 by0, bx0, 4, r_val, "none", sh4, w4)
+                bits = te_bits_t(r_val, nv) \
+                    + se_bits(mv_r[0] - pm[0]) + se_bits(mv_r[1] - pm[1])
+                cost = sad_r.astype(jnp.float32) \
+                    + lam_me * bits.astype(jnp.float32)
+                return cost, bits, mv_r - pm
+            c_r, b_r, mvd_r = jax.vmap(per_ref)(
+                jnp.arange(R, dtype=jnp.int32), mv_mb, sad_mb)
+            c_r = jnp.where(jnp.arange(R) < nv, c_r, BIG)
+            ri = jnp.argmin(c_r).astype(jnp.int32)
+            mv = mv_mb[ri]
+            pl = jax.vmap(lambda u_r: _gather_block(
+                u_r, y0, x0, mv[0], mv[1], 16, 16, P))(ups)[ri]
+            pu = jax.vmap(lambda p_r: _chroma_block(
+                p_r, cy0, cx0, mv[0], mv[1], 8, 8, PC))(us)[ri]
+            pv = jax.vmap(lambda p_r: _chroma_block(
+                p_r, cy0, cx0, mv[0], mv[1], 8, 8, PC))(vs)[ri]
+            return dict(ri=ri, mv=mv, mvd=mvd_r[ri], bits=b_r[ri],
+                        pred=(pl, pu, pv))
+
+        s0 = side(mv0_mb, sad0_mb, st["mv0"], st["ref0"],
+                  r0_ups, r0_us, r0_vs, R0, nv0)
+        s1 = side(mv1_mb, sad1_mb, st["mv1"], st["ref1"],
+                  r1_ups, r1_us, r1_vs, R1, nv1)
+        bi_pred = tuple((a + b + 1) >> 1
+                        for a, b in zip(s0["pred"], s1["pred"]))
+
+        # ---- full-RD over the 4 B modes ----
+        preds_l = jnp.stack([dpred[0], s0["pred"][0], s1["pred"][0],
+                             bi_pred[0]])
+        preds_u = jnp.stack([dpred[1], s0["pred"][1], s1["pred"][1],
+                             bi_pred[1]])
+        preds_v = jnp.stack([dpred[2], s0["pred"][2], s1["pred"][2],
+                             bi_pred[2]])
+        zzc_m, rec_m, cbpL_m, fadj_m = jax.vmap(
+            _code_inter_luma, in_axes=(None, 0, None, None))(
+                org16, preds_l, qp, ar_p)
+        dcl_m, acz_m, crecs_m, cbpC_m = jax.vmap(
+            _code_inter_chroma, in_axes=(None, None, 0, 0, None))(
+                org_u8, org_v8, preds_u, preds_v, qpc)
+        ssd_m = ((org16[None] - rec_m) ** 2).sum(axis=(1, 2)) \
+            + ((org_u8[None] - crecs_m[:, 0]) ** 2).sum(axis=(1, 2)) \
+            + ((org_v8[None] - crecs_m[:, 1]) ** 2).sum(axis=(1, 2))
+        cbp_m = cbpL_m | (cbpC_m << 4)
+        cbp_ue_m = ue_bits(_CBP_INTER_J[cbp_m])
+        lum_bits = CJ.block_bits_est(
+            zzc_m.reshape(4 * 16, 16),
+            jnp.zeros(4 * 16, jnp.int32), 16).reshape(4, 16)
+        blk_coded = ((cbpL_m[:, None] >> (jnp.arange(16) // 4)) & 1) > 0
+        lum_bits = jnp.where(blk_coded, lum_bits, 0).sum(-1)
+        cdc_bits = CJ.block_bits_est(
+            dcl_m.reshape(4 * 2, 4), jnp.zeros(8, jnp.int32), 4,
+            chroma_dc=True).reshape(4, 2).sum(-1)
+        cac_bits = CJ.block_bits_est(
+            acz_m.reshape(4 * 8, 15),
+            jnp.zeros(4 * 8, jnp.int32), 15).reshape(4, 8).sum(-1)
+        res_bits_m = lum_bits + jnp.where(cbpC_m >= 1, cdc_bits, 0) \
+            + jnp.where(cbpC_m == 2, cac_bits, 0)
+        # header bits: mb_type ue + ref te + mvd (direct: mb_type only)
+        hdr_m = jnp.stack([
+            jnp.float32(1.0),
+            3.0 + s0["bits"].astype(jnp.float32),
+            3.0 + s1["bits"].astype(jnp.float32),
+            5.0 + s0["bits"].astype(jnp.float32)
+            + s1["bits"].astype(jnp.float32)])
+        bits_m = hdr_m + 1.0 + cbp_ue_m.astype(jnp.float32) \
+            + (cbp_m > 0).astype(jnp.float32) \
+            + res_bits_m.astype(jnp.float32)
+        cost_m = ssd_m.astype(jnp.float32) + lam * bits_m
+
+        costs = jnp.concatenate(
+            [cost_m, jnp.stack([i16_cost, i4_cost])])
+        win = jnp.argmin(costs)                      # 0..5
+        is_intra = win >= 4
+        use_i16 = win == 4
+        win_m = jnp.where(is_intra, 0, win).astype(jnp.int32)
+        is_direct = win == 0
+        is_skip = is_direct & (cbpL_m[0] == 0) & (cbpC_m[0] == 0)
+
+        sel_intra = is_intra
+        sel_i16 = sel_intra & use_i16
+        sel_i4 = sel_intra & ~use_i16
+        nsk = ~is_skip
+
+        pred16 = preds_l[win_m]
+        pred_u8 = preds_u[win_m]
+        pred_v8 = preds_v[win_m]
+        zzc = jnp.where(nsk, zzc_m[win_m], 0)
+        rec16_int = jnp.where(nsk, rec_m[win_m], pred16)
+        cbp_bits_int = jnp.where(nsk, cbpL_m[win_m], 0)
+        dcl_int = jnp.where(nsk, dcl_m[win_m], 0)
+        acz_int = jnp.where(nsk, acz_m[win_m], 0)
+        crecs_int = jnp.where(nsk, crecs_m[win_m],
+                              jnp.stack([pred_u8, pred_v8]))
+        cbp_c_int = jnp.where(nsk, cbpC_m[win_m], 0)
+
+        rec16 = jnp.where(sel_i16, i16["rec"],
+                          jnp.where(sel_i4, i4["rec"], rec16_int))
+        rec_u8 = jnp.where(sel_intra, ch["recs"][0], crecs_int[0])
+        rec_v8 = jnp.where(sel_intra, ch["recs"][1], crecs_int[1])
+
+        i4_nzk = (i4["zzs"] != 0).any(-1)
+        i4_cbp = (i4_nzk.reshape(4, 4).any(-1).astype(jnp.int32)
+                  * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
+        i16_cbp = jnp.where(i16["cbp_luma"], 15, 0)
+        cbp_luma = jnp.where(sel_i16, i16_cbp,
+                             jnp.where(sel_i4, i4_cbp, cbp_bits_int))
+        cbp_chroma = jnp.where(sel_intra, ch["cbp_chroma"], cbp_c_int)
+
+        i16_zzc = jnp.pad(i16["ac_zzs"][_SCANY, _SCANX], ((0, 0), (0, 1)))
+        i16_zzc = jnp.where(i16["cbp_luma"], i16_zzc, 0)
+        zz_out = jnp.where(sel_i16, i16_zzc,
+                           jnp.where(sel_i4, i4["zzs"], zzc))
+        cdc_out = jnp.where(sel_intra, ch["dc_levels"], dcl_int)
+        cac_out = jnp.where(sel_intra, ch["ac_zzs"], acz_int)
+
+        nnz_i16 = jnp.where(i16["cbp_luma"], (i16["ac_zzs"] != 0).sum(-1), 0)
+        nnz_int = jnp.zeros((4, 4), jnp.int32).at[_SCANY, _SCANX].set(
+            (zzc != 0).sum(-1))
+        nnz_cells = jnp.where(sel_i16, nnz_i16,
+                              jnp.where(sel_i4, i4["nnz_cells"], nnz_int))
+        nnzc_cells = jnp.where(cbp_chroma == 2, (cac_out != 0).sum(-1), 0)
+        i4m_cells = jnp.where(sel_i4, i4["modes_cells"], -1)
+
+        # ---- MV-field cell updates per winner ----
+        dir_mv0 = jnp.repeat(jnp.repeat(qmv0, 2, 0), 2, 1)        # [4,4,2]
+        dir_mv1 = jnp.repeat(jnp.repeat(qmv1, 2, 0), 2, 1)
+        use0 = (~is_intra) & jnp.where(is_direct, used0,
+                                       (win_m == 1) | (win_m == 3))
+        use1 = (~is_intra) & jnp.where(is_direct, used1,
+                                       (win_m == 2) | (win_m == 3))
+        mv0_cells = jnp.where(
+            is_direct, dir_mv0,
+            jnp.broadcast_to(s0["mv"], (4, 4, 2)))
+        mv1_cells = jnp.where(
+            is_direct, dir_mv1,
+            jnp.broadcast_to(s1["mv"], (4, 4, 2)))
+        mv0_cells = jnp.where(use0, mv0_cells, 0)
+        mv1_cells = jnp.where(use1, mv1_cells, 0)
+        ref0_cells = jnp.where(
+            use0, jnp.where(is_direct, r0d, s0["ri"]), -1)
+        ref1_cells = jnp.where(
+            use1, jnp.where(is_direct, r1d, s1["ri"]), -1)
+        ref0_cells = jnp.broadcast_to(ref0_cells, (4, 4)).astype(jnp.int32)
+        ref1_cells = jnp.broadcast_to(ref1_cells, (4, 4)).astype(jnp.int32)
+
+        st = dict(st)
+        st["rec_y"] = jax.lax.dynamic_update_slice(
+            st["rec_y"], rec16, (y0 + 1, x0 + 1))
+        st["rec_u"] = jax.lax.dynamic_update_slice(
+            st["rec_u"], rec_u8, (cy0 + 1, cx0 + 1))
+        st["rec_v"] = jax.lax.dynamic_update_slice(
+            st["rec_v"], rec_v8, (cy0 + 1, cx0 + 1))
+        st["mv0"] = jax.lax.dynamic_update_slice(
+            st["mv0"], mv0_cells, (by0, bx0, 0))
+        st["ref0"] = jax.lax.dynamic_update_slice(
+            st["ref0"], ref0_cells, (by0, bx0))
+        st["mv1"] = jax.lax.dynamic_update_slice(
+            st["mv1"], mv1_cells, (by0, bx0, 0))
+        st["ref1"] = jax.lax.dynamic_update_slice(
+            st["ref1"], ref1_cells, (by0, bx0))
+        st["nnz_y"] = jax.lax.dynamic_update_slice(
+            st["nnz_y"], nnz_cells, (by0, bx0))
+        st["nnz_c"] = jax.lax.dynamic_update_slice(
+            st["nnz_c"], nnzc_cells, (0, mby * 2, mbx * 2))
+        st["i4m"] = jax.lax.dynamic_update_slice(
+            st["i4m"], i4m_cells, (by0, bx0))
+        if adaptive_rounding:
+            fadj_intra = jnp.where(sel_i16, i16["fadj"], i4["fadj"])
+            st["ar_i"] = jnp.clip(
+                st["ar_i"] + jnp.where(sel_intra, fadj_intra, 0),
+                0, QJ.AR_RANGE)
+            upd = jnp.where(is_skip | sel_intra, 0, fadj_m[win_m])
+            st["ar_p"] = jnp.clip(st["ar_p"] + upd, 0, QJ.AR_RANGE)
+
+        win_code = jnp.where(
+            sel_i16, 6,
+            jnp.where(sel_i4, 5,
+                      jnp.where(is_skip, 0, 1 + win_m)))
+        out = dict(
+            win=win_code.astype(jnp.int32),
+            ri0=jnp.where(use0 & ~is_direct, s0["ri"], 0).astype(jnp.int32),
+            ri1=jnp.where(use1 & ~is_direct, s1["ri"], 0).astype(jnp.int32),
+            mvd0=jnp.where(is_intra | is_direct, 0,
+                           s0["mvd"]).astype(jnp.int32),
+            mvd1=jnp.where(is_intra | is_direct, 0,
+                           s1["mvd"]).astype(jnp.int32),
+            i4flags=i4["flags"].astype(jnp.int32),
+            i16mode=i16["i16mode"],
+            i16dc=i16["dc_zz"].astype(jnp.int32),
+            cmode=ch["mode"],
+            cbp_luma=jnp.where(is_skip, 0, cbp_luma).astype(jnp.int32),
+            cbp_chroma=jnp.where(is_skip, 0, cbp_chroma).astype(jnp.int32),
+            zz=zz_out.astype(jnp.int32),
+            cdc=cdc_out.astype(jnp.int32),
+            cac=cac_out.astype(jnp.int32),
+            mb_intra=sel_intra,
+        )
+        return st, out
+
+    def step(st, xs):
+        j, m0, sd0, m1, sd1 = xs
+        return mb_body(st, j, m0, sd0, m1, sd1)
+
+    xs = (jnp.arange(nmb_s, dtype=jnp.int32), mv0_q, sad0_q, mv1_q, sad1_q)
+    state, sym = jax.lax.scan(step, state, xs)
+    return sym, state
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mb_h", "mb_w", "sr", "chroma_qp_offset",
+                              "n_slices", "adaptive_rounding"))
+def encode_frame_b(org_y, org_u, org_v, r0_ups, r0_us, r0_vs,
+                   r1_ups, r1_us, r1_vs, col_mv, col_ref, qp, nv0, nv1,
+                   *, mb_h: int, mb_w: int, sr: int,
+                   chroma_qp_offset: int = 0, n_slices: int = 1,
+                   adaptive_rounding: bool = True):
+    """Encode one B frame's decisions + residuals on device.
+
+    Same shape contract as :func:`encode_frame` plus the list-1
+    reference stack and the colocated motion (mv [mb_h*4, mb_w*4, 2] /
+    ref [mb_h*4, mb_w*4] of the first list-1 reference, for spatial
+    direct).  Returns (sym, rec, ctx with mv0/ref0/mv1/ref1)."""
+    if mb_h % n_slices:
+        raise ValueError(f"n_slices {n_slices} must divide mb_h {mb_h}")
+    S = n_slices
+    sb_h = mb_h // S
+    b0 = _band_views(org_y, org_u, org_v, r0_ups, r0_us, r0_vs,
+                     jnp.zeros((mb_h, mb_w), bool), S, sb_h, mb_w, sr)
+    b1 = _band_views(org_y, org_u, org_v, r1_ups, r1_us, r1_vs,
+                     jnp.zeros((mb_h, mb_w), bool), S, sb_h, mb_w, sr)
+    colm_b = col_mv.reshape(S, sb_h * 4, mb_w * 4, 2)
+    colr_b = col_ref.reshape(S, sb_h * 4, mb_w * 4)
+    f = functools.partial(_encode_band_b, sb_h=sb_h, mb_w=mb_w, sr=sr,
+                          chroma_qp_offset=chroma_qp_offset,
+                          adaptive_rounding=adaptive_rounding)
+    sym_b, state_b = jax.vmap(
+        lambda oy, ou, ov, u0, s0, v0, u1, s1, v1, cm, cr: f(
+            oy, ou, ov, u0, s0, v0, u1, s1, v1, cm, cr, qp, nv0, nv1))(
+        b0[0], b0[1], b0[2], b0[3], b0[4], b0[5],
+        b1[3], b1[4], b1[5], colm_b, colr_b)
+    nmb = mb_h * mb_w
+    W = mb_w * 16
+    H = mb_h * 16
+    sym = {k: v.reshape(nmb, *v.shape[2:]) for k, v in sym_b.items()}
+    rec = (state_b["rec_y"][:, 1:, 1:W + 1].reshape(H, W),
+           state_b["rec_u"][:, 1:, 1:].reshape(H // 2, W // 2),
+           state_b["rec_v"][:, 1:, 1:].reshape(H // 2, W // 2))
+    w4 = mb_w * 4
+    ctx = dict(nnz=state_b["nnz_y"].reshape(mb_h * 4, w4),
+               mv0=state_b["mv0"].reshape(mb_h * 4, w4, 2),
+               ref0=jnp.maximum(state_b["ref0"], -1).reshape(mb_h * 4, w4),
+               mv1=state_b["mv1"].reshape(mb_h * 4, w4, 2),
+               ref1=jnp.maximum(state_b["ref1"], -1).reshape(mb_h * 4, w4),
+               mb_intra=sym["mb_intra"].reshape(mb_h, mb_w))
+    return sym, rec, ctx

@@ -507,3 +507,83 @@ def test_decode_lencod_b_stream_bit_exact(jm_tools, tmp_path):
     frames = AVCDecoder().decode(stream)
     jm = ldecod_decode(tmp_path, stream)
     assert recon_bytes(frames) == jm
+
+
+def test_tpu_b_ibbp_ldecod_bit_exact(jm_tools, foreman_qcif, tmp_path):
+    """Device-graph IbbP (B decisions in the jitted TPU graph,
+    encode_frame_b): stream decodes bit-exact in ldecod AND in our own
+    decoder (VERDICT round-3 item 4, IbbP half)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    frames += [tuple(np.roll(pl, (1, -2), (0, 1)) for pl in frames[2]),
+               tuple(np.roll(pl, (-2, 1), (0, 1)) for pl in frames[0])]
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, poc_type=0,
+                  num_ref_frames=2)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                        bframes=2)
+    res, stream = codec.encode_sequence(frames)
+    assert sum(r.frame_type == "B" for r in res) >= 2
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+
+
+def test_tpu_hierarchical_b_ldecod_bit_exact(jm_tools, foreman_qcif,
+                                             tmp_path):
+    """Dyadic hierarchical-B GOP (reference B + MMCO drop at next anchor,
+    JM pred_struct.c shape) from the device graph: ldecod + own decoder
+    bit-exact (VERDICT round-3 item 4, hierarchical half)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = []
+    for i in range(9):
+        y, u, v = base[i % 3]
+        s = (i * 2) % 6
+        frames.append(tuple(np.roll(pl, (s, -s), (0, 1))
+                            for pl in (y, u, v)))
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, poc_type=0,
+                  num_ref_frames=3)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                        bframes=3, hierarchical=True)
+    res, stream = codec.encode_sequence(frames)
+    assert [r.frame_type for r in res] == [
+        "IDR", "B", "B", "B", "P", "B", "B", "B", "P"]
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream)
+    assert len(mine) == len(res)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+
+
+def test_tpu_hierarchical_b_cabac_ldecod_bit_exact(jm_tools, foreman_qcif,
+                                                   tmp_path):
+    """CABAC hierarchical-B from the device graph (Table 9-37 B mb_type
+    binarization, per-list mvd/ref contexts): ldecod decodes bit-exact
+    (VERDICT round-3 item 4 'CABAC hierarchical-B end-to-end')."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = []
+    for i in range(9):
+        s = (i * 2) % 6
+        frames.append(tuple(np.roll(pl, (s, -s), (0, 1))
+                            for pl in base[i % 3]))
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, poc_type=0,
+                  num_ref_frames=3, cabac=True)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                        bframes=3, hierarchical=True)
+    res, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
