@@ -21,6 +21,56 @@ from .inter import RefPlanes
 from . import conformance
 
 
+class WPRefPlanes:
+    """Explicit-WP view of a RefPlanes (spec 8.4.2.3.2 unidirectional):
+    luma_block/chroma_block outputs are weighted post-MC so the encoder's
+    residual/recon math sees exactly what the decoder reconstructs; ``G``
+    is a weighted integer plane so the motion search measures distortion
+    against the weighted reference.  JM twin: weighted_prediction.c:31
+    EstimateWPPSlice + mc_prediction weighted paths."""
+
+    def __init__(self, rp: RefPlanes, entry, d_l: int, d_c: int):
+        self.rp = rp
+        self.e = entry              # (wy, oy, wu, ou, wv, ov)
+        self.d_l, self.d_c = d_l, d_c
+        self.h, self.w = rp.h, rp.w
+        wy, oy = entry[0], entry[1]
+        self.G = np.clip(((rp.G * wy + (1 << (d_l - 1))) >> d_l) + oy,
+                         0, 255)
+
+    @staticmethod
+    def _t(pl, w_, o_, d):
+        if d > 0:
+            return np.clip(((pl * w_ + (1 << (d - 1))) >> d) + o_, 0, 255)
+        return np.clip(pl * w_ + o_, 0, 255)
+
+    def luma_block(self, *a):
+        return self._t(self.rp.luma_block(*a), self.e[0], self.e[1],
+                       self.d_l)
+
+    def chroma_block(self, comp, *a):
+        w_, o_ = (self.e[2], self.e[3]) if comp == "u" else             (self.e[4], self.e[5])
+        return self._t(self.rp.chroma_block(comp, *a), w_, o_, self.d_c)
+
+
+def estimate_wp(org_yuv, ref_means, d_l: int = 5, d_c: int = 5):
+    """Explicit WP weights by DC ratio (JM wp_lms.c method-0 shape):
+    w = round(dc_org * 2^d / dc_ref) clipped to [-128, 127], offset 0.
+    ``ref_means``: list of (dc_y, dc_u, dc_v) per list-0 reference."""
+    dcs = tuple(float(np.asarray(p, np.float64).mean()) for p in org_yuv)
+
+    def w_of(dc_o, dc_r, d):
+        if dc_r <= 0.1:
+            return 1 << d
+        return int(np.clip(round(dc_o * (1 << d) / dc_r), -128, 127))
+
+    l0 = []
+    for (ry, ru, rv) in ref_means:
+        l0.append((w_of(dcs[0], ry, d_l), 0, w_of(dcs[1], ru, d_c), 0,
+                   w_of(dcs[2], rv, d_c), 0))
+    return dict(d_l=d_l, d_c=d_c, l0=l0)
+
+
 @dataclasses.dataclass
 class AVCFrameResult:
     frame_type: str
@@ -85,6 +135,7 @@ class AVCCodec:
         qp = p.qp if qp is None else qp
         slices, results = [], []
         dpb = []                      # list0, most recent first
+        dpb_means = []                # (dc_y, dc_u, dc_v) per entry (WP)
         frame_num = 0
         idr_pic_id = 0
         for idx, yuv in enumerate(frames):
@@ -97,12 +148,19 @@ class AVCCodec:
                 idr_pic_id = (idr_pic_id + 1) & 0xFFFF
                 frame_num = 1
                 dpb = []
+                dpb_means = []
                 ftype = "IDR"
             else:
                 fim = force_intra(idx) if force_intra else None
+                wp = None
+                refs_in = dpb
+                if p.weighted_pred:
+                    wp = estimate_wp(yuv, dpb_means)
+                    refs_in = [WPRefPlanes(rp, e, wp["d_l"], wp["d_c"])
+                               for rp, e in zip(dpb, wp["l0"])]
                 rbsp, rec, pctx, stats = encode_p_frame(
-                    yuv, dpb, p, qp=qp, frame_num=frame_num, sr=self.sr,
-                    force_intra_mask=fim, use_satd=self.use_satd)
+                    yuv, refs_in, p, qp=qp, frame_num=frame_num, sr=self.sr,
+                    force_intra_mask=fim, use_satd=self.use_satd, wp=wp)
                 ctx.mb_intra = pctx["mb_intra"]
                 ctx.nnz = pctx["nnz"]
                 ctx.mv = pctx["mvf"].mv
@@ -113,6 +171,9 @@ class AVCCodec:
                 rec = deblock_frame(*rec, ctx)
             dpb.insert(0, RefPlanes(*rec))
             dpb = dpb[:max(p.num_ref_frames, 1)]
+            dpb_means.insert(0, tuple(float(np.asarray(pl).mean())
+                                      for pl in rec))
+            dpb_means = dpb_means[:max(p.num_ref_frames, 1)]
             for r in (rbsp if isinstance(rbsp, list) else [rbsp]):
                 slices.append((idr, r))
             rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec)

@@ -24,6 +24,7 @@ class AVCParams:
     profile_idc: int = 66          # Baseline (66) / Main (77, CABAC)
     level_idc: int = 30
     cabac: bool = False            # entropy_coding_mode_flag (needs Main)
+    weighted_pred: bool = False    # PPS weighted_pred_flag (explicit P WP)
     log2_max_frame_num: int = 8
     # POC: type 2 (decode order; IPPP only) or type 0 (explicit lsb, needed
     # once B pictures reorder display vs decode; spec 8.2.1)
@@ -89,7 +90,7 @@ def write_pps(p: AVCParams) -> bytes:
             raise NotImplementedError("slice_group_map_type 2..6 syntax")
     w.ue(0)                        # num_ref_idx_l0_default_active_minus1
     w.ue(0)                        # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)                      # weighted_pred_flag
+    w.u(1 if p.weighted_pred else 0, 1)  # weighted_pred_flag
     w.u(0, 2)                      # weighted_bipred_idc
     w.se(p.qp - 26)                # pic_init_qp_minus26
     w.se(0)                        # pic_init_qs_minus26
@@ -105,7 +106,7 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
                        first_mb: int = 0, idr_pic_id: int = 0,
                        num_ref_idx_l0: int = 1, poc_lsb: int = 0,
                        num_ref_idx_l1: int = 1, ref_pic: bool = True,
-                       mmco=None, reorder_l0=None):
+                       mmco=None, reorder_l0=None, wp=None):
     """Slice header bits into ``w`` (spec 7.3.3; frame coding)."""
     w.ue(first_mb)
     w.ue(slice_type + 5)           # all slices of the picture share the type
@@ -135,6 +136,25 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
             w.u(0, 1)              # ref_pic_list_modification_flag_l0
         if slice_type == SLICE_B:
             w.u(0, 1)              # ref_pic_list_modification_flag_l1
+        if slice_type == SLICE_P and p.weighted_pred:
+            # pred_weight_table (spec 7.3.3.2), explicit P WP.
+            # wp: dict(d_l, d_c, l0=[(wy, oy, wu, ou, wv, ov), ...])
+            w.ue(wp["d_l"])
+            w.ue(wp["d_c"])
+            for (wy, oy, wu, ou, wv, ov) in wp["l0"][:num_ref_idx_l0]:
+                dflt_y = wy == (1 << wp["d_l"]) and oy == 0
+                w.u(0 if dflt_y else 1, 1)
+                if not dflt_y:
+                    w.se(wy)
+                    w.se(oy)
+                dflt_c = (wu == (1 << wp["d_c"]) and ou == 0
+                          and wv == (1 << wp["d_c"]) and ov == 0)
+                w.u(0 if dflt_c else 1, 1)
+                if not dflt_c:
+                    w.se(wu)
+                    w.se(ou)
+                    w.se(wv)
+                    w.se(ov)
     if ref_pic:
         if idr:
             w.u(0, 1)              # no_output_of_prior_pics_flag

@@ -71,9 +71,8 @@ def parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError("FMO")
     p["num_ref_idx_l0"] = r.ue() + 1
     p["num_ref_idx_l1"] = r.ue() + 1
-    if r.u(1):
-        raise NotImplementedError("weighted_pred")
-    r.u(2)                                  # weighted_bipred_idc
+    p["weighted_pred"] = r.u(1)
+    p["weighted_bipred_idc"] = r.u(2)       # 0 default, 1 explicit B
     p["pic_init_qp"] = r.se() + 26
     r.se()                                  # pic_init_qs
     p["chroma_qp_offset"] = r.se()
@@ -283,6 +282,28 @@ class AVCDecoder:
                         raise NotImplementedError("long-term reordering")
             if slice_type == 1 and r.u(1):
                 raise NotImplementedError("list1 reordering")
+        wp = None
+        if (slice_type == 0 and pps["weighted_pred"]) or \
+                (slice_type == 1 and pps["weighted_bipred_idc"] == 1):
+            # pred_weight_table (spec 7.3.3.2, explicit WP)
+            d_l = self._tr(r, "luma_log2_weight_denom", r.ue())
+            d_c = self._tr(r, "chroma_log2_weight_denom", r.ue())
+            wp = dict(d_l=d_l, d_c=d_c, l0=[], l1=[])
+            for key, count in (("l0", num_ref),
+                               ("l1", num_ref_l1 if slice_type == 1 else 0)):
+                for _ in range(count):
+                    wy, oy = 1 << d_l, 0
+                    if r.u(1):                       # luma_weight_flag
+                        wy = r.se()
+                        oy = r.se()
+                    wu = wv = 1 << d_c
+                    ou = ov = 0
+                    if r.u(1):                       # chroma_weight_flag
+                        wu, ou = r.se(), r.se()
+                        wv, ov = r.se(), r.se()
+                    wp[key].append((wy, oy, wu, ou, wv, ov))
+        elif slice_type == 1 and pps["weighted_bipred_idc"] == 2:
+            raise NotImplementedError("implicit weighted bipred")
         mmco_ops = []
         if ref_idc != 0:
             if idr:
@@ -390,7 +411,8 @@ class AVCDecoder:
         dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
                             mb_w, mb_h, num_ref, first_mb=first_mb, pic=pic,
                             rbsp=rbsp, cabac_init_idc=cabac_init_idc,
-                            refs1=refs1, num_ref_l1=num_ref_l1, col=col)
+                            refs1=refs1, num_ref_l1=num_ref_l1, col=col,
+                            wp=wp)
         dec.run()
         return done
 
@@ -398,8 +420,10 @@ class AVCDecoder:
 class _SliceDecoder:
     def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
                  num_ref=1, first_mb=0, pic=None, rbsp=None,
-                 cabac_init_idc=0, refs1=None, num_ref_l1=1, col=None):
+                 cabac_init_idc=0, refs1=None, num_ref_l1=1, col=None,
+                 wp=None):
         self.top = top
+        self.wp = wp
         # refs arrive as DPB entry dicts (or bare RefPlanes in legacy use)
         self.ref_entries = refs
         refs = [e["rp"] if isinstance(e, dict) else e for e in refs]
@@ -549,19 +573,62 @@ class _SliceDecoder:
 
     def _mc_inter(self, mby, mbx, parts):
         """parts: list of ((dy4, dx4, w4, h4), mv, ref_idx) in 4x4 units
-        relative to the MB; performs luma + chroma MC into the recon."""
+        relative to the MB; performs luma + chroma MC into the recon
+        (explicit WP applied when the slice carries a weight table)."""
         y0, x0 = mby * 16, mbx * 16
         for (dy4, dx4, w4, h4), mv, ri in parts:
             ref = self.refs[ri]
             py, px = y0 + dy4 * 4, x0 + dx4 * 4
-            self.rec_y[py:py + h4 * 4, px:px + w4 * 4] = ref.luma_block(
-                py, px, h4 * 4, w4 * 4, int(mv[0]), int(mv[1]))
             cy, cx = py // 2, px // 2
             ch, cw = h4 * 2, w4 * 2
-            self.rec_u[cy:cy + ch, cx:cx + cw] = ref.chroma_block(
-                "u", cy, cx, ch, cw, int(mv[0]), int(mv[1]))
-            self.rec_v[cy:cy + ch, cx:cx + cw] = ref.chroma_block(
-                "v", cy, cx, ch, cw, int(mv[0]), int(mv[1]))
+            pl, pu, pv = self._wp_apply(
+                (ref.luma_block(py, px, h4 * 4, w4 * 4,
+                                int(mv[0]), int(mv[1])),
+                 ref.chroma_block("u", cy, cx, ch, cw,
+                                  int(mv[0]), int(mv[1])),
+                 ref.chroma_block("v", cy, cx, ch, cw,
+                                  int(mv[0]), int(mv[1]))), 0, ri)
+            self.rec_y[py:py + h4 * 4, px:px + w4 * 4] = pl
+            self.rec_u[cy:cy + ch, cx:cx + cw] = pu
+            self.rec_v[cy:cy + ch, cx:cx + cw] = pv
+
+    def _wp_apply(self, planes, lst, ri):
+        """Spec 8.4.2.3.2 unidirectional explicit WP of (Y, U, V)."""
+        if self.wp is None:
+            return planes
+        e = (self.wp["l1"] if lst else self.wp["l0"])[ri]
+        d_l, d_c = self.wp["d_l"], self.wp["d_c"]
+        out = []
+        for pl, w_, o_, d in ((planes[0], e[0], e[1], d_l),
+                              (planes[1], e[2], e[3], d_c),
+                              (planes[2], e[4], e[5], d_c)):
+            if d > 0:
+                v = ((pl * w_ + (1 << (d - 1))) >> d) + o_
+            else:
+                v = pl * w_ + o_
+            out.append(np.clip(v, 0, 255))
+        return tuple(out)
+
+    def _wp_combine(self, acc):
+        """acc: [(lst, ri, (pl, pu, pv))] of 1 or 2 prediction legs ->
+        final planes (spec 8.4.2.3: default average or explicit WP)."""
+        if len(acc) == 1:
+            lst, ri, pls = acc[0]
+            return self._wp_apply(pls, lst, ri)
+        if self.wp is None:
+            return tuple((a + b + 1) >> 1
+                         for a, b in zip(acc[0][2], acc[1][2]))
+        e0 = self.wp["l0"][acc[0][1]]
+        e1 = self.wp["l1"][acc[1][1]]
+        d_l, d_c = self.wp["d_l"], self.wp["d_c"]
+        out = []
+        for i, d in ((0, d_l), (1, d_c), (2, d_c)):
+            w0, o0 = e0[2 * i], e0[2 * i + 1]
+            w1, o1 = e1[2 * i], e1[2 * i + 1]
+            v = ((acc[0][2][i] * w0 + acc[1][2][i] * w1 + (1 << d))
+                 >> (d + 1)) + ((o0 + o1 + 1) >> 1)
+            out.append(np.clip(v, 0, 255))
+        return tuple(out)
 
     # ------------------------------------------------------------------
     def _decode_mb(self, mb):
@@ -1296,23 +1363,22 @@ def _b_decode_mb(self, mb):
             py_, px_ = y0 + dy4 * 4, x0 + dx4 * 4
             bh, bw = h4 * 4, w4 * 4
             acc = []
-            for mv, ris, refs in ((mvs0[pi], ris0, self.refs),
-                                  (mvs1[pi], ris1, self.refs1)):
+            for lst, (mv, ris, refs) in enumerate(
+                    ((mvs0[pi], ris0, self.refs),
+                     (mvs1[pi], ris1, self.refs1))):
                 if mv is None:
                     continue
                 rp = refs[ris[pi]]
-                acc.append((rp.luma_block(py_, px_, bh, bw,
-                                          int(mv[0]), int(mv[1])),
-                            rp.chroma_block("u", py_ // 2, px_ // 2,
-                                            bh // 2, bw // 2,
-                                            int(mv[0]), int(mv[1])),
-                            rp.chroma_block("v", py_ // 2, px_ // 2,
-                                            bh // 2, bw // 2,
-                                            int(mv[0]), int(mv[1]))))
-            if len(acc) == 2:
-                pl, pu, pv = ((a + b + 1) >> 1 for a, b in zip(*acc))
-            else:
-                pl, pu, pv = acc[0]
+                acc.append((lst, ris[pi],
+                            (rp.luma_block(py_, px_, bh, bw,
+                                           int(mv[0]), int(mv[1])),
+                             rp.chroma_block("u", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])),
+                             rp.chroma_block("v", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])))))
+            pl, pu, pv = self._wp_combine(acc)
             self.rec_y[py_:py_ + bh, px_:px_ + bw] = pl
             self.rec_u[py_ // 2:py_ // 2 + bh // 2,
                        px_ // 2:px_ // 2 + bw // 2] = pu
@@ -1441,26 +1507,25 @@ def _b_decode_8x8(self, mb):
                     cby, cbx = by + dy8 + cy, bx + dx8 + cx4
                     py_, px_ = cby * 4, cbx * 4
                     acc = []
-                    for mvf, refs in ((self.mvf, self.refs),
-                                      (self.mvf1, self.refs1)):
+                    for lst, (mvf, refs) in enumerate(
+                            ((self.mvf, self.refs),
+                             (self.mvf1, self.refs1))):
                         ri = int(mvf.ref[cby, cbx])
                         if ri < 0:
                             continue
                         mv = mvf.mv[cby, cbx]
                         rp = refs[ri]
-                        acc.append((rp.luma_block(py_, px_, 4, 4,
-                                                  int(mv[0]), int(mv[1])),
-                                    rp.chroma_block("u", py_ // 2, px_ // 2,
-                                                    2, 2, int(mv[0]),
-                                                    int(mv[1])),
-                                    rp.chroma_block("v", py_ // 2, px_ // 2,
-                                                    2, 2, int(mv[0]),
-                                                    int(mv[1]))))
-                    if len(acc) == 2:
-                        pl, pu, pv = ((a + b + 1) >> 1
-                                      for a, b in zip(*acc))
-                    else:
-                        pl, pu, pv = acc[0]
+                        acc.append((lst, ri,
+                                    (rp.luma_block(py_, px_, 4, 4,
+                                                   int(mv[0]), int(mv[1])),
+                                     rp.chroma_block("u", py_ // 2,
+                                                     px_ // 2, 2, 2,
+                                                     int(mv[0]), int(mv[1])),
+                                     rp.chroma_block("v", py_ // 2,
+                                                     px_ // 2, 2, 2,
+                                                     int(mv[0]),
+                                                     int(mv[1])))))
+                    pl, pu, pv = self._wp_combine(acc)
                     self.rec_y[py_:py_ + 4, px_:px_ + 4] = pl
                     self.rec_u[py_ // 2:py_ // 2 + 2,
                                px_ // 2:px_ // 2 + 2] = pu
@@ -1475,29 +1540,28 @@ def _b_decode_8x8(self, mb):
             if (b8, gi) in mvs0:
                 mv = mvs0[(b8, gi)]
                 rp = self.refs[ris0[b8]]
-                acc.append((rp.luma_block(py_, px_, bh, bw,
-                                          int(mv[0]), int(mv[1])),
-                            rp.chroma_block("u", py_ // 2, px_ // 2,
-                                            bh // 2, bw // 2,
-                                            int(mv[0]), int(mv[1])),
-                            rp.chroma_block("v", py_ // 2, px_ // 2,
-                                            bh // 2, bw // 2,
-                                            int(mv[0]), int(mv[1]))))
+                acc.append((0, ris0[b8],
+                            (rp.luma_block(py_, px_, bh, bw,
+                                           int(mv[0]), int(mv[1])),
+                             rp.chroma_block("u", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])),
+                             rp.chroma_block("v", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])))))
             if (b8, gi) in mvs1:
                 mv = mvs1[(b8, gi)]
                 rp = self.refs1[ris1[b8]]
-                acc.append((rp.luma_block(py_, px_, bh, bw,
-                                          int(mv[0]), int(mv[1])),
-                            rp.chroma_block("u", py_ // 2, px_ // 2,
-                                            bh // 2, bw // 2,
-                                            int(mv[0]), int(mv[1])),
-                            rp.chroma_block("v", py_ // 2, px_ // 2,
-                                            bh // 2, bw // 2,
-                                            int(mv[0]), int(mv[1]))))
-            if len(acc) == 2:
-                pl, pu, pv = ((a + b + 1) >> 1 for a, b in zip(*acc))
-            else:
-                pl, pu, pv = acc[0]
+                acc.append((1, ris1[b8],
+                            (rp.luma_block(py_, px_, bh, bw,
+                                           int(mv[0]), int(mv[1])),
+                             rp.chroma_block("u", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])),
+                             rp.chroma_block("v", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])))))
+            pl, pu, pv = self._wp_combine(acc)
             self.rec_y[py_:py_ + bh, px_:px_ + bw] = pl
             self.rec_u[py_ // 2:py_ // 2 + bh // 2,
                        px_ // 2:px_ // 2 + bw // 2] = pu

@@ -178,13 +178,19 @@ class TPUAVCCodec:
         return self._dummy
 
     def encode_sequence(self, frames, qp: int = None, verbose: bool = False,
-                        force_intra=None):
+                        force_intra=None, rate_control=None):
         """frames: iterable of (Y, U, V) uint8.  Returns
-        (results, Annex-B stream bytes) like AVCCodec.encode_sequence."""
+        (results, Annex-B stream bytes) like AVCCodec.encode_sequence.
+
+        ``rate_control``: a models.ratectl.QuadraticRateControl — per-frame
+        QP comes from the quadratic R-Q model (rc_quadratic.c:170
+        semantics) instead of the fixed config QP; QP is a traced scalar
+        in the device graph so no recompilation happens."""
         if self.bframes > 0:
             return self._encode_sequence_b(frames, qp, verbose)
         p = self.p
         qp = p.qp if qp is None else qp
+        rc = rate_control
         R = max(p.num_ref_frames, 1)
         mb_h, mb_w = p.mb_h, p.mb_w
         no_force = jnp.zeros((mb_h, mb_w), bool)
@@ -195,6 +201,8 @@ class TPUAVCCodec:
         idr_pic_id = 0
         H, W = p.height, p.width
         for idx, yuv in enumerate(frames):
+            if rc is not None and idx > 0:
+                qp = rc.frame_qp()
             orgbuf = np.concatenate(
                 [np.asarray(yuv[0], np.uint8),
                  np.concatenate([np.asarray(yuv[1], np.uint8),
@@ -293,6 +301,9 @@ class TPUAVCCodec:
                 float(10 * np.log10(255.0 ** 2 / mse)),
                 recon=rec8)
             results.append(res)
+            if rc is not None:
+                mse_y = 255.0 ** 2 / (10.0 ** (res.psnr_y / 10.0))
+                rc.update(res.bits, qp, float(np.sqrt(mse_y)))
             if verbose:
                 print(f"frame {idx:3d} {ftype:3s} bits {res.bits:7d} "
                       f"PSNR-Y {res.psnr_y:6.2f}")

@@ -587,3 +587,73 @@ def test_tpu_hierarchical_b_cabac_ldecod_bit_exact(jm_tools, foreman_qcif,
     res, stream = codec.encode_sequence(frames)
     dec = ldecod_decode(tmp_path, stream)
     assert dec == recon_bytes([q.recon for q in res])
+
+
+def _fade_frames(foreman_qcif, n=5):
+    base = [foreman_qcif.read(i) for i in range(3)]
+    out = []
+    for i in range(n):
+        g = 1.0 - 0.12 * i                      # fade to black
+        out.append(tuple(np.clip(pl.astype(np.float64) * g, 0,
+                                 255).astype(np.uint8)
+                         for pl in base[i % 3]))
+    return out
+
+
+def test_weighted_pred_encode_ldecod_bit_exact(jm_tools, foreman_qcif,
+                                               tmp_path):
+    """Explicit P weighted prediction (DC-ratio weights, wp_lms.c
+    method-0 shape): our WP stream decodes bit-exact in ldecod and in
+    our own decoder (VERDICT round-3 item 5, encoder direction)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+
+    frames = _fade_frames(foreman_qcif)
+    p = AVCParams(width=176, height=144, qp=28, profile_idc=77,
+                  weighted_pred=True)
+    codec = AVCCodec(p, intra_period=0, search_range=8)
+    res, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+    # WP must actually engage on a fade (non-default luma weight)
+    from h264tpu.avc.codec import estimate_wp
+    wp = estimate_wp(frames[1], [tuple(float(pl.mean())
+                                       for pl in frames[0])])
+    assert wp["l0"][0][0] != 32
+
+
+def test_decode_lencod_wp_stream_bit_exact(jm_tools, foreman_qcif, tmp_path):
+    """lencod WeightedPrediction=1 fade stream decodes bit-exact in our
+    decoder (item 5, decoder direction; output compared vs ldecod)."""
+    from h264tpu.avc.slice_dec import AVCDecoder
+
+    frames = _fade_frames(foreman_qcif)
+    raw = bytearray()
+    for y, u, v in frames:
+        raw += y.tobytes() + u.tobytes() + v.tobytes()
+    src = tmp_path / "fade.yuv"
+    src.write_bytes(bytes(raw))
+    out264 = tmp_path / "jm_wp.264"
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_main.cfg"),
+         "-p", f"InputFile={src}", "-p", "FramesToBeEncoded=5",
+         "-p", "SourceWidth=176", "-p", "SourceHeight=144",
+         "-p", "OutputWidth=176", "-p", "OutputHeight=144",
+         "-p", "IntraPeriod=0", "-p", "IDRPeriod=0", "-p", "QPISlice=28",
+         "-p", "QPPSlice=28", "-p", "SymbolMode=0", "-p", "OutFileMode=0",
+         "-p", "NumberBFrames=0", "-p", "WeightedPrediction=1",
+         "-p", f"OutputFile={out264}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=2", "-p", "RDOptimization=1",
+         "-p", "SearchRange=8"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=600)
+    assert r.returncode == 0, r.stdout[-800:]
+    stream = out264.read_bytes()
+    want = ldecod_decode(tmp_path, stream)
+    dec = AVCDecoder().decode(stream)
+    got = recon_bytes(dec)
+    assert got == want
