@@ -90,8 +90,9 @@ def bench_resolution(H, W, qp, sr, n_timed, n_warm=2):
     return fps, macs / 1e9
 
 
-def bench_avc(n_timed=8, qp=28, sr=8, n_slices=9):
-    """Conformant H.264 path (TPU-resident encoder): CIF IPPP.
+def bench_avc(n_timed=8, qp=28, sr=8, n_slices=9, H=288, W=352):
+    """Conformant H.264 path (TPU-resident encoder, full-RD + adaptive
+    rounding): IPPP at the given size.
 
     Returns (fps, psnr_y_mean, kbps at 30 fps).  Baseline for vs_jm:
     the JM 18.5 authors' foreman CIF row (BASELINE.md §B, 0.0516 fps
@@ -99,8 +100,8 @@ def bench_avc(n_timed=8, qp=28, sr=8, n_slices=9):
     from h264tpu.avc.params import AVCParams
     from h264tpu.avc.tpu_codec import TPUAVCCodec
 
-    frames = make_frames(n_timed + 2, 288, 352)
-    p = AVCParams(width=352, height=288, qp=qp, num_ref_frames=1)
+    frames = make_frames(n_timed + 2, H, W)
+    p = AVCParams(width=W, height=H, qp=qp, num_ref_frames=1, level_idc=42)
     codec = TPUAVCCodec(p, intra_period=0, search_range=sr,
                         n_slices=n_slices)
     codec.encode_sequence(frames[:2])              # compile
@@ -150,6 +151,18 @@ def main():
     except Exception as e:
         out["avc_cif_fps"] = None
         out["avc_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    # conformant path at HD (BASELINE.json metric: 1080p fps/chip at
+    # BD-rate-qualified quality; see BDRATE_r04 for the quality side)
+    for name, (H, W, ns, nt) in (("avc_720p", (720, 1280, 15, 3)),
+                                 ("avc_1080p", (1088, 1920, 17, 3))):
+        try:
+            fps, psnr, kbps = bench_avc(n_timed=nt, H=H, W=W, n_slices=ns)
+            out[f"{name}_fps"] = round(fps, 3)
+            out[f"{name}_psnr_y"] = round(psnr, 2)
+            out[f"{name}_kbps"] = round(kbps, 0)
+        except Exception as e:
+            out[f"{name}_fps"] = None
+            out[f"{name}_error"] = type(e).__name__
     print(json.dumps(out))
 
 

@@ -47,6 +47,14 @@ ENTROPY_EG = 2      # interim Exp-Golomb coefficient sets
 
 def write_residual(w: BitWriter, zz: np.ndarray, cy: int, cx: int, mode: int):
     if mode == ENTROPY_CAVLC:
+        from . import native
+        if native.available():
+            out = native.cavlc_encode_plane(np.asarray(zz), cy, cx)
+            if out is not None:
+                codes, lens = out
+                mask = lens > 0
+                w.raw(codes[mask], lens[mask])
+                return
         cavlc.encode_plane(np.asarray(zz), cy, cx, w)
     elif mode == ENTROPY_CABAC:
         from . import native

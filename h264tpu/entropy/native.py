@@ -40,6 +40,14 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.cavlc_encode_plane.restype = ctypes.c_int64
+        lib.cavlc_encode_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
         lib.cabac_encode_plane.restype = ctypes.c_int64
         lib.cabac_encode_plane.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -124,6 +132,27 @@ def _get_cabac_tables():
             np.ascontiguousarray(C.NEXT_LPS, np.uint8),
         )
     return _cabac_tables
+
+
+def cavlc_encode_plane(zz: np.ndarray, cy: int, cx: int):
+    """Returns (codes, lens) int64 arrays (zero-len entries included; the
+    caller masks), or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    tl, tc, zl, zc, rl, rc = _get_tables()
+    zz32 = np.ascontiguousarray(zz, np.int32)
+    n = cy * cx
+    codes = np.zeros(n * 36, np.int64)
+    lens = np.zeros(n * 36, np.int64)
+    scratch = np.zeros(n, np.int32)
+    lib.cavlc_encode_plane(
+        zz32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cy, cx,
+        _u8(tl), _i32(tc), _u8(zl), _i32(zc), _u8(rl), _i32(rc),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return codes, lens
 
 
 def cabac_encode_plane(zz: np.ndarray, cy: int, cx: int):

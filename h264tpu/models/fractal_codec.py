@@ -65,28 +65,71 @@ class _FramePacker:
     size; a frame's outputs (leaf maps, levels, recon, distortion sums) are
     ~20 arrays, so fetching them individually dominated encode time.  One
     concatenated int32 buffer -> one fetch.
+
+    The tunnel is also BANDWIDTH-starved (~25 MB/s measured at 1080p), so
+    narrow fields travel narrow: leaf maps / levels / MVs as int16 pairs
+    and the recon as uint8 quads, bitcast into the int32 buffer (3x
+    smaller frame fetch than all-int32).
     """
 
-    def __init__(self, specs):
-        self.specs = list(specs)            # (name, shape) in order
-        self.offsets = {}
-        off = 0
-        for name, shape in self.specs:
-            n = int(np.prod(shape))
-            self.offsets[name] = (off, shape)
-            off += n
-        self.total = off
+    _WIDTH = {"i32": 1, "i16": 2, "u8": 4}   # elements per int32 word
 
-    def pack(self, arrays: dict) -> jnp.ndarray:
-        parts = [arrays[name].astype(jnp.int32).reshape(-1)
-                 for name, _ in self.specs]
-        return jnp.concatenate(parts)
+    def __init__(self, specs):
+        # specs: (name, shape[, kind]) in order; kind defaults to i16
+        self.specs = [(s[0], s[1], (s[2] if len(s) > 2 else "i16"))
+                      for s in specs]
+        self.offsets = {}
+        self.seg_elems = {}
+        for kind in ("i32", "i16", "u8"):
+            off = 0
+            for name, shape, k in self.specs:
+                if k != kind:
+                    continue
+                n = int(np.prod(shape))
+                self.offsets[name] = (kind, off, shape)
+                off += n
+            self.seg_elems[kind] = off
+        self.seg_words = {k: -(-self.seg_elems[k] // self._WIDTH[k])
+                          for k in self._WIDTH}
+        self.total = sum(self.seg_words.values())
+
+    def pack(self, arrays: list) -> jnp.ndarray:
+        """arrays: values in spec order (device).  -> int32 [total]."""
+        by_name = {name: a for (name, _s, _k), a in zip(self.specs, arrays)}
+        segs = []
+        for kind, dt in (("i32", jnp.int32), ("i16", jnp.int16),
+                         ("u8", jnp.uint8)):
+            parts = [by_name[name].astype(dt).reshape(-1)
+                     for name, _s, k in self.specs if k == kind]
+            if not parts:
+                continue
+            flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            w = self._WIDTH[kind]
+            if w > 1:
+                pad = (-flat.shape[0]) % w
+                if pad:
+                    flat = jnp.pad(flat, (0, pad))
+                flat = jax.lax.bitcast_convert_type(
+                    flat.reshape(-1, w), jnp.int32)
+            segs.append(flat.reshape(-1))
+        return jnp.concatenate(segs) if len(segs) > 1 else segs[0]
 
     def unpack(self, flat: np.ndarray) -> dict:
+        flat = np.ascontiguousarray(flat, np.int32)
+        seg = {}
+        off = 0
+        for kind, view in (("i32", np.int32), ("i16", np.int16),
+                           ("u8", np.uint8)):
+            w = self.seg_words[kind]
+            seg[kind] = flat[off:off + w].view(view)[:self.seg_elems[kind]]
+            off += w
         out = {}
-        for name, (off, shape) in self.offsets.items():
+        for name, (kind, o, shape) in self.offsets.items():
             n = int(np.prod(shape))
-            out[name] = flat[off:off + n].reshape(shape)
+            a = seg[kind][o:o + n].reshape(shape)
+            # i32 keeps its exact 4-byte dtype (sse is a bitcast float32);
+            # narrow kinds widen for downstream integer math
+            out[name] = a if kind != "i16" else a.astype(np.int64)
         return out
 
 
@@ -160,9 +203,6 @@ class FractalCodec:
                 bounds=self._search.keywords["bounds"])
             self._frame_sharding = NamedSharding(mesh, _P("gop", "tile", None))
         self._packers = {}
-        self._pack_jit = jax.jit(
-            lambda parts: jnp.concatenate([p.astype(jnp.int32).reshape(-1)
-                                           for p in parts]))
 
     def _packer(self, kind, dims):
         """Packer for a frame's host-bound outputs (kind: 'p' or 'i')."""
@@ -173,16 +213,24 @@ class FractalCodec:
                 hp, wp = _pad16_np(h, w)
                 if kind == "p":
                     for f in ("a", "beta", "dx", "dy", "ref", "shape"):
-                        specs.append((f"{i}_{f}", (hp // 4, wp // 4)))
+                        specs.append((f"{i}_{f}", (hp // 4, wp // 4), "i16"))
                 elif kind == "i":
-                    specs.append((f"{i}_modes", (h // 4, w // 4)))
+                    specs.append((f"{i}_modes", (h // 4, w // 4), "i16"))
                 elif kind == "c" and i == 0:
-                    specs.append(("mvx", (h // 16, w // 16)))
-                    specs.append(("mvy", (h // 16, w // 16)))
-                specs.append((f"{i}_zz", ((h // 4) * (w // 4), 16)))
-                specs.append((f"{i}_rec", (h, w)))
-                specs.append((f"{i}_sse", (1,)))
+                    specs.append(("mvx", (h // 16, w // 16), "i16"))
+                    specs.append(("mvy", (h // 16, w // 16), "i16"))
+                specs.append((f"{i}_zz", ((h // 4) * (w // 4), 16), "i16"))
+                specs.append((f"{i}_rec", (h, w), "u8"))
+                specs.append((f"{i}_sse", (1,), "i32"))
             self._packers[key] = _FramePacker(specs)
+        return self._packers[key]
+
+    def _pack_fn(self, kind, dims):
+        """Jitted word-packing pack() of the (kind, dims) packer."""
+        key = ("jit", kind, tuple(dims))
+        if key not in self._packers:
+            packer = self._packer(kind, dims)
+            self._packers[key] = jax.jit(packer.pack)
         return self._packers[key]
 
     # -- intra step (wavefront 4x4 intra, ops/intra.py) ---------------------
@@ -337,8 +385,8 @@ class FractalCodec:
             parts.append(recs[i])
             sse = ((recs[i] - orgs[i]).astype(jnp.float32) ** 2).sum()
             parts.append(jax.lax.bitcast_convert_type(sse, jnp.int32).reshape(1))
-        packed = self._pack_jit(parts)
         kind = "i" if intra else ("c" if classic else "p")
+        packed = self._pack_fn(kind, dims)(parts)
         return dict(intra=intra, kind=kind, dims=dims, packed=packed,
                     recs=recs, qp=qp, dual_ref=ref2 is not None)
 

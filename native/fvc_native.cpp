@@ -511,3 +511,153 @@ void resolve_intra_modes(const uint8_t* flags, const uint8_t* rem, int cy,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CAVLC plane ENCODER (port of h264tpu/entropy/cavlc.py encode_plane /
+// encode_blocks; semantics mirror those vectorized numpy writers exactly,
+// emitting (codeword, bitlen) symbol pairs the python BitWriter packs).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void level_code(int64_t level, int vlcnum, int64_t* code,
+                       int64_t* len) {
+  int64_t sign = level < 0 ? 1 : 0;
+  int64_t labs = level < 0 ? -level : level;
+  if (vlcnum == 0) {                       // VLC1
+    if (labs < 8) {
+      *len = labs * 2 + sign - 1;
+      *code = 1;
+    } else if (labs < 16) {
+      *len = 19;
+      *code = 16 | ((labs << 1) - 16) | sign;
+    } else {
+      int64_t lm16 = labs + 2032;
+      int np_ = 0;
+      while (lm16 >= ((int64_t)4096 << np_)) np_++;
+      int64_t imask = (int64_t)4096 << np_;
+      *len = 28 + (np_ << 1);
+      *code = imask | ((lm16 << 1) - imask) | sign;
+    }
+  } else {                                 // VLCN
+    int64_t labn = labs - 1;
+    int shift = vlcnum - 1;
+    int64_t escape = (int64_t)15 << shift;
+    int64_t sufmask = ~((int64_t)(-1) << shift);
+    if (labn < escape) {
+      *len = (labn >> shift) + 1 + vlcnum;
+      *code = ((int64_t)2 << shift) | ((labn & sufmask) << 1) | sign;
+    } else {
+      int64_t lesc = labn - escape + 2048;
+      int np_ = 0;
+      while (lesc >= ((int64_t)4096 << np_)) np_++;
+      int64_t imask = (int64_t)4096 << np_;
+      *len = 28 + (np_ << 1);
+      *code = imask | ((lesc << 1) - imask) | sign;
+    }
+  }
+}
+
+const int kIncVlc[7] = {0, 3, 6, 12, 24, 48, 32768};
+
+}  // namespace
+
+extern "C" {
+
+// codes/lens: int64 [cy*cx*36] (36 symbol slots per block; zero-length
+// entries are skipped by the python packer).  Returns 0.
+int64_t cavlc_encode_plane(const int32_t* zz, int cy, int cx,
+                           const uint8_t* tok_len, const int32_t* tok_code,
+                           const uint8_t* tz_len, const int32_t* tz_code,
+                           const uint8_t* rb_len, const int32_t* rb_code,
+                           int64_t* codes, int64_t* lens,
+                           int32_t* total_scratch) {
+  const int MAXS = 36;
+  for (int by = 0; by < cy; by++) {
+    for (int bx = 0; bx < cx; bx++) {
+      int bi = by * cx + bx;
+      const int32_t* b = zz + (int64_t)bi * 16;
+      int64_t* C = codes + (int64_t)bi * MAXS;
+      int64_t* L = lens + (int64_t)bi * MAXS;
+      for (int s = 0; s < MAXS; s++) { C[s] = 0; L[s] = 0; }
+
+      // fields
+      int total = 0;
+      int pos[16];
+      int64_t lev[16];
+      for (int k = 0; k < 16; k++)
+        if (b[k]) { pos[total] = k; lev[total] = b[k]; total++; }
+      total_scratch[bi] = total;
+      int total_zeros = total > 0 ? pos[total - 1] + 1 - total : 0;
+      int t1 = 0;
+      int t1_signs[3] = {0, 0, 0};
+      for (int j = 0; j < 3; j++) {
+        int k = total - 1 - j;
+        if (k < 0) break;
+        int64_t lv = lev[k];
+        if (lv != 1 && lv != -1) break;
+        t1_signs[j] = lv < 0 ? 1 : 0;
+        t1++;
+      }
+
+      // nC (in-plane left/top TotalCoeff context)
+      int nA = bx > 0 ? total_scratch[bi - 1] : 0;
+      int nB = by > 0 ? total_scratch[bi - cx] : 0;
+      int nc;
+      if (bx > 0 && by > 0) nc = (nA + nB + 1) >> 1;
+      else if (bx > 0) nc = nA;
+      else if (by > 0) nc = nB;
+      else nc = 0;
+
+      int s = 0;
+      // coeff_token
+      if (nc >= 8) {
+        C[s] = total > 0 ? (((int64_t)(total - 1) << 2) | t1) : 3;
+        L[s] = 6;
+      } else {
+        int vt = nc < 2 ? 0 : (nc < 4 ? 1 : 2);
+        C[s] = tok_code[(vt * 4 + t1) * 17 + total];
+        L[s] = tok_len[(vt * 4 + t1) * 17 + total];
+      }
+      s++;
+      // trailing-one signs
+      for (int j = 0; j < t1; j++) { C[s] = t1_signs[j]; L[s] = 1; s++; }
+      // levels, rank total-1-t1 down to 0
+      int vlcnum = (total > 10 && t1 < 3) ? 1 : 0;
+      bool first = true;
+      bool lth = !(total > 3 && t1 == 3);
+      for (int k = total - 1 - t1; k >= 0; k--) {
+        int64_t lv = lev[k];
+        int64_t adj = lv;
+        if (first && lth) adj = lv > 0 ? lv - 1 : lv + 1;
+        level_code(adj, vlcnum, &C[s], &L[s]);
+        s++;
+        int64_t labs = lv < 0 ? -lv : lv;
+        if (labs > kIncVlc[vlcnum < 6 ? vlcnum : 6]) vlcnum++;
+        if (first && labs > 3 && vlcnum < 2) vlcnum = 2;
+        first = false;
+      }
+      // total_zeros
+      if (total > 0 && total < 16) {
+        int row = total - 1;
+        C[s] = tz_code[row * 16 + total_zeros];
+        L[s] = tz_len[row * 16 + total_zeros];
+        s++;
+      }
+      // run_before
+      int zerosleft = total_zeros;
+      for (int k = total - 1; k >= 1 && zerosleft > 0; k--) {
+        int run = pos[k] - pos[k - 1] - 1;
+        int row = zerosleft - 1;
+        if (row > 6) row = 6;
+        C[s] = rb_code[row * 16 + run];
+        L[s] = rb_len[row * 16 + run];
+        s++;
+        zerosleft -= run;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
