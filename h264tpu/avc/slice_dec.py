@@ -2,19 +2,24 @@
 
 Decodes real H.264 Annex-B streams — including JM 18.5 ``lencod`` output —
 bit-exactly: I/IDR, P, and B slices (all Table 7-14/7-18 partition and
-sub-partition types incl. spatial direct and B_8x8), CAVLC and CABAC
-entropy (``avc/cabac.py``), intra 4x4/16x16, P_Skip/B_Skip, multi-ref
-sliding-window DPB with MMCO ops 1/5 and short-term ref list
-modification, POC types 0/2 with display-order output, multi-slice
-pictures (spec 6.4.11 slice-restricted availability), mb_qp_delta,
-in-loop deblocking (incl. the two-list B bS derivation).  Decode twin of
-our ``slice_enc``; the JM counterpart is ``JM/ldecod/src/{image.c:809
-decode_one_frame, mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c,
-mc_direct.c}`` (SURVEY §3.5, J17/J18).
+sub-partition types incl. B_8x8), spatial AND temporal direct
+(8.4.1.2.2/8.4.1.2.3), CAVLC and CABAC entropy (``avc/cabac.py``; CABAC
+B slices raise — device encoder side only so far), intra 4x4/16x16 and
+I_PCM, P_Skip/B_Skip, explicit weighted prediction (P uni + B bipred
+combine), multi-ref sliding-window DPB with MMCO ops 1/5 and short-term
+list modification on BOTH lists, FMO slice groups (map types 0/1), POC
+types 0/2 with display-order output keyed by (idr_epoch, poc),
+multi-slice pictures (spec 6.4.11 slice-restricted availability),
+mb_qp_delta, in-loop deblocking (incl. the two-list B bS derivation),
+and per-syntax-element bit statistics (``bit_statistics``, the
+dec_statistics.c analogue).  Decode twin of our ``slice_enc``; the JM
+counterpart is ``JM/ldecod/src/{image.c:809 decode_one_frame,
+mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c, mc_direct.c}``
+(SURVEY §3.5, J17/J18).
 
-Unsupported (raises): fields/MBAFF, FMO>1 slice groups, 4:2:2/4:4:4,
-8x8 transform, weighted prediction, long-term references, temporal
-direct, data partitioning, PCM.
+Unsupported (raises): fields/MBAFF, 4:2:2/4:4:4, 8x8 transform / High
+profile, long-term references (MMCO 2/3/4/6), implicit weighted bipred,
+CABAC B slices, data partitioning, slice_group_map_type 2..6.
 """
 
 from __future__ import annotations
@@ -67,8 +72,14 @@ def parse_pps(rbsp: bytes) -> dict:
     p = dict(pps_id=r.ue(), sps_id=r.ue())
     p["cabac"] = r.u(1)
     p["pic_order_present"] = r.u(1)
-    if r.ue() != 0:                         # num_slice_groups_minus1
-        raise NotImplementedError("FMO")
+    p["slice_groups"] = r.ue() + 1          # FMO (spec 7.3.2.2 / 8.2.2)
+    if p["slice_groups"] > 1:
+        t = r.ue()
+        p["sg_map_type"] = t
+        if t == 0:
+            p["sg_runs"] = [r.ue() + 1 for _ in range(p["slice_groups"])]
+        elif t != 1:
+            raise NotImplementedError("slice_group_map_type 2..6")
     p["num_ref_idx_l0"] = r.ue() + 1
     p["num_ref_idx_l1"] = r.ue() + 1
     p["weighted_pred"] = r.u(1)
@@ -82,6 +93,27 @@ def parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError("constrained intra pred")
     p["redundant_pic_cnt"] = r.u(1)
     return p
+
+
+def _slice_group_map(pps: dict, mb_w: int, mb_h: int) -> np.ndarray:
+    """mapUnitToSliceGroupMap (spec 8.2.2.1/8.2.2.2) -> flat [n_mb]."""
+    n = mb_w * mb_h
+    G = pps["slice_groups"]
+    out = np.zeros(n, np.int64)
+    if pps["sg_map_type"] == 0:
+        runs = pps["sg_runs"]
+        i = 0
+        while i < n:
+            for g in range(G):
+                for _ in range(runs[g]):
+                    if i >= n:
+                        break
+                    out[i] = g
+                    i += 1
+    else:                                   # type 1, dispersed
+        mbs = np.arange(n)
+        out = ((mbs % mb_w) + (((mbs // mb_w) * G) // 2)) % G
+    return out
 
 
 def _te(r: BitReader, max_val: int) -> int:
@@ -119,6 +151,32 @@ class AVCDecoder:
         with open(path, "w") as f:
             for pos, name, val in (self.trace or []):
                 f.write(f"@{pos:<10d} {name:<28s} {val}\n")
+
+    def bit_statistics(self) -> dict:
+        """Per-syntax-element bit accounting from the decode trace —
+        the ``JM/ldecod/src/dec_statistics.c`` analogue.  Requires
+        AVCDecoder(trace=True); returns {element: (count, bits)} where
+        an element's bits run to the next traced element in the same
+        NAL (the final element of each NAL is bounded by its end)."""
+        out = {}
+        tr = self.trace or []
+        for i, (pos, name, _val) in enumerate(tr):
+            if i + 1 < len(tr) and tr[i + 1][0] >= pos:
+                bits = tr[i + 1][0] - pos
+            else:
+                bits = 0
+            c, b = out.get(name, (0, 0))
+            out[name] = (c + 1, b + bits)
+        return out
+
+    def write_statistics(self, path: str):
+        """dec_statistics-style report: element, count, total bits."""
+        stats = self.bit_statistics()
+        with open(path, "w") as f:
+            f.write(f"{'syntax element':<30s} {'count':>8s} {'bits':>10s}\n")
+            for name, (c, b) in sorted(stats.items(),
+                                       key=lambda kv: -kv[1][1]):
+                f.write(f"{name:<30s} {c:>8d} {b:>10d}\n")
 
     def decode(self, stream: bytes, max_frames: int = None):
         """Decode all coded pictures; returns list of (y, u, v) uint8.
@@ -196,7 +254,8 @@ class AVCDecoder:
 
             entry = dict(fn=frame_num, poc=pic["poc"], frame=frame,
                          rp=INTER.RefPlanes(*rec), mv=pic["mv"],
-                         ref=pic.get("col_ref", pic["ref"]))
+                         ref=pic.get("col_ref", pic["ref"]),
+                         ref_poc=pic.get("ref_poc"))
             if pic.get("mmco"):
                 # spec 8.2.5.4 adaptive marking (ops 1 and 5)
                 for op in pic["mmco"]:
@@ -260,12 +319,13 @@ class AVCDecoder:
             poc = msb + lsb
             if ref_idc != 0:
                 self._prev_poc_lsb, self._prev_poc_msb = lsb, msb
+        direct_spatial = True
         if slice_type == 1:
-            if not r.u(1):                  # direct_spatial_mv_pred_flag
-                raise NotImplementedError("temporal direct")
+            direct_spatial = bool(r.u(1))   # else temporal (8.4.1.2.3)
         num_ref = pps["num_ref_idx_l0"]
         num_ref_l1 = pps["num_ref_idx_l1"]
         reorder_ops = []
+        reorder_ops_l1 = []
         if slice_type in (0, 1):
             if r.u(1):                      # override flag
                 num_ref = r.ue() + 1
@@ -281,7 +341,15 @@ class AVCDecoder:
                     else:
                         raise NotImplementedError("long-term reordering")
             if slice_type == 1 and r.u(1):
-                raise NotImplementedError("list1 reordering")
+                while True:                 # ref_pic_list_modification_l1
+                    op = self._tr(r, "modification_of_pic_nums_idc_l1",
+                                  r.ue())
+                    if op == 3:
+                        break
+                    if op in (0, 1):
+                        reorder_ops_l1.append((op, r.ue()))
+                    else:
+                        raise NotImplementedError("long-term reordering")
         wp = None
         if (slice_type == 0 and pps["weighted_pred"]) or \
                 (slice_type == 1 and pps["weighted_bipred_idc"] == 1):
@@ -381,13 +449,13 @@ class AVCDecoder:
             if len(refs1) > 1 and refs1 == entries[:num_ref]:
                 refs1[0], refs1[1] = refs1[1], refs1[0]
             col = refs1[0] if refs1 else None
-        if reorder_ops:
+        def apply_reorder(lst, ops):
             # spec 8.2.4.3.1 short-term modification process
             max_pic_num = max_fn
             pic_num_pred = frame_num
             idx = 0
-            lst = list(entries)
-            for op, d in reorder_ops:
+            lst = list(lst)
+            for op, d in ops:
                 if op == 0:
                     pic_num_no_wrap = pic_num_pred - (d + 1)
                     if pic_num_no_wrap < 0:
@@ -405,14 +473,29 @@ class AVCDecoder:
                 lst.remove(match[0])
                 lst.insert(idx, match[0])
                 idx += 1
-            entries = lst
+            return lst
+
+        if reorder_ops:
+            entries = apply_reorder(entries, reorder_ops)
+        if reorder_ops_l1 and slice_type == 1:
+            l1r = apply_reorder(l1, reorder_ops_l1)
+            refs1 = l1r[:num_ref_l1]
+            col = refs1[0] if refs1 else None
         refs = entries[:num_ref] if slice_type == 1 else entries
 
+        gmap = None
+        mb_seq = None
+        if pps["slice_groups"] > 1:
+            gmap = _slice_group_map(pps, mb_w, mb_h)
+            grp = int(gmap[first_mb])
+            mb_seq = [i for i in np.flatnonzero(gmap == grp)
+                      if i >= first_mb]
         dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
                             mb_w, mb_h, num_ref, first_mb=first_mb, pic=pic,
                             rbsp=rbsp, cabac_init_idc=cabac_init_idc,
                             refs1=refs1, num_ref_l1=num_ref_l1, col=col,
-                            wp=wp)
+                            wp=wp, direct_spatial=direct_spatial,
+                            gmap=gmap, mb_seq=mb_seq)
         dec.run()
         return done
 
@@ -421,9 +504,12 @@ class _SliceDecoder:
     def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
                  num_ref=1, first_mb=0, pic=None, rbsp=None,
                  cabac_init_idc=0, refs1=None, num_ref_l1=1, col=None,
-                 wp=None):
+                 wp=None, direct_spatial=True, gmap=None, mb_seq=None):
         self.top = top
         self.wp = wp
+        self.direct_spatial = direct_spatial
+        self.gmap = gmap                    # FMO slice-group map (flat)
+        self.mb_seq = mb_seq                # this slice's MB decode order
         # refs arrive as DPB entry dicts (or bare RefPlanes in legacy use)
         self.ref_entries = refs
         refs = [e["rp"] if isinstance(e, dict) else e for e in refs]
@@ -474,8 +560,13 @@ class _SliceDecoder:
             self.CB = CB
 
     def _mb_ok(self, mby, mbx):
-        """Same-slice availability of a causal neighbor MB."""
-        return mby * self.mb_w + mbx >= self.first_mb
+        """Same-slice availability of a causal neighbor MB (spec 6.4.11;
+        with FMO the neighbor must share this slice's group)."""
+        mb = mby * self.mb_w + mbx
+        if self.gmap is not None and \
+                self.gmap[mb] != self.gmap[self.first_mb]:
+            return False
+        return mb >= self.first_mb
 
     # --- nC contexts (same derivation as the encoder) ---
     def _nc_luma(self, by, bx):
@@ -500,24 +591,27 @@ class _SliceDecoder:
         if self.cabac:
             return self._run_cabac()
         n_mb = self.mb_w * self.mb_h
-        mb = self.first_mb
+        seq = self.mb_seq if self.mb_seq is not None else \
+            range(self.first_mb, n_mb)
+        seq = list(seq)
+        i = 0
         r = self.r
-        while mb < n_mb and r.pos < self._stop:
+        while i < len(seq) and r.pos < self._stop:
             if self.slice_type in (0, 1):
                 skip_run = self.top._tr(r, "mb_skip_run", r.ue())
                 for _ in range(skip_run):
                     if self.slice_type == 1:
-                        self._decode_b_direct(mb, skip=True)
+                        self._decode_b_direct(seq[i], skip=True)
                     else:
-                        self._decode_skip(mb)
-                    mb += 1
-                if mb >= n_mb or r.pos >= self._stop:
+                        self._decode_skip(seq[i])
+                    i += 1
+                if i >= len(seq) or r.pos >= self._stop:
                     break
             if self.slice_type == 1:
-                self._decode_b_mb(mb)
+                self._decode_b_mb(seq[i])
             else:
-                self._decode_mb(mb)
-            mb += 1
+                self._decode_mb(seq[i])
+            i += 1
         return self._finish_slice()
 
     def _finish_slice(self):
@@ -532,6 +626,9 @@ class _SliceDecoder:
                     ref_ids[self.mvf.ref == i] = e["poc"]
                 self.pic["mv"][d] = self.mvf.mv[d]
                 self.pic["ref"][d] = ref_ids[d]
+                self.pic.setdefault(
+                    "ref_poc", np.full_like(self.mvf.ref, -1))[d] = \
+                    ref_ids[d]
                 # colocated data for later direct derivation keeps LIST
                 # indices (refIdxCol semantics), not the POC ids the
                 # deblock ctx wants — a reference B in the DPB (hier-B)
@@ -548,14 +645,21 @@ class _SliceDecoder:
             else:
                 self.pic["mv"][d] = self.mvf.mv[d]
                 self.pic["ref"][d] = self.mvf.ref[d]
+                ref_pocs = np.full_like(self.mvf.ref, -1)
+                for i, e in enumerate(self.ref_entries):
+                    if isinstance(e, dict):
+                        ref_pocs[self.mvf.ref == i] = e["poc"]
+                self.pic.setdefault(
+                    "ref_poc", np.full_like(self.mvf.ref, -1))[d] = \
+                    ref_pocs[d]
         return self.rec_y, self.rec_u, self.rec_v
 
     def _run_cabac(self):
         n_mb = self.mb_w * self.mb_h
-        mb = self.first_mb
-        while mb < n_mb:
+        seq = self.mb_seq if self.mb_seq is not None else \
+            range(self.first_mb, n_mb)
+        for mb in seq:
             self._decode_mb_cabac(mb)
-            mb += 1
             if self.crd.end_of_slice():
                 break
         return self._finish_slice()
@@ -812,6 +916,22 @@ class _SliceDecoder:
             self.i4_modes[by:by + 4, bx:bx + 4] = -1
             self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
                                          intra=True, ch_mode=ch_mode)
+        elif intra_type == 25:               # I_PCM (spec 7.3.5 / 8.3.5)
+            r.align()                        # pcm_alignment_zero_bit(s)
+            y0, x0 = mby * 16, mbx * 16
+            cy0, cx0 = mby * 8, mbx * 8
+            self.rec_y[y0:y0 + 16, x0:x0 + 16] = np.array(
+                [r.u(8) for _ in range(256)], np.int64).reshape(16, 16)
+            self.rec_u[cy0:cy0 + 8, cx0:cx0 + 8] = np.array(
+                [r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
+            self.rec_v[cy0:cy0 + 8, cx0:cx0 + 8] = np.array(
+                [r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
+            # spec: PCM MBs count TotalCoeff 16 for nC and deblock as
+            # max-strength intra with QP 0
+            self.st_nnz[by:by + 4, bx:bx + 4] = 16
+            self.nnz_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
+            self.i4_modes[by:by + 4, bx:bx + 4] = -1
+            self.mb_qp[mby, mbx] = 0
         else:
             raise NotImplementedError(f"intra mb_type {intra_type} (PCM?)")
 
@@ -1237,37 +1357,109 @@ def _b_mc_bi(self, mby, mbx, pred_parts):
     self.rec_v[cy:cy + 8, cx:cx + 8] = pv
 
 
-def _b_direct_pred(self, mby, mbx):
-    """Spatial direct derivation + MC for one MB; commits MV fields.
+def _b_direct_cells(self, mby, mbx):
+    """Per-4x4-cell direct motion of one MB -> (ref0 [4,4], mv0 [4,4,2],
+    ref1 [4,4], mv1 [4,4,2]); ref < 0 = list unused for that cell.
 
-    Returns the prediction tuple."""
-    from .slice_enc import spatial_direct_16x16, _mc_16x16_cells
+    Spatial per spec 8.4.1.2.2 (list-uniform except colZero quadrants) or
+    temporal per 8.4.1.2.3 (per-quadrant scaled colocated motion,
+    direct_8x8_inference_flag = 1; JM twin ldecod mc_direct.c:25)."""
+    from .slice_enc import spatial_direct_16x16
     by, bx = mby * 4, mbx * 4
-    col_mv = self.col["mv"] if self.col else np.zeros_like(self.mvf.mv)
-    col_ref = self.col["ref"] if self.col else \
-        np.full_like(self.mvf.ref, -1)
-    r0, r1, mv0c, mv1c, used0, used1 = spatial_direct_16x16(
-        self.mvf, self.mvf1, by, bx, col_mv, col_ref)
-    preds = []
-    if used0:
-        preds.append(_mc_16x16_cells(self.refs[r0], mby * 16, mbx * 16,
-                                     mv0c))
-        for cy4 in range(4):
-            for cx4 in range(4):
-                self.mvf.set_partition(by + cy4, bx + cx4, 1, 1,
-                                       mv0c[cy4, cx4], r0)
-    else:
-        self.mvf.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
-    if used1:
-        preds.append(_mc_16x16_cells(self.refs1[r1], mby * 16, mbx * 16,
-                                     mv1c))
-        for cy4 in range(4):
-            for cx4 in range(4):
-                self.mvf1.set_partition(by + cy4, bx + cx4, 1, 1,
-                                        mv1c[cy4, cx4], r1)
-    else:
-        self.mvf1.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
-    return preds
+    ref0 = np.full((4, 4), -1, np.int64)
+    ref1 = np.full((4, 4), -1, np.int64)
+    mv0 = np.zeros((4, 4, 2), np.int64)
+    mv1 = np.zeros((4, 4, 2), np.int64)
+    if self.direct_spatial:
+        col_mv = self.col["mv"] if self.col else np.zeros_like(self.mvf.mv)
+        col_ref = self.col["ref"] if self.col else \
+            np.full_like(self.mvf.ref, -1)
+        r0, r1, mv0c, mv1c, used0, used1 = spatial_direct_16x16(
+            self.mvf, self.mvf1, by, bx, col_mv, col_ref)
+        if used0:
+            ref0[:] = r0
+            mv0[:] = mv0c
+        if used1:
+            ref1[:] = r1
+            mv1[:] = mv1c
+        return ref0, mv0, ref1, mv1
+
+    # temporal direct: both lists always used; refIdxL1 = 0
+    poc_cur = self.pic["poc"] if self.pic is not None else 0
+    col = self.col
+    poc_l1 = self.refs1_entries[0]["poc"]
+    l0_pocs = [e["poc"] for e in self.ref_entries]
+    col_rp = col.get("ref_poc") if col else None
+    for qy in range(2):
+        for qx in range(2):
+            cc_y, cc_x = by + 3 * qy, bx + 3 * qx   # corner cell (8x8 inf)
+            if col is None or col_rp is None:
+                mv_col = np.zeros(2, np.int64)
+                rp_col = -1
+            else:
+                mv_col = col["mv"][cc_y, cc_x]
+                rp_col = int(col_rp[cc_y, cc_x])
+            if rp_col < 0:                          # intra colocated
+                r0i = 0
+                mv_col = np.zeros(2, np.int64)
+            else:
+                r0i = l0_pocs.index(rp_col) if rp_col in l0_pocs else 0
+            poc_ref = l0_pocs[r0i]
+            tb = min(max(poc_cur - poc_ref, -128), 127)
+            td = min(max(poc_l1 - poc_ref, -128), 127)
+            sl = (slice(2 * qy, 2 * qy + 2), slice(2 * qx, 2 * qx + 2))
+            ref0[sl] = r0i
+            ref1[sl] = 0
+            if td == 0:
+                mv0[sl] = mv_col
+                mv1[sl] = 0
+            else:
+                q = 16384 + abs(td) // 2
+                tx = q // td if td > 0 else -(q // -td)
+                dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+                m0 = np.array([(dsf * int(mv_col[0]) + 128) >> 8,
+                               (dsf * int(mv_col[1]) + 128) >> 8], np.int64)
+                mv0[sl] = m0
+                mv1[sl] = m0 - mv_col
+    return ref0, mv0, ref1, mv1
+
+
+def _b_direct_pred(self, mby, mbx):
+    """Direct derivation + per-cell MC for one MB; commits MV fields.
+
+    Returns [(py, pu, pv)] (already list-combined)."""
+    by, bx = mby * 4, mbx * 4
+    ref0, mv0, ref1, mv1 = self._b_direct_cells(mby, mbx)
+    py = np.zeros((16, 16), np.int64)
+    pu = np.zeros((8, 8), np.int64)
+    pv = np.zeros((8, 8), np.int64)
+    for cy4 in range(4):
+        for cx4 in range(4):
+            py_, px_ = (by + cy4) * 4, (bx + cx4) * 4
+            acc = []
+            for lst, (refc, mvc, refs) in enumerate(
+                    ((ref0, mv0, self.refs), (ref1, mv1, self.refs1))):
+                ri = int(refc[cy4, cx4])
+                if ri < 0:
+                    continue
+                mv = mvc[cy4, cx4]
+                rp = refs[ri]
+                acc.append((lst, ri,
+                            (rp.luma_block(py_, px_, 4, 4,
+                                           int(mv[0]), int(mv[1])),
+                             rp.chroma_block("u", py_ // 2, px_ // 2, 2, 2,
+                                             int(mv[0]), int(mv[1])),
+                             rp.chroma_block("v", py_ // 2, px_ // 2, 2, 2,
+                                             int(mv[0]), int(mv[1])))))
+            pl, puc, pvc = self._wp_combine(acc)
+            py[cy4 * 4:cy4 * 4 + 4, cx4 * 4:cx4 * 4 + 4] = pl
+            pu[cy4 * 2:cy4 * 2 + 2, cx4 * 2:cx4 * 2 + 2] = puc
+            pv[cy4 * 2:cy4 * 2 + 2, cx4 * 2:cx4 * 2 + 2] = pvc
+            self.mvf.set_partition(by + cy4, bx + cx4, 1, 1,
+                                   mv0[cy4, cx4], int(ref0[cy4, cx4]))
+            self.mvf1.set_partition(by + cy4, bx + cx4, 1, 1,
+                                    mv1[cy4, cx4], int(ref1[cy4, cx4]))
+    return [(py, pu, pv)]
 
 
 def _b_decode_direct(self, mb, skip=False):
@@ -1398,6 +1590,7 @@ def _b_decode_mb(self, mb):
 
 _SliceDecoder._decode_b_mb = _b_decode_mb
 _SliceDecoder._decode_b_direct = _b_decode_direct
+_SliceDecoder._b_direct_cells = _b_direct_cells
 _SliceDecoder._b_direct_pred = _b_direct_pred
 _SliceDecoder._b_mc_bi = _b_mc_bi
 
@@ -1426,13 +1619,9 @@ def _b_decode_8x8(self, mb):
         raise ValueError("bad B sub_mb_type")
     kinds = [_B_SUB[sx][0] for sx in subs]
 
-    # MB-level spatial direct derivation (once; used by direct 8x8s)
+    # MB-level direct derivation (once; used by direct 8x8s)
     if "direct" in kinds:
-        col_mv = self.col["mv"] if self.col else np.zeros_like(self.mvf.mv)
-        col_ref = self.col["ref"] if self.col else \
-            np.full_like(self.mvf.ref, -1)
-        r0d, r1d, mv0c, mv1c, used0d, used1d = spatial_direct_16x16(
-            self.mvf, self.mvf1, by, bx, col_mv, col_ref)
+        ref0d, mv0d, ref1d, mv1d = self._b_direct_cells(mby, mbx)
         for b8 in range(4):
             if kinds[b8] != "direct":
                 continue
@@ -1440,18 +1629,12 @@ def _b_decode_8x8(self, mb):
             for cy in range(2):
                 for cx4 in range(2):
                     cyy, cxx = dy8 + cy, dx8 + cx4
-                    if used0d:
-                        self.mvf.set_partition(by + cyy, bx + cxx, 1, 1,
-                                               mv0c[cyy, cxx], r0d)
-                    else:
-                        self.mvf.set_partition(by + cyy, bx + cxx, 1, 1,
-                                               np.zeros(2, np.int64), -1)
-                    if used1d:
-                        self.mvf1.set_partition(by + cyy, bx + cxx, 1, 1,
-                                                mv1c[cyy, cxx], r1d)
-                    else:
-                        self.mvf1.set_partition(by + cyy, bx + cxx, 1, 1,
-                                                np.zeros(2, np.int64), -1)
+                    self.mvf.set_partition(by + cyy, bx + cxx, 1, 1,
+                                           mv0d[cyy, cxx],
+                                           int(ref0d[cyy, cxx]))
+                    self.mvf1.set_partition(by + cyy, bx + cxx, 1, 1,
+                                            mv1d[cyy, cxx],
+                                            int(ref1d[cyy, cxx]))
 
     ris0 = [0] * 4
     ris1 = [0] * 4

@@ -875,6 +875,7 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             is_intra = jnp.bool_(True)
             is_skip = jnp.bool_(False)
             win_m = jnp.int32(0)
+            emit_m = jnp.int32(0)
             win_r = jnp.int32(0)
             win_mvs = jnp.zeros((4, 2), jnp.int32)
             win_mvds = jnp.zeros((4, 2), jnp.int32)
@@ -998,8 +999,36 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             predv_sk = _chroma_block(ref_vs[0], cy0, cx0,
                                      smv[0], smv[1], 8, 8, PC)
 
+            # ---- zero-MVD candidate: 16x16/ref0 AT the spec median
+            # predictor (mvd = 0 costs ~3 header bits — the ME lattice
+            # optimized against an approximate predictor, so the exact-
+            # predictor point is often missing at high QP) ----
+            pm0 = _predict_mv(st["mv"], st["ref"], ov0_mv, ov0_ref,
+                              by0, bx0, by0, bx0, 4, jnp.int32(0),
+                              "none", sh4, w4)
+            pred16_pm = _gather_block(ref_ups[0], y0, x0,
+                                      pm0[0], pm0[1], 16, 16, P)
+            predu_pm = _chroma_block(ref_us[0], cy0, cx0,
+                                     pm0[0], pm0[1], 8, 8, PC)
+            predv_pm = _chroma_block(ref_vs[0], cy0, cx0,
+                                     pm0[0], pm0[1], 8, 8, PC)
+            pred16_modes = jnp.concatenate(
+                [pred16_modes, pred16_pm[None]])          # [5,16,16]
+            predu_modes = jnp.concatenate([predu_modes, predu_pm[None]])
+            predv_modes = jnp.concatenate([predv_modes, predv_pm[None]])
+            hdr_bits_m = jnp.concatenate(
+                [hdr_bits_m,
+                 (3.0 + te_bits_t(jnp.int32(0), n_valid)
+                  .astype(jnp.float32))[None]])
+            ref_m = jnp.concatenate([ref_m, jnp.zeros(1, jnp.int32)])
+            mvds_m = jnp.concatenate(
+                [mvds_m, jnp.zeros((1, 4, 2), jnp.int32)])
+            mvs_m = jnp.concatenate(
+                [mvs_m, jnp.broadcast_to(pm0, (1, 4, 2))])
+
             # ---- stage 2: full RD — code every mode's residual, cost =
             # reconstruction SSD (Y+U+V) + lambda_mode * true bits ----
+            M = pred16_modes.shape[0]                           # 5 modes
             zzc_m, rec_m, cbpL_m, fadj_m = jax.vmap(
                 _code_inter_luma, in_axes=(None, 0, None, None))(
                     org16, pred16_modes, qp, ar_p)
@@ -1010,25 +1039,25 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             ssd_m = ((org16[None] - rec_m) ** 2).sum(axis=(1, 2)) \
                 + ((org_u8[None] - crecs_m[:, 0]) ** 2).sum(axis=(1, 2)) \
                 + ((org_v8[None] - crecs_m[:, 1]) ** 2).sum(axis=(1, 2))
-            cbp_m = cbpL_m | (cbpC_m << 4)                      # [4]
+            cbp_m = cbpL_m | (cbpC_m << 4)                      # [M]
             cbp_ue_m = ue_bits(_CBP_INTER_J[cbp_m])
             lum_bits = CJ.block_bits_est(
-                zzc_m.reshape(4 * 16, 16),
-                jnp.zeros(4 * 16, jnp.int32), 16).reshape(4, 16)
+                zzc_m.reshape(M * 16, 16),
+                jnp.zeros(M * 16, jnp.int32), 16).reshape(M, 16)
             blk_coded = ((cbpL_m[:, None] >> (jnp.arange(16) // 4)) & 1) > 0
             lum_bits = jnp.where(blk_coded, lum_bits, 0).sum(-1)
             cdc_bits = CJ.block_bits_est(
-                dcl_m.reshape(4 * 2, 4), jnp.zeros(8, jnp.int32), 4,
-                chroma_dc=True).reshape(4, 2).sum(-1)
+                dcl_m.reshape(M * 2, 4), jnp.zeros(M * 2, jnp.int32), 4,
+                chroma_dc=True).reshape(M, 2).sum(-1)
             cac_bits = CJ.block_bits_est(
-                acz_m.reshape(4 * 8, 15),
-                jnp.zeros(4 * 8, jnp.int32), 15).reshape(4, 8).sum(-1)
+                acz_m.reshape(M * 8, 15),
+                jnp.zeros(M * 8, jnp.int32), 15).reshape(M, 8).sum(-1)
             res_bits_m = lum_bits + jnp.where(cbpC_m >= 1, cdc_bits, 0) \
                 + jnp.where(cbpC_m == 2, cac_bits, 0)
             bits_m = hdr_bits_m + 1.0 + cbp_ue_m.astype(jnp.float32) \
                 + (cbp_m > 0).astype(jnp.float32) \
                 + res_bits_m.astype(jnp.float32)
-            cost_inter = ssd_m.astype(jnp.float32) + lam * bits_m    # [4]
+            cost_inter = ssd_m.astype(jnp.float32) + lam * bits_m    # [M]
             cost_inter = jnp.where(forced, BIG, cost_inter)
 
             ssd_sk = ((org16 - pred16_sk) ** 2).sum() \
@@ -1057,11 +1086,11 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
             costs = jnp.concatenate(
                 [cost_sk[None], cost_inter, jnp.stack([i16_cost, i4_cost])])
-            win = jnp.argmin(costs)                              # [7]
+            win = jnp.argmin(costs)                              # [M+3]
             skip_cand = win == 0
-            is_intra = win >= 5
-            use_i16 = win == 5
-            win_m = jnp.clip(win - 1, 0, 3).astype(jnp.int32)
+            is_intra = win >= M + 1
+            use_i16 = win == M + 1
+            win_m = jnp.clip(win - 1, 0, M - 1).astype(jnp.int32)
             win_m = jnp.where(skip_cand | is_intra, 0, win_m)
             win_r = jnp.where(skip_cand | is_intra, 0, ref_m[win_m])
             win_mvds = jnp.where(skip_cand | is_intra, 0, mvds_m[win_m])
@@ -1084,10 +1113,12 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             pred_u8 = jnp.where(skip_cand, predu_sk, predu_modes[win_m])
             pred_v8 = jnp.where(skip_cand, predv_sk, predv_modes[win_m])
 
+            # the zero-MVD candidate (mode index M-1) EMITS as P_16x16
+            emit_m = jnp.where(win_m == M - 1, 0, win_m)
             # emit as P_Skip: the explicit candidate, or a 16x16/ref0
             # winner that happens to match the skip derivation with cbp 0
             is_skip = skip_cand | (
-                (~is_intra) & (win_m == 0) & (win_r == 0)
+                (~is_intra) & (emit_m == 0) & (win_r == 0)
                 & (cbp_bits_int == 0) & (cbp_c_int == 0)
                 & (win_mvs[0, 0] == smv[0]) & (win_mvs[0, 1] == smv[1]))
 
@@ -1138,7 +1169,7 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                                (cac_out != 0).sum(-1), 0)     # [2,2,2]
 
         i4m_cells = jnp.where(sel_i4, i4["modes_cells"], -1)
-        mv_cells = jnp.where(sel_intra, 0, win_mvs[_PART_MAP[win_m]])
+        mv_cells = jnp.where(sel_intra, 0, win_mvs[_PART_MAP[emit_m]])
         ref_cells = jnp.where(sel_intra, -1,
                               jnp.broadcast_to(win_r, (4, 4)))
 
@@ -1172,7 +1203,7 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
         win_code = jnp.where(sel_i16, 6,
                              jnp.where(sel_i4, 5,
-                                       jnp.where(is_skip, 0, 1 + win_m)))
+                                       jnp.where(is_skip, 0, 1 + emit_m)))
         out = dict(
             win=win_code.astype(jnp.int32),
             ri=jnp.where(sel_intra, 0, win_r).astype(jnp.int32),

@@ -114,6 +114,10 @@ class BitReader:
             out = (out << 1) | int(bit)
         return out
 
+    def align(self):
+        """Skip to the next byte boundary (pcm_alignment_zero_bit)."""
+        self.pos += (-self.pos) % 8
+
     def u_array(self, count: int, nbits: int) -> np.ndarray:
         """Vectorized read of `count` fixed-width codes."""
         total = count * nbits
