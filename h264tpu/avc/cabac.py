@@ -130,6 +130,7 @@ class MBState:
         self.mvd1 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
         self.ref1 = np.zeros((mb_h * 4, mb_w * 4), np.int64)
         self.direct = np.zeros((mb_h * 4, mb_w * 4), bool)
+        self.btype0 = np.zeros((mb_h, mb_w), bool)   # B mb_type == 0
         self.cipred = np.zeros((mb_h, mb_w), np.int64)
         self.first_mb = 0
         self.last_dqp = 0
@@ -210,11 +211,12 @@ class _Common:
         return 1 if self.st.last_dqp != 0 else 0
 
     def b_mbtype_ctx(self):
-        """B mb_type bin-0 ctx: neighbor mb_type != 0 (direct counts 0
-        even with coefficients; writeMB_B_typeInfo_CABAC)."""
+        """B mb_type bin-0 ctx: neighbor MB-level mb_type != 0 (skip and
+        B_Direct_16x16 count 0 even with coefficients, but a B_8x8 with
+        direct sub-blocks counts 1; writeMB_B_typeInfo_CABAC)."""
         st, mby, mbx = self.st, self.mby, self.mbx
-        b = 1 if (self.up and not st.direct[(mby - 1) * 4, mbx * 4]) else 0
-        a = 1 if (self.left and not st.direct[mby * 4, (mbx - 1) * 4]) else 0
+        b = 1 if (self.up and not st.btype0[mby - 1, mbx]) else 0
+        a = 1 if (self.left and not st.btype0[mby, mbx - 1]) else 0
         return a + b
 
     # --- cell neighbors (luma 4x4 / chroma 2x2 grids) ---
@@ -751,16 +753,69 @@ class CabacReader:
             return 1
         return 2 if self.dec.bit(B + 4) else 3
 
-    def ref_idx(self, c: _Common, by, bx):
-        if self.dec.bit(OFF_REF_NO + c.ref_ctx(by, bx)) == 0:
+    def ref_idx(self, c: _Common, by, bx, lst: int = 0):
+        if self.dec.bit(OFF_REF_NO + c.ref_ctx(by, bx, lst)) == 0:
             return 0
         return 1 + self._unary(OFF_REF_NO + 4, OFF_REF_NO + 5)
 
-    def mvd(self, c: _Common, by, bx, comp):
-        if self.dec.bit(OFF_MV_RES + c.mvd_ctx(by, bx, comp)) == 0:
+    def mvd(self, c: _Common, by, bx, comp, lst: int = 0):
+        if self.dec.bit(OFF_MV_RES + c.mvd_ctx(by, bx, comp, lst)) == 0:
             return 0
         a = 1 + self._ueg_mv(OFF_MV_RES + 10 + 5 * comp)
         return -a if self.dec.bypass() else a
+
+    # ---- B-slice syntax readers (decode twins of the writers above) ----
+    def mb_skip_flag_b(self, c: _Common) -> bool:
+        return self.dec.bit(OFF_MB_TYPE + 22 + 7 + c.skip_ctx()) == 1
+
+    def mb_type_b_slice(self, c: _Common):
+        """-> (mb_type 0..23, None) or (24+, i16_code) or (25x PCM...):
+        returns (mb_type, i16_code) where mb_type 23 = I_4x4, 24 = I16
+        marker (code 1..24), 25 = PCM."""
+        B = OFF_MB_TYPE + 22
+        if self.dec.bit(B + c.b_mbtype_ctx()) == 0:
+            return 0, None
+        if self.dec.bit(B + 4) == 0:
+            return 1 + self.dec.bit(B + 6), None
+        if self.dec.bit(B + 5) == 0:
+            t = self.dec.bit(B + 6) << 2
+            t |= self.dec.bit(B + 6) << 1
+            t |= self.dec.bit(B + 6)
+            return 3 + t, None
+        b0 = self.dec.bit(B + 6)
+        b1 = self.dec.bit(B + 6)
+        if b0 == 1 and b1 == 1:              # act 11 / 22
+            return (22 if self.dec.bit(B + 6) else 11), None
+        t = (b0 << 3) | (b1 << 2)
+        t |= self.dec.bit(B + 6) << 1
+        t |= self.dec.bit(B + 6)
+        if t <= 9:
+            return 12 + t, None
+        if t == 10:
+            return 23, None                  # I_4x4
+        # t == 11: 16x16-intra escape
+        M = OFF_MB_TYPE + 11
+        if self.dec.terminate():
+            return 25, None                  # PCM
+        return 24, 1 + self._i16_suffix(M + 8, M + 9, M + 9,
+                                        M + 10, M + 10)
+
+    def sub_mb_type_b(self):
+        """B sub_mb_type 0..12 (writeB8_B_typeInfo_CABAC twin)."""
+        B = OFF_B8_TYPE + 9                  # b8_type_contexts[1]
+        if self.dec.bit(B + 0) == 0:
+            return 0
+        if self.dec.bit(B + 1) == 0:
+            return 1 + self.dec.bit(B + 3)
+        if self.dec.bit(B + 2) == 0:
+            t = self.dec.bit(B + 3) << 1
+            t |= self.dec.bit(B + 3)
+            return 3 + t
+        if self.dec.bit(B + 3):
+            return 7 + 4 + self.dec.bit(B + 3)      # act-1-6 has bit2 set
+        t = self.dec.bit(B + 3) << 1
+        t |= self.dec.bit(B + 3)
+        return 7 + t
 
     def intra_pred_mode(self):
         """-> (prev_flag, rem)."""

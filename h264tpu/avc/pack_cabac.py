@@ -232,6 +232,7 @@ def pack_b_slice_cabac(sym, p: AVCParams, qp: int, frame_num: int,
         skip = wc == 0
         wtr.mb_skip_flag_b(c, skip)
         st.skip[mby, mbx] = skip
+        st.btype0[mby, mbx] = wc in (0, 1)   # skip / B_Direct_16x16
         if skip:
             st.cat[mby, mbx] = CB.MBState.CAT_SKIP
             st.cbp[mby, mbx] = 0

@@ -3,9 +3,9 @@
 Decodes real H.264 Annex-B streams — including JM 18.5 ``lencod`` output —
 bit-exactly: I/IDR, P, and B slices (all Table 7-14/7-18 partition and
 sub-partition types incl. B_8x8), spatial AND temporal direct
-(8.4.1.2.2/8.4.1.2.3), CAVLC and CABAC entropy (``avc/cabac.py``; CABAC
-B slices raise — device encoder side only so far), intra 4x4/16x16 and
-I_PCM, P_Skip/B_Skip, explicit weighted prediction (P uni + B bipred
+(8.4.1.2.2/8.4.1.2.3), CAVLC and CABAC entropy for ALL slice types
+(``avc/cabac.py``; Table 9-37 B mb_type + Table 9-38 B sub_mb_type
+readers), intra 4x4/16x16 and I_PCM, P_Skip/B_Skip, explicit weighted prediction (P uni + B bipred
 combine), multi-ref sliding-window DPB with MMCO ops 1/5 and short-term
 list modification on BOTH lists, FMO slice groups (map types 0/1), POC
 types 0/2 with display-order output keyed by (idr_epoch, poc),
@@ -19,7 +19,7 @@ mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c, mc_direct.c}``
 
 Unsupported (raises): fields/MBAFF, 4:2:2/4:4:4, 8x8 transform / High
 profile, long-term references (MMCO 2/3/4/6), implicit weighted bipred,
-CABAC B slices, data partitioning, slice_group_map_type 2..6.
+data partitioning, slice_group_map_type 2..6.
 """
 
 from __future__ import annotations
@@ -391,10 +391,6 @@ class AVCDecoder:
                             raise NotImplementedError(f"MMCO op {op}")
         cabac_init_idc = 0
         if pps["cabac"] and slice_type != 2:
-            if slice_type == 1:
-                # _decode_mb_cabac has no B-slice syntax readers yet; a
-                # Main-profile B+CABAC stream would decode to garbage
-                raise NotImplementedError("CABAC B slices")
             cabac_init_idc = r.ue()
         qp = pps["pic_init_qp"] + self._tr(r, "slice_qp_delta", r.se())
         disable_dbl = 0
@@ -1059,6 +1055,26 @@ def _cabac_decode_mb(self, mb):
     by, bx = mby * 4, mbx * 4
     p_slice = self.slice_type == 0
 
+    if self.slice_type == 1:                 # B slice
+        c0 = CB._Common(cst, mby, mbx, intra=False)
+        skip = rd.mb_skip_flag_b(c0)
+        cst.skip[mby, mbx] = skip
+        if skip:
+            cst.btype0[mby, mbx] = True
+            self._decode_b_direct(mb, skip=True)
+            cst.cat[mby, mbx] = CB.MBState.CAT_SKIP
+            cst.cbp[mby, mbx] = 0
+            cst.cipred[mby, mbx] = 0
+            cst.last_dqp = 0
+            sl4 = (slice(by, by + 4), slice(bx, bx + 4))
+            cst.direct[sl4] = True
+            cst.ref[sl4] = 0
+            cst.ref1[sl4] = 0
+            cst.mvd[sl4] = 0
+            cst.mvd1[sl4] = 0
+            return
+        return self._decode_b_mb_cabac(mb)
+
     if p_slice:
         c0 = CB._Common(cst, mby, mbx, intra=False)
         skip = rd.mb_skip_flag(c0)
@@ -1679,7 +1695,13 @@ def _b_decode_8x8(self, mb):
             self.mvf1.set_partition(by + dy8, bx + dx8, 2, 2,
                                     np.zeros(2, np.int64), -1)
 
-    # MC
+    self._b_8x8_mc(mb, subs, kinds, ris0, ris1, mvs0, mvs1)
+
+
+def _b_8x8_mc(self, mb, subs, kinds, ris0, ris1, mvs0, mvs1):
+    """Per-sub-block MC of a B_8x8 MB (shared CAVLC/CABAC)."""
+    mby, mbx = mb // self.mb_w, mb % self.mb_w
+    by, bx = mby * 4, mbx * 4
     y0, x0 = mby * 16, mbx * 16
     for b8 in range(4):
         dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
@@ -1753,3 +1775,253 @@ def _b_decode_8x8(self, mb):
 
 
 _SliceDecoder._decode_b_8x8 = _b_decode_8x8
+_SliceDecoder._b_8x8_mc = _b_8x8_mc
+
+
+def _b_decode_mb_cabac(self, mb):
+    """Parse + reconstruct one B MB with CABAC (Table 9-37 mb_type,
+    per-list mvd/ref contexts; ldecod read_one_macroblock_b_slice_cabac
+    semantics).  mb_skip_flag is read by the caller."""
+    CB = self.CB
+    rd = self.crd
+    cst = self.cst
+    mby, mbx = mb // self.mb_w, mb % self.mb_w
+    by, bx = mby * 4, mbx * 4
+    sl4 = (slice(by, by + 4), slice(bx, bx + 4))
+
+    c0 = CB._Common(cst, mby, mbx, intra=False)
+    mb_type, i16_code = rd.mb_type_b_slice(c0)
+    cst.btype0[mby, mbx] = mb_type == 0
+    if mb_type == 25:
+        raise NotImplementedError("PCM in CABAC B")
+
+    if mb_type >= 23:                        # intra
+        intra_type = 0 if mb_type == 23 else i16_code
+        c = CB._Common(cst, mby, mbx, intra=True)
+        self._cabac_intra_mb(mby, mbx, intra_type, c)
+        self.mvf.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+        self.mvf1.set_partition(by, bx, 4, 4, np.zeros(2, np.int64), -1)
+        self.mb_intra[mby, mbx] = True
+        cst.cat[mby, mbx] = CB.MBState.CAT_I4 if intra_type == 0 \
+            else CB.MBState.CAT_I16
+        cst.direct[sl4] = False
+        return
+
+    self.mb_intra[mby, mbx] = False
+    cst.cat[mby, mbx] = CB.MBState.CAT_INTER
+    cst.cipred[mby, mbx] = 0
+    c = CB._Common(cst, mby, mbx, intra=False)
+
+    if mb_type == 0:                         # B_Direct_16x16
+        preds = self._b_direct_pred(mby, mbx)
+        self._b_mc_bi(mby, mbx, preds)
+        cst.direct[sl4] = True
+        cst.ref[sl4] = 0
+        cst.ref1[sl4] = 0
+        cst.mvd[sl4] = 0
+        cst.mvd1[sl4] = 0
+    elif mb_type == 22:                      # B_8x8
+        subs = [rd.sub_mb_type_b() for _ in range(4)]
+        self._b_8x8_body_cabac(mb, subs)
+    else:
+        L0, L1, BI = 1, 2, 3
+        if mb_type <= 3:
+            parts = [((0, 0, 4, 4), "none")]
+            modes = [(L0, L1, BI)[mb_type - 1]]
+        else:
+            idx = mb_type - 4
+            pair = [(L0, L0), (L1, L1), (L0, L1), (L1, L0), (L0, BI),
+                    (L1, BI), (BI, L0), (BI, L1), (BI, BI)][idx // 2]
+            if idx % 2 == 0:
+                parts = [((0, 0, 4, 2), "16x8_top"),
+                         ((2, 0, 4, 2), "16x8_bot")]
+            else:
+                parts = [((0, 0, 2, 4), "8x16_left"),
+                         ((0, 2, 2, 4), "8x16_right")]
+            modes = list(pair)
+        use0 = [m in (L0, BI) for m in modes]
+        use1 = [m in (L1, BI) for m in modes]
+        cst.direct[sl4] = False
+        ris0 = [0] * len(parts)
+        ris1 = [0] * len(parts)
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            psl = (slice(by + dy4, by + dy4 + h4),
+                   slice(bx + dx4, bx + dx4 + w4))
+            if use0[pi] and self.num_ref > 1:
+                ris0[pi] = rd.ref_idx(c, by + dy4, bx + dx4, lst=0)
+            cst.ref[psl] = ris0[pi] if use0[pi] else 0
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            psl = (slice(by + dy4, by + dy4 + h4),
+                   slice(bx + dx4, bx + dx4 + w4))
+            if use1[pi] and self.num_ref_l1 > 1:
+                ris1[pi] = rd.ref_idx(c, by + dy4, bx + dx4, lst=1)
+            cst.ref1[psl] = ris1[pi] if use1[pi] else 0
+        mvs0 = [None] * len(parts)
+        mvs1 = [None] * len(parts)
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            psl = (slice(by + dy4, by + dy4 + h4),
+                   slice(bx + dx4, bx + dx4 + w4))
+            if use0[pi]:
+                pmv = self.mvf.predict(by + dy4, bx + dx4, w4, h4,
+                                       ris0[pi], tag)
+                dx = rd.mvd(c, by + dy4, bx + dx4, 0, lst=0)
+                dy = rd.mvd(c, by + dy4, bx + dx4, 1, lst=0)
+                cst.mvd[psl] = (dx, dy)
+                mv = pmv + np.array([dx, dy], np.int64)
+                self.mvf.set_partition(by + dy4, bx + dx4, w4, h4, mv,
+                                       ris0[pi])
+                mvs0[pi] = mv
+            else:
+                cst.mvd[psl] = 0
+                self.mvf.set_partition(by + dy4, bx + dx4, w4, h4,
+                                       np.zeros(2, np.int64), -1)
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            psl = (slice(by + dy4, by + dy4 + h4),
+                   slice(bx + dx4, bx + dx4 + w4))
+            if use1[pi]:
+                pmv = self.mvf1.predict(by + dy4, bx + dx4, w4, h4,
+                                        ris1[pi], tag)
+                dx = rd.mvd(c, by + dy4, bx + dx4, 0, lst=1)
+                dy = rd.mvd(c, by + dy4, bx + dx4, 1, lst=1)
+                cst.mvd1[psl] = (dx, dy)
+                mv = pmv + np.array([dx, dy], np.int64)
+                self.mvf1.set_partition(by + dy4, bx + dx4, w4, h4, mv,
+                                        ris1[pi])
+                mvs1[pi] = mv
+            else:
+                cst.mvd1[psl] = 0
+                self.mvf1.set_partition(by + dy4, bx + dx4, w4, h4,
+                                        np.zeros(2, np.int64), -1)
+        y0, x0 = mby * 16, mbx * 16
+        for pi, ((dy4, dx4, w4, h4), tag) in enumerate(parts):
+            py_, px_ = y0 + dy4 * 4, x0 + dx4 * 4
+            bh, bw = h4 * 4, w4 * 4
+            acc = []
+            for lst, (mv, ris, refs) in enumerate(
+                    ((mvs0[pi], ris0, self.refs),
+                     (mvs1[pi], ris1, self.refs1))):
+                if mv is None:
+                    continue
+                rp = refs[ris[pi]]
+                acc.append((lst, ris[pi],
+                            (rp.luma_block(py_, px_, bh, bw,
+                                           int(mv[0]), int(mv[1])),
+                             rp.chroma_block("u", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])),
+                             rp.chroma_block("v", py_ // 2, px_ // 2,
+                                             bh // 2, bw // 2,
+                                             int(mv[0]), int(mv[1])))))
+            pl, pu, pv = self._wp_combine(acc)
+            self.rec_y[py_:py_ + bh, px_:px_ + bw] = pl
+            self.rec_u[py_ // 2:py_ // 2 + bh // 2,
+                       px_ // 2:px_ // 2 + bw // 2] = pu
+            self.rec_v[py_ // 2:py_ // 2 + bh // 2,
+                       px_ // 2:px_ // 2 + bw // 2] = pv
+
+    cbp = rd.cbp(c)
+    cst.cbp[mby, mbx] = cbp
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    qp = self._prev_qp(mb)
+    if cbp > 0:
+        qp = (qp + rd.mb_qp_delta(c) + 52) % 52
+    else:
+        cst.last_dqp = 0
+    self.mb_qp[mby, mbx] = qp
+    self._cabac_residual_luma(mby, mbx, cbp_luma, qp, c, intra16=False)
+    self._cabac_residual_chroma(mby, mbx, cbp_chroma, qp, c, intra=False)
+
+
+def _b_8x8_body_cabac(self, mb, subs):
+    """B_8x8 with CABAC-read sub types/refs/mvds; reuses the per-cell MC
+    of the CAVLC path's structures."""
+    CB = self.CB
+    rd = self.crd
+    cst = self.cst
+    mby, mbx = mb // self.mb_w, mb % self.mb_w
+    by, bx = mby * 4, mbx * 4
+    kinds = [_B_SUB[sx][0] for sx in subs]
+    c = CB._Common(cst, mby, mbx, intra=False)
+
+    if "direct" in kinds:
+        ref0d, mv0d, ref1d, mv1d = self._b_direct_cells(mby, mbx)
+    for b8 in range(4):
+        dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+        s8 = (slice(by + dy8, by + dy8 + 2), slice(bx + dx8, bx + dx8 + 2))
+        if kinds[b8] == "direct":
+            cst.direct[s8] = True
+            cst.ref[s8] = 0
+            cst.ref1[s8] = 0
+            for cy in range(2):
+                for cx4 in range(2):
+                    cyy, cxx = dy8 + cy, dx8 + cx4
+                    self.mvf.set_partition(by + cyy, bx + cxx, 1, 1,
+                                           mv0d[cyy, cxx],
+                                           int(ref0d[cyy, cxx]))
+                    self.mvf1.set_partition(by + cyy, bx + cxx, 1, 1,
+                                            mv1d[cyy, cxx],
+                                            int(ref1d[cyy, cxx]))
+        else:
+            cst.direct[s8] = False
+
+    ris0 = [0] * 4
+    ris1 = [0] * 4
+    for b8 in range(4):
+        dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+        s8 = (slice(by + dy8, by + dy8 + 2), slice(bx + dx8, bx + dx8 + 2))
+        if kinds[b8] in ("l0", "bi"):
+            if self.num_ref > 1:
+                ris0[b8] = rd.ref_idx(c, by + dy8, bx + dx8, lst=0)
+            cst.ref[s8] = ris0[b8]
+        elif kinds[b8] != "direct":
+            cst.ref[s8] = 0
+    for b8 in range(4):
+        dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+        s8 = (slice(by + dy8, by + dy8 + 2), slice(bx + dx8, bx + dx8 + 2))
+        if kinds[b8] in ("l1", "bi"):
+            if self.num_ref_l1 > 1:
+                ris1[b8] = rd.ref_idx(c, by + dy8, bx + dx8, lst=1)
+            cst.ref1[s8] = ris1[b8]
+        elif kinds[b8] != "direct":
+            cst.ref1[s8] = 0
+
+    mvs0 = {}
+    mvs1 = {}
+    for b8 in range(4):
+        if kinds[b8] in ("l0", "bi"):
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            for gi, (sy, sx, w4, h4) in enumerate(_B_SUB[subs[b8]][1]):
+                pby, pbx = by + dy8 + sy, bx + dx8 + sx
+                pmv = self.mvf.predict(pby, pbx, w4, h4, ris0[b8], "none")
+                dx = rd.mvd(c, pby, pbx, 0, lst=0)
+                dy = rd.mvd(c, pby, pbx, 1, lst=0)
+                cst.mvd[pby:pby + h4, pbx:pbx + w4] = (dx, dy)
+                mv = pmv + np.array([dx, dy], np.int64)
+                self.mvf.set_partition(pby, pbx, w4, h4, mv, ris0[b8])
+                mvs0[(b8, gi)] = mv
+        elif kinds[b8] != "direct":
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            self.mvf.set_partition(by + dy8, bx + dx8, 2, 2,
+                                   np.zeros(2, np.int64), -1)
+    for b8 in range(4):
+        if kinds[b8] in ("l1", "bi"):
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            for gi, (sy, sx, w4, h4) in enumerate(_B_SUB[subs[b8]][1]):
+                pby, pbx = by + dy8 + sy, bx + dx8 + sx
+                pmv = self.mvf1.predict(pby, pbx, w4, h4, ris1[b8], "none")
+                dx = rd.mvd(c, pby, pbx, 0, lst=1)
+                dy = rd.mvd(c, pby, pbx, 1, lst=1)
+                cst.mvd1[pby:pby + h4, pbx:pbx + w4] = (dx, dy)
+                mv = pmv + np.array([dx, dy], np.int64)
+                self.mvf1.set_partition(pby, pbx, w4, h4, mv, ris1[b8])
+                mvs1[(b8, gi)] = mv
+        elif kinds[b8] != "direct":
+            dy8, dx8 = (b8 >> 1) * 2, (b8 & 1) * 2
+            self.mvf1.set_partition(by + dy8, bx + dx8, 2, 2,
+                                    np.zeros(2, np.int64), -1)
+
+    self._b_8x8_mc(mb, subs, kinds, ris0, ris1, mvs0, mvs1)
+
+
+_SliceDecoder._decode_b_mb_cabac = _b_decode_mb_cabac
+_SliceDecoder._b_8x8_body_cabac = _b_8x8_body_cabac

@@ -758,3 +758,47 @@ def test_decoder_bit_statistics(jm_tools, foreman_qcif, tmp_path):
     out = tmp_path / "dec_stats.txt"
     dec.write_statistics(str(out))
     assert out.read_text().splitlines()[0].startswith("syntax element")
+
+
+def test_cabac_b_decode_own_and_lencod(jm_tools, foreman_qcif, tmp_path):
+    """CABAC B slices decode in OUR decoder: (a) our device hierarchical-B
+    CABAC stream round-trips, (b) a lencod Main B+CABAC stream (incl.
+    B_8x8 Table 9-38 sub types) matches ldecod output bit-exactly."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.slice_dec import AVCDecoder
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = [tuple(np.roll(pl, ((i * 2) % 6, -((i * 2) % 6)), (0, 1))
+                    for pl in base[i % 3]) for i in range(5)]
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77, poc_type=0,
+                  num_ref_frames=2, cabac=True)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                        bframes=2)
+    res, stream = codec.encode_sequence(frames)
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+
+    out264 = tmp_path / "jm_bc.264"
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_main.cfg"),
+         "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+         "-p", "FramesToBeEncoded=3", "-p", "SourceWidth=176",
+         "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+         "-p", "OutputHeight=144", "-p", "IntraPeriod=0",
+         "-p", "IDRPeriod=0", "-p", "QPISlice=30", "-p", "QPPSlice=31",
+         "-p", "QPBSlice=32", "-p", "SymbolMode=1", "-p", "OutFileMode=0",
+         "-p", "NumberBFrames=1", "-p", "BiPredMESearchRange=8",
+         "-p", f"OutputFile={out264}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=2", "-p", "RDOptimization=1",
+         "-p", "SearchRange=8"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=600)
+    assert r.returncode == 0, r.stdout[-800:]
+    stream2 = out264.read_bytes()
+    want = ldecod_decode(tmp_path, stream2)
+    got = recon_bytes(AVCDecoder().decode(stream2))
+    assert got == want
