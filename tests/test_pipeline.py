@@ -1,5 +1,7 @@
 """End-to-end pipeline tests on the real foreman sequence."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -37,3 +39,56 @@ def test_residual_thresholding_zeroes_flat_mbs(rng):
     zz, rec = T.residual_code_plane(jnp.asarray(org), jnp.asarray(pred), 28)
     assert int((np.asarray(zz) != 0).sum()) == 0
     np.testing.assert_array_equal(np.asarray(rec), pred)
+
+
+def test_gop_parallel_and_checkpoint_resume(foreman_qcif, tmp_path):
+    """IDR-delimited GOP distribution (SURVEY §2.3 GOP axis / §5
+    checkpoint-resume): concatenated parallel encode == sequential
+    stream byte-identical; a resumed encode skips finished GOP units and
+    still produces the identical stream."""
+    import numpy as np
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.models.gop_parallel import GOPEncoder, split_gops
+
+    assert split_gops(10, 4) == [(0, 4), (4, 8), (8, 10)]
+    assert split_gops(6, 0) == [(0, 6)]
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = [tuple(np.roll(pl, (i, -i), (0, 1)) for pl in base[i % 3])
+              for i in range(8)]
+
+    def factory():
+        p = AVCParams(width=176, height=144, qp=30)
+        return TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3)
+
+    # sequential reference: one codec per GOP, concatenated
+    seq = GOPEncoder(factory, intra_period=4)
+    units_seq, stream_seq = seq.encode(frames, workers=1)
+    # parallel workers -> byte-identical
+    par = GOPEncoder(factory, intra_period=4)
+    _, stream_par = par.encode(frames, workers=2)
+    assert stream_par == stream_seq
+    # the joined stream decodes to all frames
+    dec, _ = AVCCodec.decode_sequence(stream_seq)
+    assert len(dec) == len(frames)
+
+    # checkpoint: encode once, delete one unit, resume — identical
+    ck = tmp_path / "ckpt"
+    c1 = GOPEncoder(factory, intra_period=4, checkpoint_dir=str(ck))
+    _, s1 = c1.encode(frames)
+    assert len(list(ck.iterdir())) == 2
+    (ck / "gop_00001.pkl").unlink()          # simulate partial crash
+    calls = []
+    real_factory = factory
+
+    def counting_factory():
+        calls.append(1)
+        return real_factory()
+
+    c2 = GOPEncoder(counting_factory, intra_period=4,
+                    checkpoint_dir=str(ck))
+    _, s2 = c2.encode(frames)
+    assert s2 == s1
+    assert len(calls) == 1                   # only the missing GOP re-ran
