@@ -174,14 +174,17 @@ def block_bits(zz, nc, max_coeff: int, chroma_dc: bool = False):
 
 
 def block_bits_est(zz, nc, max_coeff: int, chroma_dc: bool = False):
-    """Fast vectorized CAVLC bit estimate for on-device RD costs.
+    """Fast CHAIN-FREE CAVLC bit estimate for on-device RD costs.
 
-    Exact token / total_zeros table lengths and trailing-one signs, but
-    the two sequential VLC adaptations are approximated without their
-    chains: level lengths use the chain's *initial* vlcnum for every
-    level, and run_before lengths use the zerosleft row of the first run
-    only.  Typically within a few bits of :func:`block_bits`; the
-    emitted stream is unaffected (decisions only).
+    Exact: token / total_zeros table lengths, trailing-one signs, the
+    level adjustment of the first coded level, and the run_before
+    zerosleft rows (a suffix cumsum — no chain needed).  Approximate:
+    the level-VLC adaptation (vlcnum) is modeled as init + 1 after the
+    first coded level + one increment per earlier level with |l| > 3
+    (the INC_VLC 0/3 thresholds; the rare 6/12/24/48 rungs are treated
+    like 3), capped at 6.  Within ~1 bit of :func:`block_bits` on
+    typical blocks at a fraction of its scan-chain op count; the emitted
+    stream is unaffected (decisions only).
     """
     f = block_fields(zz)
     total, t1, tz = f["total"], f["t1"], f["total_zeros"]
@@ -199,11 +202,37 @@ def block_bits_est(zz, nc, max_coeff: int, chroma_dc: bool = False):
     bits = bits + t1
 
     rank = jnp.arange(n, dtype=jnp.int32)
-    coded = rank < (total - t1)[..., None]
+    first_rank = (total - 1 - t1)[..., None]            # rank coded first
+    coded = rank <= jnp.maximum(first_rank, -1)
+    coded = coded & (rank < (total - t1)[..., None])
     labs = jnp.abs(lev)
     sign = (lev < 0).astype(jnp.int32)
-    vlc0 = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
-    ln = _level_len(jnp.maximum(labs, 1), sign, vlc0[..., None])
+
+    # vlcnum model: coding order is rank first_rank down to 0
+    init = jnp.where((total > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    is_first = rank == first_rank
+    lth = ~((total > 3) & (t1 == 3))
+    labs_adj = jnp.where(is_first & lth[..., None] & coded,
+                         jnp.maximum(labs - 1, 1), labs)
+    # suffix counts over HIGHER ranks (coded before rank r):
+    big = (labs > 3) & coded
+    csum = jnp.cumsum(big.astype(jnp.int32), axis=-1)
+    big_after = csum[..., -1:] - csum                    # #{j > r: |l_j|>3}
+    any_after = (first_rank - rank) > 0                  # a level coded before
+    first_big = jnp.take_along_axis(
+        labs, jnp.maximum(first_rank, 0), axis=-1) > 3
+    first_inc = jnp.where(init[..., None] == 0, 1,
+                          first_big.astype(jnp.int32))
+    # big_after includes the first-coded level; its increment is the
+    # first_inc term instead, so remove it from the >3 count
+    later_big = big_after - jnp.where(any_after & first_big, 1, 0)
+    vlc = init[..., None] \
+        + jnp.where(any_after & coded, first_inc + later_big, 0)
+    # JM first-level rule: |first| > 3 jumps vlcnum to >= 2 right after
+    vlc = jnp.where(any_after & coded & first_big, jnp.maximum(vlc, 2),
+                    vlc)
+    vlc = jnp.clip(vlc, 0, 6)
+    ln = _level_len(jnp.maximum(labs_adj, 1), sign, vlc)
     bits = bits + jnp.where(coded, ln, 0).sum(-1)
 
     has_tz = (total > 0) & (total < max_coeff)
@@ -213,8 +242,14 @@ def block_bits_est(zz, nc, max_coeff: int, chroma_dc: bool = False):
         tz_len = _TZ_LEN[jnp.clip(total - 1, 0, 14), jnp.clip(tz, 0, 15)]
     bits = bits + jnp.where(has_tz, tz_len, 0)
 
-    row = jnp.clip(tz - 1, 0, 6)[..., None]
-    rb = _RB_LEN[jnp.broadcast_to(row, runs.shape), jnp.clip(runs, 0, 15)]
-    run_coded = (rank >= 1) & (rank <= (total - 1)[..., None])
-    bits = bits + jnp.where(run_coded & (tz > 0)[..., None], rb, 0).sum(-1)
+    # run_before: EXACT zerosleft rows via suffix sums (runs are coded
+    # for ranks total-1 .. 1 while zerosleft > 0)
+    rsum = jnp.cumsum(runs, axis=-1)
+    run_above = rsum[..., -1:] - rsum                    # sum of runs j > r
+    zerosleft = tz[..., None] - run_above
+    run_coded = (rank >= 1) & (rank <= (total - 1)[..., None]) \
+        & (zerosleft > 0)
+    row = jnp.clip(zerosleft - 1, 0, 6)
+    rb = _RB_LEN[row, jnp.clip(runs, 0, 15)]
+    bits = bits + jnp.where(run_coded, rb, 0).sum(-1)
     return bits
