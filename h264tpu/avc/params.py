@@ -106,7 +106,8 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
                        first_mb: int = 0, idr_pic_id: int = 0,
                        num_ref_idx_l0: int = 1, poc_lsb: int = 0,
                        num_ref_idx_l1: int = 1, ref_pic: bool = True,
-                       mmco=None, reorder_l0=None, wp=None):
+                       mmco=None, reorder_l0=None, wp=None,
+                       long_term_idr: bool = False):
     """Slice header bits into ``w`` (spec 7.3.3; frame coding)."""
     w.ue(first_mb)
     w.ue(slice_type + 5)           # all slices of the picture share the type
@@ -158,7 +159,7 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
     if ref_pic:
         if idr:
             w.u(0, 1)              # no_output_of_prior_pics_flag
-            w.u(0, 1)              # long_term_reference_flag
+            w.u(1 if long_term_idr else 0, 1)  # long_term_reference_flag
         elif mmco:
             w.u(1, 1)              # adaptive_ref_pic_marking_mode_flag
             for op in mmco:        # (1, diff) short-term -> unused, etc.

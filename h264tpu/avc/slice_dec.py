@@ -6,8 +6,9 @@ sub-partition types incl. B_8x8), spatial AND temporal direct
 (8.4.1.2.2/8.4.1.2.3), CAVLC and CABAC entropy for ALL slice types
 (``avc/cabac.py``; Table 9-37 B mb_type + Table 9-38 B sub_mb_type
 readers), intra 4x4/16x16 and I_PCM, P_Skip/B_Skip, explicit weighted prediction (P uni + B bipred
-combine), multi-ref sliding-window DPB with MMCO ops 1/5 and short-term
-list modification on BOTH lists, FMO slice groups (map types 0/1), POC
+combine), multi-ref sliding-window DPB with long-term reference pictures (IDR
+long_term_reference_flag + MMCO ops 1/2/3/4/5/6, long-term list
+sections) and short-term list modification on BOTH lists, FMO slice groups (map types 0/1), POC
 types 0/2 with display-order output keyed by (idr_epoch, poc),
 multi-slice pictures (spec 6.4.11 slice-restricted availability),
 mb_qp_delta, in-loop deblocking (incl. the two-list B bS derivation),
@@ -18,8 +19,8 @@ mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c, mc_direct.c}``
 (SURVEY §3.5, J17/J18).
 
 Unsupported (raises): fields/MBAFF, 4:2:2/4:4:4, 8x8 transform / High
-profile, long-term references (MMCO 2/3/4/6), implicit weighted bipred,
-data partitioning, slice_group_map_type 2..6.
+profile, long-term reordering ops, implicit weighted bipred, data
+partitioning, slice_group_map_type 2..6.
 """
 
 from __future__ import annotations
@@ -137,6 +138,7 @@ class AVCDecoder:
         # DPB entries: dict(fn, poc, frame, rp, mv, ref) — mv/ref are the
         # stored picture's motion (colocated data for B spatial direct)
         self.dpb = []
+        self._max_lt_idx = -1
         self._prev_poc_lsb = 0
         self._prev_poc_msb = 0
         self.trace = [] if trace else None
@@ -256,23 +258,60 @@ class AVCDecoder:
                          rp=INTER.RefPlanes(*rec), mv=pic["mv"],
                          ref=pic.get("col_ref", pic["ref"]),
                          ref_poc=pic.get("ref_poc"))
+            entry["long"] = False
+            entry["lt_idx"] = -1
+            if pic.get("idr_lt"):
+                entry["long"] = True
+                entry["lt_idx"] = 0
+                self._max_lt_idx = 0
             if pic.get("mmco"):
-                # spec 8.2.5.4 adaptive marking (ops 1 and 5)
+                # spec 8.2.5.4 adaptive marking (ops 1..6)
                 for op in pic["mmco"]:
                     if op[0] == 1:
                         pic_num_x = frame_num - (op[1] + 1)
                         self.dpb = [e for e in self.dpb
-                                    if picnum(e["fn"]) != pic_num_x]
+                                    if e["long"] or
+                                    picnum(e["fn"]) != pic_num_x]
+                    elif op[0] == 2:        # unmark LongTermPicNum
+                        self.dpb = [e for e in self.dpb
+                                    if not (e["long"]
+                                            and e["lt_idx"] == op[1])]
+                    elif op[0] == 3:        # short-term -> long-term
+                        pic_num_x = frame_num - (op[1] + 1)
+                        self.dpb = [e for e in self.dpb
+                                    if not (e["long"]
+                                            and e["lt_idx"] == op[2])]
+                        for e in self.dpb:
+                            if not e["long"] and picnum(e["fn"]) == pic_num_x:
+                                e["long"] = True
+                                e["lt_idx"] = op[2]
+                    elif op[0] == 4:        # MaxLongTermFrameIdx = val - 1
+                        self._max_lt_idx = op[1] - 1
+                        self.dpb = [e for e in self.dpb
+                                    if not e["long"]
+                                    or e["lt_idx"] <= self._max_lt_idx]
+                    elif op[0] == 6:        # current -> long-term
+                        self.dpb = [e for e in self.dpb
+                                    if not (e["long"]
+                                            and e["lt_idx"] == op[1])]
+                        entry["long"] = True
+                        entry["lt_idx"] = op[1]
                     elif op[0] == 5:
                         self.dpb = []
+                        self._max_lt_idx = -1
                 self.dpb.append(entry)
             else:
                 self.dpb.append(entry)
                 max_refs = max(sps["num_ref_frames"], 1)
                 if len(self.dpb) > max_refs:
-                    # evict smallest FrameNumWrap (8.2.5.3 sliding window)
-                    self.dpb.sort(key=lambda e: picnum(e["fn"]))
-                    self.dpb.pop(0)
+                    # evict smallest-FrameNumWrap SHORT-TERM picture
+                    # (8.2.5.3; long-term pictures are never aged out)
+                    st = [e for e in self.dpb if not e["long"]]
+                    if st:
+                        st.sort(key=lambda e: picnum(e["fn"]))
+                        self.dpb.remove(st[0])
+                    else:
+                        self.dpb.pop(0)
         return frame
 
     def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int):
@@ -373,10 +412,11 @@ class AVCDecoder:
         elif slice_type == 1 and pps["weighted_bipred_idc"] == 2:
             raise NotImplementedError("implicit weighted bipred")
         mmco_ops = []
+        idr_long_term = False
         if ref_idc != 0:
             if idr:
                 r.u(1)                      # no_output_of_prior_pics
-                r.u(1)                      # long_term_reference_flag
+                idr_long_term = bool(r.u(1))
             else:
                 if r.u(1):                  # adaptive_ref_pic_marking
                     while True:
@@ -385,6 +425,14 @@ class AVCDecoder:
                             break
                         if op == 1:         # short-term -> unused
                             mmco_ops.append((1, r.ue()))
+                        elif op == 2:       # long-term -> unused
+                            mmco_ops.append((2, r.ue()))
+                        elif op == 3:       # short-term -> long-term idx
+                            mmco_ops.append((3, r.ue(), r.ue()))
+                        elif op == 4:       # max_long_term_frame_idx_plus1
+                            mmco_ops.append((4, r.ue()))
+                        elif op == 6:       # current -> long-term idx
+                            mmco_ops.append((6, r.ue()))
                         elif op == 5:       # clear all
                             mmco_ops.append((5,))
                         else:
@@ -405,6 +453,7 @@ class AVCDecoder:
             self._pic = dict(
                 sps=sps, pps=pps, mb_w=mb_w, mb_h=mb_h, qp=qp,
                 epoch=getattr(self, "_idr_epoch", 0),
+                idr_lt=idr and idr_long_term,
                 mmco=mmco_ops, poc=poc, is_b=slice_type == 1,
                 frame_num=frame_num, ref_idc=ref_idc,
                 disable_dbl=disable_dbl, a_off=a_off, b_off=b_off,
@@ -428,16 +477,19 @@ class AVCDecoder:
         def picnum(fn):
             return fn if fn <= frame_num else fn - max_fn
 
-        entries = sorted(self.dpb, key=lambda e: -picnum(e["fn"]))
+        short = [e for e in self.dpb if not e.get("long")]
+        lterm = sorted([e for e in self.dpb if e.get("long")],
+                       key=lambda e: e["lt_idx"])
+        entries = sorted(short, key=lambda e: -picnum(e["fn"])) + lterm
         refs1 = []
         col = None
         if slice_type == 1:
-            before = sorted([e for e in self.dpb if e["poc"] < poc],
+            before = sorted([e for e in short if e["poc"] < poc],
                             key=lambda e: -e["poc"])
-            after = sorted([e for e in self.dpb if e["poc"] >= poc],
+            after = sorted([e for e in short if e["poc"] >= poc],
                            key=lambda e: e["poc"])
-            entries = before + after
-            l1 = after + before
+            entries = before + after + lterm
+            l1 = after + before + lterm
             refs1 = l1[:num_ref_l1]
             # spec 8.2.4.2.3: when RefPicList1 would be identical to
             # RefPicList0 and has more than one entry (e.g. low-delay B
@@ -464,7 +516,8 @@ class AVCDecoder:
                 pic_num = pic_num_no_wrap
                 if pic_num > frame_num:
                     pic_num -= max_pic_num
-                match = [e for e in lst if picnum(e["fn"]) == pic_num]
+                match = [e for e in lst
+                         if not e.get("long") and picnum(e["fn"]) == pic_num]
                 assert match, "reorder target not in DPB"
                 lst.remove(match[0])
                 lst.insert(idx, match[0])

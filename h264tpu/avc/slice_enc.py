@@ -402,7 +402,8 @@ def slice_group_map(p: AVCParams) -> np.ndarray:
 
 
 def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
-                   idr: bool = True, idr_pic_id: int = 0):
+                   idr: bool = True, idr_pic_id: int = 0,
+                   long_term_idr: bool = False):
     """Encode one frame as IDR I slice(s) — one slice per FMO slice group.
 
     org_yuv: (Y [H,W], U, V) uint8 arrays.
@@ -430,7 +431,8 @@ def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
         w = BitWriter()
         write_slice_header(w, p, SLICE_I, frame_num, idr, qp,
                            idr_pic_id=idr_pic_id,
-                           first_mb=order[0][0] * p.mb_w + order[0][1])
+                           first_mb=order[0][0] * p.mb_w + order[0][1],
+                           long_term_idr=long_term_idr)
         for mby, mbx in order:
             # evaluate I16 first on the current recon state, then I4 (which
             # mutates rec_y block by block); restore if I16 wins
@@ -624,7 +626,8 @@ def _te_bits(v: int, num_ref: int) -> int:
 def encode_p_frame(org_yuv, ref, p: AVCParams,
                    qp: int = None, frame_num: int = 1, sr: int = 16,
                    try_intra: bool = True, force_intra_mask=None,
-                   use_satd: bool = False, poc_lsb: int = 0, wp=None):
+                   use_satd: bool = False, poc_lsb: int = 0, wp=None,
+                   mmco=None):
     """Encode one frame as a single P slice.
 
     ``ref``: one RefPlanes or a list of them (reference list 0, most recent
@@ -648,7 +651,8 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
 
     w = BitWriter()
     write_slice_header(w, p, SLICE_P, frame_num, False, qp,
-                       num_ref_idx_l0=num_ref, poc_lsb=poc_lsb, wp=wp)
+                       num_ref_idx_l0=num_ref, poc_lsb=poc_lsb, wp=wp,
+                       mmco=mmco)
     skip_run = 0
     n_skip = n_intra = 0
 

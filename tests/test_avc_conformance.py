@@ -802,3 +802,93 @@ def test_cabac_b_decode_own_and_lencod(jm_tools, foreman_qcif, tmp_path):
     want = ldecod_decode(tmp_path, stream2)
     got = recon_bytes(AVCDecoder().decode(stream2))
     assert got == want
+
+
+def test_long_term_refs_mmco_ldecod_bit_exact(jm_tools, foreman_qcif,
+                                              tmp_path):
+    """Long-term reference pictures + MMCO ops 2/3/4/6 (spec 8.2.5.4):
+    a crafted stream marks the IDR long-term (long_term_reference_flag),
+    then a P picture long-term via MMCO 4+3, keeps referencing both past
+    the sliding window, and finally unmarks via MMCO 2.  ldecod and our
+    decoder agree bit-exactly with the encoder recon (VERDICT item 10,
+    long-term half; lencod never emits these, so the stream is our own
+    and ldecod is the oracle)."""
+    from h264tpu.avc.params import AVCParams, assemble_stream
+    from h264tpu.avc.slice_enc import encode_i_frame, encode_p_frame
+    from h264tpu.avc.deblock import DeblockContext, deblock_frame
+    from h264tpu.avc.inter import RefPlanes
+    from h264tpu.avc.codec import AVCCodec
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = [tuple(np.roll(pl, (i, -i), (0, 1)) for pl in base[i % 3])
+              for i in range(6)]
+    p = AVCParams(width=176, height=144, qp=30, num_ref_frames=3)
+
+    slices, recs = [], []
+
+    def finish(rbsp, rec, pctx=None):
+        ctx = DeblockContext(p.mb_w, p.mb_h, 30)
+        if pctx is not None:
+            ctx.mb_intra = pctx["mb_intra"]
+            ctx.nnz = pctx["nnz"]
+            ctx.mv = pctx["mvf"].mv
+            ctx.ref = pctx["mvf"].ref
+        rec = deblock_frame(*rec, ctx)
+        recs.append(tuple(np.asarray(pl, np.uint8) for pl in rec))
+        return RefPlanes(*rec)
+
+    # IDR marked long-term (lt_idx 0)
+    rbsp, rec, _ = encode_i_frame(frames[0], p, frame_num=0, idr=True,
+                                  long_term_idr=True)
+    slices.append((True, rbsp))
+    lt0 = finish(rbsp, rec)
+
+    # P1: l0 init = [LT(idr)] (no short-terms yet)
+    rbsp, rec, pctx, _ = encode_p_frame(frames[1], [lt0], p, frame_num=1,
+                                        sr=8)
+    slices.append((False, rbsp))
+    p1 = finish(rbsp, rec, pctx)
+
+    # P2: l0 = [P1(st), IDR(lt)]; MMCO 4 (MaxLtIdx=1) + 3 (mark P1 lt 1)
+    rbsp, rec, pctx, _ = encode_p_frame(frames[2], [p1, lt0], p,
+                                        frame_num=2, sr=8,
+                                        mmco=[(4, 2), (3, 0, 1)])
+    slices.append((False, rbsp))
+    p2 = finish(rbsp, rec, pctx)
+
+    # P3: l0 = [P2(st), IDR(lt0), P1(lt1)]
+    rbsp, rec, pctx, _ = encode_p_frame(frames[3], [p2, lt0, p1], p,
+                                        frame_num=3, sr=8)
+    slices.append((False, rbsp))
+    p3 = finish(rbsp, rec, pctx)
+
+    # P4: storing P3 evicted P2 (oldest short-term; the long-terms
+    # survive the window) -> l0 = [P3(st), IDR(lt0), P1(lt1)].
+    # Its MMCO 2 unmarks lt_idx 1 (P1) after decode.
+    rbsp, rec, pctx, _ = encode_p_frame(frames[4], [p3, lt0, p1], p,
+                                        frame_num=4, sr=8,
+                                        mmco=[(2, 1)])
+    slices.append((False, rbsp))
+    p4 = finish(rbsp, rec, pctx)
+
+    # P5: l0 = [P4, P3, IDR(lt0)]; MMCO 1 drops P3 and MMCO 6 marks
+    # P5 ITSELF long-term (lt_idx 1)
+    rbsp, rec, pctx, _ = encode_p_frame(frames[5], [p4, p3, lt0], p,
+                                        frame_num=5, sr=8,
+                                        mmco=[(1, 1), (6, 1)])
+    slices.append((False, rbsp))
+    p5 = finish(rbsp, rec, pctx)
+
+    # P6 (re-coding frame 2): l0 = [P4(st), IDR(lt0), P5(lt1)]
+    rbsp, rec, pctx, _ = encode_p_frame(frames[2], [p4, lt0, p5], p,
+                                        frame_num=6, sr=8)
+    slices.append((False, rbsp))
+    finish(rbsp, rec, pctx)
+
+    stream = assemble_stream(p, slices)
+    want = ldecod_decode(tmp_path, stream)
+    assert want == recon_bytes(recs)
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], recs[i][c]), (i, c)
