@@ -37,6 +37,11 @@ class AVCParams:
     # map_type 0 = interleaved (equal run lengths), 1 = dispersed.
     slice_groups: int = 1
     slice_group_map_type: int = 1
+    # VUI (spec E.1.1): (num_units_in_tick, time_scale) emits timing
+    # info (frame rate = time_scale / (2 * num_units_in_tick)); None =
+    # no VUI.  aspect_ratio_idc 0 = unspecified/omitted.
+    vui_timing: tuple = None
+    aspect_ratio_idc: int = 0
 
     @property
     def mb_w(self):
@@ -69,7 +74,26 @@ def write_sps(p: AVCParams) -> bytes:
     w.u(1, 1)                      # frame_mbs_only_flag
     w.u(1, 1)                      # direct_8x8_inference_flag
     w.u(0, 1)                      # frame_cropping_flag
-    w.u(0, 1)                      # vui_parameters_present_flag
+    has_vui = p.vui_timing is not None or p.aspect_ratio_idc
+    w.u(1 if has_vui else 0, 1)    # vui_parameters_present_flag
+    if has_vui:
+        w.u(1 if p.aspect_ratio_idc else 0, 1)
+        if p.aspect_ratio_idc:
+            w.u(p.aspect_ratio_idc, 8)
+        w.u(0, 1)                  # overscan_info_present_flag
+        w.u(0, 1)                  # video_signal_type_present_flag
+        w.u(0, 1)                  # chroma_loc_info_present_flag
+        if p.vui_timing is not None:
+            w.u(1, 1)              # timing_info_present_flag
+            w.u(p.vui_timing[0], 32)
+            w.u(p.vui_timing[1], 32)
+            w.u(1, 1)              # fixed_frame_rate_flag
+        else:
+            w.u(0, 1)
+        w.u(0, 1)                  # nal_hrd_parameters_present_flag
+        w.u(0, 1)                  # vcl_hrd_parameters_present_flag
+        w.u(0, 1)                  # pic_struct_present_flag
+        w.u(0, 1)                  # bitstream_restriction_flag
     return _trail(w)
 
 

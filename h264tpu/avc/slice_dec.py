@@ -65,7 +65,52 @@ def parse_sps(rbsp: bytes) -> dict:
         s["crop"] = (r.ue(), r.ue(), r.ue(), r.ue())
     else:
         s["crop"] = None
+    s["vui"] = None
+    if r.u(1):                              # vui_parameters_present_flag
+        s["vui"] = _parse_vui(r)
     return s
+
+
+def _parse_vui(r: BitReader) -> dict:
+    """VUI parameters (spec E.1.1) — the subset the reference emits:
+    aspect ratio, video signal type, timing, + skip-parsing of the
+    optional leaves we don't interpret."""
+    v = {}
+    if r.u(1):                              # aspect_ratio_info_present
+        idc = r.u(8)
+        v["aspect_ratio_idc"] = idc
+        if idc == 255:                      # Extended_SAR
+            v["sar"] = (r.u(16), r.u(16))
+    if r.u(1):                              # overscan_info_present
+        v["overscan_appropriate"] = r.u(1)
+    if r.u(1):                              # video_signal_type_present
+        v["video_format"] = r.u(3)
+        v["video_full_range"] = r.u(1)
+        if r.u(1):                          # colour_description_present
+            v["colour_primaries"] = r.u(8)
+            v["transfer_characteristics"] = r.u(8)
+            v["matrix_coefficients"] = r.u(8)
+    if r.u(1):                              # chroma_loc_info_present
+        v["chroma_loc_top"] = r.ue()
+        v["chroma_loc_bottom"] = r.ue()
+    if r.u(1):                              # timing_info_present
+        v["num_units_in_tick"] = r.u(32)
+        v["time_scale"] = r.u(32)
+        v["fixed_frame_rate"] = r.u(1)
+    if r.u(1):                              # nal_hrd_parameters_present
+        raise NotImplementedError("NAL HRD parameters")
+    if r.u(1):                              # vcl_hrd_parameters_present
+        raise NotImplementedError("VCL HRD parameters")
+    r.u(1)                                  # pic_struct_present
+    if r.u(1):                              # bitstream_restriction
+        v["motion_vectors_over_pic_boundaries"] = r.u(1)
+        v["max_bytes_per_pic_denom"] = r.ue()
+        v["max_bits_per_mb_denom"] = r.ue()
+        v["log2_max_mv_length_horizontal"] = r.ue()
+        v["log2_max_mv_length_vertical"] = r.ue()
+        v["num_reorder_frames"] = r.ue()
+        v["max_dec_frame_buffering"] = r.ue()
+    return v
 
 
 def parse_pps(rbsp: bytes) -> dict:
@@ -231,6 +276,10 @@ class AVCDecoder:
             return None
         self._pic = None
         sps, pps = pic["sps"], pic["pps"]
+        if not pic["decoded"].all():
+            # lost slices: MB-level concealment (erc_do_i/erc_do_p shape)
+            from . import erc as ERC
+            ERC.conceal_picture(pic)
         rec = pic["rec"]
         ctx = DeblockContext(pic["mb_w"], pic["mb_h"], pic["qp"],
                              pps["chroma_qp_offset"])
@@ -466,6 +515,8 @@ class AVCDecoder:
                 mv1=np.zeros((mb_h * 4, mb_w * 4, 2), np.int64),
                 ref1=np.full((mb_h * 4, mb_w * 4), -1, np.int64),
                 mb_intra=np.zeros((mb_h, mb_w), bool),
+                decoded=np.zeros((mb_h, mb_w), bool),
+                erc_ref=None,
                 mb_qp=np.full((mb_h, mb_w), qp, np.int64))
         pic = self._pic
 
@@ -653,6 +704,7 @@ class _SliceDecoder:
                         self._decode_b_direct(seq[i], skip=True)
                     else:
                         self._decode_skip(seq[i])
+                    self._mark_decoded(seq[i])
                     i += 1
                 if i >= len(seq) or r.pos >= self._stop:
                     break
@@ -660,8 +712,15 @@ class _SliceDecoder:
                 self._decode_b_mb(seq[i])
             else:
                 self._decode_mb(seq[i])
+            self._mark_decoded(seq[i])
             i += 1
         return self._finish_slice()
+
+    def _mark_decoded(self, mb):
+        if self.pic is not None:
+            self.pic["decoded"][mb // self.mb_w, mb % self.mb_w] = True
+            if self.refs and self.slice_type != 2:
+                self.pic["erc_ref"] = self.refs[0]
 
     def _finish_slice(self):
         if self.pic is not None:
@@ -709,6 +768,7 @@ class _SliceDecoder:
             range(self.first_mb, n_mb)
         for mb in seq:
             self._decode_mb_cabac(mb)
+            self._mark_decoded(mb)
             if self.crd.end_of_slice():
                 break
         return self._finish_slice()

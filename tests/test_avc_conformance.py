@@ -892,3 +892,91 @@ def test_long_term_refs_mmco_ldecod_bit_exact(jm_tools, foreman_qcif,
     for i, fr in enumerate(mine):
         for c in range(3):
             assert np.array_equal(fr[c], recs[i][c]), (i, c)
+
+
+def test_mb_error_concealment(foreman_qcif):
+    """MB-level error concealment (J21): dropping a slice NAL from a
+    3-slice picture still decodes; the lost band is concealed spatially
+    (I) / temporally (P) and lands far above garbage quality."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.bitstream.nal import annexb_parse, annexb_write, \
+        NAL_SLICE, NAL_IDR
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=28)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3)
+    res, stream = codec.encode_sequence(frames)
+
+    # drop the middle slice of the LAST P picture (slices 6 of 9)
+    nalus = list(annexb_parse(stream))
+    slice_idx = [i for i, n in enumerate(nalus)
+                 if n.nal_type in (NAL_SLICE, NAL_IDR)]
+    del nalus[slice_idx[-2]]
+    damaged = annexb_write(nalus)
+    out = AVCCodec.decode_sequence(damaged)[0]
+    assert len(out) == 3
+    ref = res[2].recon[0].astype(np.float64)
+    got = out[2][0].astype(np.float64)
+    band = slice(48, 96)                      # the lost rows
+    mse = ((ref[band] - got[band]) ** 2).mean()
+    psnr_band = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr_band > 20, psnr_band          # concealed, not garbage
+    # surviving rows away from the deblocked band edge are untouched
+    assert np.array_equal(out[2][0][:40], res[2].recon[0][:40])
+
+    # intra concealment path: drop a slice of the IDR picture
+    nalus = list(annexb_parse(stream))
+    del nalus[slice_idx[1]]
+    out2 = AVCCodec.decode_sequence(annexb_write(nalus))[0]
+    mse2 = ((res[0].recon[0][band].astype(np.float64)
+             - out2[0][0][band].astype(np.float64)) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / max(mse2, 1e-9)) > 12
+
+
+def test_vui_parameters(jm_tools, foreman_qcif, tmp_path):
+    """VUI timing/aspect in the SPS (spec E.1.1, J14): our stream with
+    VUI still decodes in ldecod and in our decoder, which parses the
+    fields back; a lencod EnableVUISupport stream also parses."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc.slice_dec import AVCDecoder, parse_sps
+    from h264tpu.bitstream.nal import annexb_parse, NAL_SPS
+
+    frames = [foreman_qcif.read(i) for i in range(2)]
+    p = AVCParams(width=176, height=144, qp=30,
+                  vui_timing=(1, 60), aspect_ratio_idc=1)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3)
+    res, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    sps = next(parse_sps(n.rbsp) for n in annexb_parse(stream)
+               if n.nal_type == NAL_SPS)
+    assert sps["vui"]["num_units_in_tick"] == 1
+    assert sps["vui"]["time_scale"] == 60
+    assert sps["vui"]["aspect_ratio_idc"] == 1
+    mine, _ = AVCCodec.decode_sequence(stream)
+    assert len(mine) == 2
+
+    # lencod with VUI enabled parses in our decoder too
+    out264 = tmp_path / "jm_vui.264"
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_baseline.cfg"),
+         "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+         "-p", "FramesToBeEncoded=2", "-p", "SourceWidth=176",
+         "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+         "-p", "OutputHeight=144", "-p", "IntraPeriod=0",
+         "-p", "QPISlice=30", "-p", "QPPSlice=30", "-p", "SymbolMode=0",
+         "-p", "OutFileMode=0", "-p", "EnableVUISupport=1",
+         "-p", f"OutputFile={out264}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=1", "-p", "RDOptimization=1",
+         "-p", "SearchRange=8"],
+        capture_output=True, text=True, cwd=tmp_path, timeout=600)
+    assert r.returncode == 0, r.stdout[-400:]
+    stream2 = out264.read_bytes()
+    want = ldecod_decode(tmp_path, stream2)
+    got = recon_bytes(AVCDecoder().decode(stream2))
+    assert got == want
