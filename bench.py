@@ -151,6 +151,25 @@ def main():
     except Exception as e:
         out["avc_cif_fps"] = None
         out["avc_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    # hierarchical-B CABAC (BASELINE config 4 shape) at CIF
+    try:
+        from h264tpu.avc.params import AVCParams
+        from h264tpu.avc.tpu_codec import TPUAVCCodec
+        frames = make_frames(9, 288, 352)
+        p = AVCParams(width=352, height=288, qp=28, profile_idc=77,
+                      poc_type=0, num_ref_frames=3, cabac=True)
+        codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=9,
+                            bframes=3, hierarchical=True)
+        codec.encode_sequence(frames[:5])          # compile both graphs
+        t0 = time.time()
+        resb, stb = codec.encode_sequence(frames)
+        out["avc_cif_hierb_cabac_fps"] = round(len(frames) /
+                                               (time.time() - t0), 3)
+        out["avc_cif_hierb_psnr_y"] = round(
+            sum(r.psnr_y for r in resb) / len(resb), 2)
+    except Exception as e:
+        out["avc_cif_hierb_cabac_fps"] = None
+        out["avc_hierb_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     # conformant path at HD (BASELINE.json metric: 1080p fps/chip at
     # BD-rate-qualified quality; see BDRATE_r04 for the quality side)
     for name, (H, W, ns, nt) in (("avc_720p", (720, 1280, 15, 3)),
