@@ -116,6 +116,13 @@ def bench_avc(n_timed=8, qp=28, sr=8, n_slices=9, H=288, W=352):
 
 def main():
     out = {}
+
+    def emit():
+        # one line per completed section: if the driver's timeout kills
+        # us mid-run, the LAST complete line still carries everything
+        # measured so far (the driver records the final line)
+        print(json.dumps(out), flush=True)
+
     try:
         cif_fps, cif_gmac = bench_resolution(288, 352, qp=24, sr=7,
                                              n_timed=10)
@@ -133,6 +140,7 @@ def main():
         "cif_search_util_pct": round(
             100.0 * cif_fps * cif_gmac * 1e9 / VPU_INT32_PEAK, 3),
     })
+    emit()
     for name, (H, W) in (("720p", (720, 1280)), ("1080p", (1088, 1920))):
         try:
             fps, gmac = bench_resolution(H, W, qp=24, sr=7, n_timed=3)
@@ -142,6 +150,7 @@ def main():
         except Exception as e:             # keep the headline row alive
             out[f"{name}_fps"] = None
             out[f"{name}_error"] = type(e).__name__
+        emit()
     try:
         avc_fps, avc_psnr, avc_kbps = bench_avc()
         out["avc_cif_fps"] = round(avc_fps, 3)
@@ -151,6 +160,7 @@ def main():
     except Exception as e:
         out["avc_cif_fps"] = None
         out["avc_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    emit()
     # hierarchical-B CABAC (BASELINE config 4 shape) at CIF
     try:
         from h264tpu.avc.params import AVCParams
@@ -170,6 +180,7 @@ def main():
     except Exception as e:
         out["avc_cif_hierb_cabac_fps"] = None
         out["avc_hierb_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    emit()
     # conformant path at HD (BASELINE.json metric: 1080p fps/chip at
     # BD-rate-qualified quality; see BDRATE_r04 for the quality side)
     for name, (H, W, ns, nt) in (("avc_720p", (720, 1280, 15, 3)),
@@ -182,6 +193,7 @@ def main():
         except Exception as e:
             out[f"{name}_fps"] = None
             out[f"{name}_error"] = type(e).__name__
+        emit()
     print(json.dumps(out))
 
 
