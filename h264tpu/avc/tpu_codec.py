@@ -355,16 +355,30 @@ def _tpu_b_sequence(codec, frames, qp=None, verbose=False):
 
     def device_encode_b(yuv, prep0, prep1, col_motion, fqp):
         y, u, v = _split_org(jnp.asarray(_orgbuf(yuv)), H=H, W=W)
-        sym, rec, tctx = TE.encode_frame_b(
-            y, u, v,
-            prep0[0][None], prep0[1][None], prep0[2][None],
-            prep1[0][None], prep1[1][None], prep1[2][None],
-            jnp.asarray(col_motion[0], jnp.int32),
-            jnp.asarray(col_motion[1], jnp.int32),
-            jnp.int32(fqp), jnp.int32(1), jnp.int32(1),
-            mb_h=mb_h, mb_w=mb_w, sr=codec.sr,
-            chroma_qp_offset=p.chroma_qp_offset,
-            n_slices=codec.n_slices)
+        if codec.mesh is not None:
+            if "b" not in codec._sharded:
+                codec._sharded["b"] = TE.make_sharded_encode_b(
+                    codec.mesh, codec.mesh_axis, mb_h=mb_h, mb_w=mb_w,
+                    sr=codec.sr, chroma_qp_offset=p.chroma_qp_offset,
+                    n_slices=codec.n_slices)
+            sym, rec, tctx = codec._sharded["b"](
+                y, u, v,
+                prep0[0][None], prep0[1][None], prep0[2][None],
+                prep1[0][None], prep1[1][None], prep1[2][None],
+                jnp.asarray(col_motion[0], jnp.int32),
+                jnp.asarray(col_motion[1], jnp.int32),
+                jnp.int32(fqp), jnp.int32(1), jnp.int32(1))
+        else:
+            sym, rec, tctx = TE.encode_frame_b(
+                y, u, v,
+                prep0[0][None], prep0[1][None], prep0[2][None],
+                prep1[0][None], prep1[1][None], prep1[2][None],
+                jnp.asarray(col_motion[0], jnp.int32),
+                jnp.asarray(col_motion[1], jnp.int32),
+                jnp.int32(fqp), jnp.int32(1), jnp.int32(1),
+                mb_h=mb_h, mb_w=mb_w, sr=codec.sr,
+                chroma_qp_offset=p.chroma_qp_offset,
+                n_slices=codec.n_slices)
         sym = jax.device_get(sym)
         tctx = jax.device_get(tctx)
         rec_np = tuple(np.asarray(pl, np.int64) for pl in jax.device_get(rec))

@@ -1829,3 +1829,74 @@ def encode_frame_b(org_y, org_u, org_v, r0_ups, r0_us, r0_vs,
                ref1=jnp.maximum(state_b["ref1"], -1).reshape(mb_h * 4, w4),
                mb_intra=sym["mb_intra"].reshape(mb_h, mb_w))
     return sym, rec, ctx
+
+
+def make_sharded_encode_b(mesh, axis: str, *, mb_h: int, mb_w: int,
+                          sr: int, chroma_qp_offset: int = 0,
+                          n_slices: int = 1,
+                          adaptive_rounding: bool = True):
+    """Mesh-sharded twin of :func:`encode_frame_b` (row-band slices over
+    ``axis``, per-band reference halos, no cross-device communication) —
+    completes BASELINE config 4 ("1080p CABAC hierarchical-B sharded
+    across chips"): anchors AND B pictures shard the same way and the
+    symbols are byte-identical to the single-device graph."""
+    from jax.sharding import PartitionSpec as PS
+    from jax import shard_map
+
+    if mb_h % n_slices:
+        raise ValueError(f"n_slices {n_slices} must divide mb_h {mb_h}")
+    n_dev = mesh.shape[axis]
+    if n_slices % n_dev:
+        raise ValueError(f"n_slices {n_slices} must divide over {n_dev} "
+                         f"devices on mesh axis {axis!r}")
+    S = n_slices
+    sb_h = mb_h // S
+    f = functools.partial(_encode_band_b, sb_h=sb_h, mb_w=mb_w, sr=sr,
+                          chroma_qp_offset=chroma_qp_offset,
+                          adaptive_rounding=adaptive_rounding)
+    sh = PS(axis)
+    rep = PS()
+
+    def local_bands(oy, ou, ov, u0, s0, v0, u1, s1, v1, cm, cr,
+                    qp, nv0, nv1):
+        return jax.vmap(
+            lambda a, b, c, d, e, g, h, i, j, k, l: f(
+                a, b, c, d, e, g, h, i, j, k, l, qp, nv0, nv1))(
+            oy, ou, ov, u0, s0, v0, u1, s1, v1, cm, cr)
+
+    @jax.jit
+    def encode(org_y, org_u, org_v, r0_ups, r0_us, r0_vs,
+               r1_ups, r1_us, r1_vs, col_mv, col_ref, qp, nv0, nv1):
+        b0 = _band_views(org_y, org_u, org_v, r0_ups, r0_us, r0_vs,
+                         jnp.zeros((mb_h, mb_w), bool), S, sb_h, mb_w, sr)
+        b1 = _band_views(org_y, org_u, org_v, r1_ups, r1_us, r1_vs,
+                         jnp.zeros((mb_h, mb_w), bool), S, sb_h, mb_w, sr)
+        colm_b = col_mv.reshape(S, sb_h * 4, mb_w * 4, 2)
+        colr_b = col_ref.reshape(S, sb_h * 4, mb_w * 4)
+        sym_b, state_b = shard_map(
+            local_bands, mesh=mesh,
+            in_specs=(sh,) * 11 + (rep, rep, rep),
+            out_specs=sh, check_vma=False)(
+                b0[0], b0[1], b0[2], b0[3], b0[4], b0[5],
+                b1[3], b1[4], b1[5], colm_b, colr_b,
+                jnp.asarray(qp, jnp.int32), jnp.asarray(nv0, jnp.int32),
+                jnp.asarray(nv1, jnp.int32))
+        nmb = mb_h * mb_w
+        W = mb_w * 16
+        H = mb_h * 16
+        sym = {k: v.reshape(nmb, *v.shape[2:]) for k, v in sym_b.items()}
+        rec = (state_b["rec_y"][:, 1:, 1:W + 1].reshape(H, W),
+               state_b["rec_u"][:, 1:, 1:].reshape(H // 2, W // 2),
+               state_b["rec_v"][:, 1:, 1:].reshape(H // 2, W // 2))
+        w4 = mb_w * 4
+        ctx = dict(nnz=state_b["nnz_y"].reshape(mb_h * 4, w4),
+                   mv0=state_b["mv0"].reshape(mb_h * 4, w4, 2),
+                   ref0=jnp.maximum(state_b["ref0"], -1).reshape(
+                       mb_h * 4, w4),
+                   mv1=state_b["mv1"].reshape(mb_h * 4, w4, 2),
+                   ref1=jnp.maximum(state_b["ref1"], -1).reshape(
+                       mb_h * 4, w4),
+                   mb_intra=sym["mb_intra"].reshape(mb_h, mb_w))
+        return sym, rec, ctx
+
+    return encode

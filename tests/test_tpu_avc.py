@@ -213,3 +213,25 @@ def test_avc_rate_control(foreman_qcif):
     assert 0.4 * budget < avg < 1.9 * budget, (avg, budget)
     qps = rc.prev_qp
     assert 1 <= qps <= 51
+
+
+def test_mesh_sharded_hierarchical_b_byte_identical(foreman_qcif):
+    """BASELINE config 4 end to end at test scale: hierarchical-B CABAC
+    with BOTH anchors and B pictures mesh-sharded — byte-identical to
+    the single-device encode."""
+    import jax
+    from jax.sharding import Mesh
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = [tuple(np.roll(pl, ((i * 2) % 6, -((i * 2) % 6)), (0, 1))
+                    for pl in base[i % 3]) for i in range(5)]
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77,
+                  poc_type=0, num_ref_frames=3, cabac=True)
+    c1 = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                     bframes=3, hierarchical=True)
+    r1, s1 = c1.encode_sequence(frames)
+    mesh = Mesh(np.array(jax.devices()[:3]), ("slice",))
+    c2 = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                     bframes=3, hierarchical=True, mesh=mesh)
+    r2, s2 = c2.encode_sequence(frames)
+    assert s1 == s2
