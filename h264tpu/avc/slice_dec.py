@@ -8,7 +8,8 @@ sub-partition types incl. B_8x8), spatial AND temporal direct
 readers), intra 4x4/16x16 and I_PCM, P_Skip/B_Skip, explicit weighted prediction (P uni + B bipred
 combine), multi-ref sliding-window DPB with long-term reference pictures (IDR
 long_term_reference_flag + MMCO ops 1/2/3/4/5/6, long-term list
-sections) and short-term list modification on BOTH lists, FMO slice groups (map types 0/1), POC
+sections) and short-term list modification on BOTH lists, FMO slice groups (ALL map types 0-6 incl. the box-out/wipe changing
+groups with slice_group_change_cycle), POC
 types 0/2 with display-order output keyed by (idr_epoch, poc),
 multi-slice pictures (spec 6.4.11 slice-restricted availability),
 mb_qp_delta, in-loop deblocking (incl. the two-list B bS derivation),
@@ -20,7 +21,7 @@ mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c, mc_direct.c}``
 
 Unsupported (raises): fields/MBAFF, 4:2:2/4:4:4, 8x8 transform / High
 profile, long-term reordering ops, implicit weighted bipred, data
-partitioning, slice_group_map_type 2..6.
+partitioning.
 """
 
 from __future__ import annotations
@@ -122,10 +123,24 @@ def parse_pps(rbsp: bytes) -> dict:
     if p["slice_groups"] > 1:
         t = r.ue()
         p["sg_map_type"] = t
+        G = p["slice_groups"]
         if t == 0:
-            p["sg_runs"] = [r.ue() + 1 for _ in range(p["slice_groups"])]
+            p["sg_runs"] = [r.ue() + 1 for _ in range(G)]
+        elif t == 2:                        # foreground + leftover
+            p["sg_tl"] = []
+            p["sg_br"] = []
+            for _ in range(G - 1):
+                p["sg_tl"].append(r.ue())
+                p["sg_br"].append(r.ue())
+        elif t in (3, 4, 5):                # changing slice groups
+            p["sg_change_dir"] = r.u(1)
+            p["sg_change_rate"] = r.ue() + 1
+        elif t == 6:                        # explicit
+            n = r.ue() + 1
+            bits = max((G - 1).bit_length(), 1)
+            p["sg_explicit"] = [r.u(bits) for _ in range(n)]
         elif t != 1:
-            raise NotImplementedError("slice_group_map_type 2..6")
+            raise ValueError(f"slice_group_map_type {t}")
     p["num_ref_idx_l0"] = r.ue() + 1
     p["num_ref_idx_l1"] = r.ue() + 1
     p["weighted_pred"] = r.u(1)
@@ -141,25 +156,21 @@ def parse_pps(rbsp: bytes) -> dict:
     return p
 
 
-def _slice_group_map(pps: dict, mb_w: int, mb_h: int) -> np.ndarray:
-    """mapUnitToSliceGroupMap (spec 8.2.2.1/8.2.2.2) -> flat [n_mb]."""
-    n = mb_w * mb_h
-    G = pps["slice_groups"]
-    out = np.zeros(n, np.int64)
-    if pps["sg_map_type"] == 0:
-        runs = pps["sg_runs"]
-        i = 0
-        while i < n:
-            for g in range(G):
-                for _ in range(runs[g]):
-                    if i >= n:
-                        break
-                    out[i] = g
-                    i += 1
-    else:                                   # type 1, dispersed
-        mbs = np.arange(n)
-        out = ((mbs % mb_w) + (((mbs // mb_w) * G) // 2)) % G
-    return out
+def _slice_group_map(pps: dict, mb_w: int, mb_h: int,
+                     change_cycle: int = 0) -> np.ndarray:
+    """mapUnitToSliceGroupMap (spec 8.2.2.1-8.2.2.8) -> flat [n_mb];
+    the full 7-type generator lives in models/resilience.py.  For types
+    3..5 ``change_cycle`` is the slice-header slice_group_change_cycle."""
+    from ..models.resilience import slice_group_map as gen
+    t = pps["sg_map_type"]
+    m = gen(t, pps["slice_groups"], mb_w, mb_h,
+            run_lengths=pps.get("sg_runs"),
+            top_left=pps.get("sg_tl"), bottom_right=pps.get("sg_br"),
+            change_direction=pps.get("sg_change_dir", 0),
+            change_rate=pps.get("sg_change_rate", 1),
+            change_cycle=change_cycle,
+            explicit_map=pps.get("sg_explicit"))
+    return m.reshape(-1).astype(np.int64)
 
 
 def _te(r: BitReader, max_val: int) -> int:
@@ -497,6 +508,13 @@ class AVCDecoder:
             if disable_dbl != 1:
                 a_off = r.se() * 2
                 b_off = r.se() * 2
+        change_cycle = 0
+        if pps["slice_groups"] > 1 and pps["sg_map_type"] in (3, 4, 5):
+            pic_size = mb_w * mb_h
+            rate = pps["sg_change_rate"]
+            bits = max(int(np.ceil(np.log2(pic_size // rate + 1))), 1)
+            change_cycle = self._tr(r, "slice_group_change_cycle",
+                                    r.u(bits))
 
         if self._pic is None:
             self._pic = dict(
@@ -586,7 +604,7 @@ class AVCDecoder:
         gmap = None
         mb_seq = None
         if pps["slice_groups"] > 1:
-            gmap = _slice_group_map(pps, mb_w, mb_h)
+            gmap = _slice_group_map(pps, mb_w, mb_h, change_cycle)
             grp = int(gmap[first_mb])
             mb_seq = [i for i in np.flatnonzero(gmap == grp)
                       if i >= first_mb]

@@ -980,3 +980,45 @@ def test_vui_parameters(jm_tools, foreman_qcif, tmp_path):
     want = ldecod_decode(tmp_path, stream2)
     got = recon_bytes(AVCDecoder().decode(stream2))
     assert got == want
+
+
+@pytest.mark.parametrize("sgtype,extra", [
+    (2, ["-p", "SliceGroupConfigFileName=sg2conf.cfg"]),
+    (3, ["-p", "SliceGroupChangeDirection=1",
+         "-p", "SliceGroupChangeRate=10", "-p", "SliceGroupChangeCycle=3"]),
+    (4, ["-p", "SliceGroupChangeDirection=0",
+         "-p", "SliceGroupChangeRate=20", "-p", "SliceGroupChangeCycle=2"]),
+    (5, ["-p", "SliceGroupChangeDirection=1",
+         "-p", "SliceGroupChangeRate=15", "-p", "SliceGroupChangeCycle=1"]),
+    (6, ["-p", "SliceGroupConfigFileName=sg6conf.cfg"]),
+])
+def test_decode_lencod_fmo_types(jm_tools, tmp_path, sgtype, extra):
+    """FMO slice_group_map_types 2/4/5/6 (spec 8.2.2.3-8.2.2.8): lencod
+    streams decode bit-exact via the shared generator toolbox
+    (models/resilience.py; VERDICT FMO-decode long tail)."""
+    import shutil
+    from h264tpu.avc.slice_dec import AVCDecoder
+
+    for cfg in ("sg2conf.cfg", "sg6conf.cfg"):
+        shutil.copy(os.path.join(JM_BIN, cfg), tmp_path / cfg)
+    out264 = tmp_path / f"jm_fmo{sgtype}.264"
+    r = subprocess.run(
+        [LENCOD, "-d", os.path.join(JM_BIN, "encoder_baseline.cfg"),
+         "-p", f"InputFile={os.path.join(JM_BIN, 'foreman_part_qcif.yuv')}",
+         "-p", "FramesToBeEncoded=2", "-p", "SourceWidth=176",
+         "-p", "SourceHeight=144", "-p", "OutputWidth=176",
+         "-p", "OutputHeight=144", "-p", "IntraPeriod=1",
+         "-p", "IDRPeriod=1", "-p", "QPISlice=30", "-p", "QPPSlice=30",
+         "-p", "SymbolMode=0", "-p", "OutFileMode=0",
+         "-p", "NumSliceGroupsMinus1=1",
+         "-p", f"SliceGroupMapType={sgtype}",
+         "-p", f"OutputFile={out264}",
+         "-p", f"ReconFile={tmp_path/'jm_rec.yuv'}",
+         "-p", "NumberReferenceFrames=1", "-p", "RDOptimization=1",
+         "-p", "SearchRange=8"] + extra,
+        capture_output=True, text=True, cwd=tmp_path, timeout=600)
+    assert r.returncode == 0, (r.stdout[-600:], r.stderr[-200:])
+    stream = out264.read_bytes()
+    want = ldecod_decode(tmp_path, stream)
+    got = recon_bytes(AVCDecoder().decode(stream))
+    assert got == want
