@@ -100,9 +100,15 @@ class GOPEncoder:
     @staticmethod
     def _concatenate(streams):
         """Join per-GOP Annex-B streams: keep the first stream whole,
-        strip the (identical) SPS/PPS prefix from the rest."""
+        strip the (identical) SPS/PPS prefix from the rest.  Non-Annex-B
+        containers (raw FVC) are byte-concatenated for transport only —
+        each GOP unit remains the independently decodable work product
+        (the DCN distribution granule)."""
         if not streams:
             return b""
+        if not (streams[0][:3] == b"\x00\x00\x01"
+                or streams[0][:4] == b"\x00\x00\x00\x01"):
+            return b"".join(streams)
         out = bytearray(streams[0])
         for s in streams[1:]:
             out += GOPEncoder._strip_parameter_sets(s)

@@ -92,3 +92,28 @@ def test_gop_parallel_and_checkpoint_resume(foreman_qcif, tmp_path):
     _, s2 = c2.encode(frames)
     assert s2 == s1
     assert len(calls) == 1                   # only the missing GOP re-ran
+
+
+def test_gop_parallel_fvc(foreman_qcif):
+    """GOPEncoder over the fractal codec: parallel == sequential."""
+    from h264tpu.utils.config import CodecConfig, FractalConfig
+    from h264tpu.models.fractal_codec import FractalCodec
+    from h264tpu.models.gop_parallel import GOPEncoder
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = [base[i % 3] for i in range(6)]
+
+    def factory():
+        cfg = CodecConfig(width=176, height=144, qp=30, intra_period=0,
+                          fractal=FractalConfig(search_range=3))
+        return FractalCodec(cfg)
+
+    seq = GOPEncoder(factory, intra_period=3)
+    units1, s1 = seq.encode(frames, workers=1)
+    par = GOPEncoder(factory, intra_period=3)
+    units2, s2 = par.encode(frames, workers=2)
+    assert s1 == s2 and len(s1) > 0
+    # raw-FVC GOP units are independently decodable work products
+    from h264tpu.models.fractal_codec import FractalDecoder
+    dec = FractalDecoder().decode(units1[0]["stream"])
+    assert len(dec) == 3
