@@ -39,26 +39,28 @@ _SYM_KEYS = (("win", 1), ("ri", 1), ("mvd", 8), ("i4flags", 32),
 
 @jax.jit
 def _pack_out(sym, ctx, rec):
-    """Pack symbols+deblock ctx into one int16 buffer and the recon into
-    one uint8 buffer — two tunnel transfers per frame instead of ~20."""
+    """Pack encoder outputs into three transfer buffers: symbols
+    (int16, only needed for host entropy packing — may download lazily),
+    deblock ctx (int16) and recon (uint8), both on the frame critical
+    path (deblock -> prep_ref).  Splitting them lets the driver overlap
+    frame n's entropy packing with frame n+1's device compute."""
     nmb = sym["win"].shape[0]
     parts = [sym[k].reshape(nmb, -1).astype(jnp.int16) for k, _ in _SYM_KEYS]
-    flat = [p.reshape(-1) for p in parts]
-    flat += [ctx["nnz"].reshape(-1).astype(jnp.int16),
-             ctx["mv"].reshape(-1).astype(jnp.int16),
-             ctx["ref"].reshape(-1).astype(jnp.int16),
-             ctx["mb_intra"].reshape(-1).astype(jnp.int16)]
-    buf = jnp.concatenate(flat)
+    buf = jnp.concatenate([p.reshape(-1) for p in parts])
+    ctxbuf = jnp.concatenate(
+        [ctx["nnz"].reshape(-1).astype(jnp.int16),
+         ctx["mv"].reshape(-1).astype(jnp.int16),
+         ctx["ref"].reshape(-1).astype(jnp.int16),
+         ctx["mb_intra"].reshape(-1).astype(jnp.int16)])
     y, u, v = rec
     recbuf = jnp.concatenate(
         [y, jnp.concatenate([u, v], axis=1)], axis=0).astype(jnp.uint8)
-    return buf, recbuf
+    return buf, ctxbuf, recbuf
 
 
-def _unpack_out(buf, recbuf, mb_h, mb_w):
-    """Host-side inverse of _pack_out (numpy views + reshapes)."""
+def _unpack_sym(buf, mb_h, mb_w):
+    """Host-side inverse of _pack_out's symbol buffer."""
     nmb = mb_h * mb_w
-    h4, w4 = mb_h * 4, mb_w * 4
     sym = {}
     off = 0
     for k, wdt in _SYM_KEYS:
@@ -72,18 +74,33 @@ def _unpack_out(buf, recbuf, mb_h, mb_w):
     for k in ("win", "ri", "i16mode", "cmode", "cbp_luma", "cbp_chroma",
               "mb_intra"):
         sym[k] = sym[k][:, 0]
+    return sym
+
+
+def _unpack_ctx_rec(ctxbuf, recbuf, mb_h, mb_w):
+    """Host-side inverse of _pack_out's ctx/recon buffers."""
+    h4, w4 = mb_h * 4, mb_w * 4
+    nmb = mb_h * mb_w
     ctx = {}
-    ctx["nnz"] = buf[off:off + h4 * w4].reshape(h4, w4)
+    off = 0
+    ctx["nnz"] = ctxbuf[off:off + h4 * w4].reshape(h4, w4)
     off += h4 * w4
-    ctx["mv"] = buf[off:off + h4 * w4 * 2].reshape(h4, w4, 2)
+    ctx["mv"] = ctxbuf[off:off + h4 * w4 * 2].reshape(h4, w4, 2)
     off += h4 * w4 * 2
-    ctx["ref"] = buf[off:off + h4 * w4].reshape(h4, w4)
+    ctx["ref"] = ctxbuf[off:off + h4 * w4].reshape(h4, w4)
     off += h4 * w4
-    ctx["mb_intra"] = buf[off:off + nmb].reshape(mb_h, mb_w).astype(bool)
+    ctx["mb_intra"] = ctxbuf[off:off + nmb].reshape(mb_h, mb_w).astype(bool)
     H, W = mb_h * 16, mb_w * 16
     rec = (recbuf[:H].astype(np.int64),
            recbuf[H:, :W // 2].astype(np.int64),
            recbuf[H:, W // 2:].astype(np.int64))
+    return ctx, rec
+
+
+def _unpack_out(buf, ctxbuf, recbuf, mb_h, mb_w):
+    """Host-side inverse of _pack_out (numpy views + reshapes)."""
+    sym = _unpack_sym(buf, mb_h, mb_w)
+    ctx, rec = _unpack_ctx_rec(ctxbuf, recbuf, mb_h, mb_w)
     return sym, ctx, rec
 
 
@@ -172,7 +189,7 @@ class TPUAVCCodec:
             P, PC = TE.luma_pad(sr), TE.chroma_pad(sr)
             H, W = p.height, p.width
             self._dummy = (
-                jnp.zeros((1, 4 * (H + 2 * P), 4 * (W + 2 * P)), jnp.int32),
+                jnp.zeros((1, 4, 4, H + 2 * P, W + 2 * P), jnp.uint8),
                 jnp.zeros((1, H // 2 + 2 * PC, W // 2 + 2 * PC), jnp.int32),
                 jnp.zeros((1, H // 2 + 2 * PC, W // 2 + 2 * PC), jnp.int32))
         return self._dummy
@@ -200,8 +217,69 @@ class TPUAVCCodec:
         frame_num = 0
         idr_pic_id = 0
         H, W = p.height, p.width
+        rows = mb_h // self.n_slices
+        pending = None      # deferred entropy pack of the previous frame
+
+        def finalize(pend):
+            """Host entropy pack of a finished frame (overlaps the next
+            frame's device compute — the symbol buffer download and the
+            CAVLC/CABAC packing don't gate the encode loop)."""
+            sym = _unpack_sym(np.asarray(pend["buf"]), mb_h, mb_w)
+            fqp = pend["qp"]
+            if pend["idr"]:
+                if p.cabac:
+                    rbsps = [PKC.pack_i_slice_cabac(
+                        sym, p, fqp, frame_num=0, idr=True,
+                        idr_pic_id=pend["idr_pic_id"], row0=s0 * rows,
+                        n_rows=rows) for s0 in range(self.n_slices)]
+                elif AN.available():
+                    rbsps = [AN.pack_slice(sym, p, SLICE_I, fqp, 0, True,
+                                           pend["idr_pic_id"], 1,
+                                           row0=s0 * rows, n_rows=rows)
+                             for s0 in range(self.n_slices)]
+                else:
+                    rbsps = [PK.pack_i_slice(sym, p, fqp, frame_num=0,
+                                             idr=True,
+                                             idr_pic_id=pend["idr_pic_id"],
+                                             row0=s0 * rows, n_rows=rows)
+                             for s0 in range(self.n_slices)]
+            else:
+                fn, nv = pend["frame_num"], pend["n_valid"]
+                if p.cabac:
+                    rbsps = [PKC.pack_p_slice_cabac(
+                        sym, p, fqp, frame_num=fn, num_ref=nv,
+                        row0=s0 * rows, n_rows=rows)
+                        for s0 in range(self.n_slices)]
+                elif AN.available():
+                    rbsps = [AN.pack_slice(sym, p, SLICE_P, fqp, fn,
+                                           False, 0, nv,
+                                           row0=s0 * rows, n_rows=rows)
+                             for s0 in range(self.n_slices)]
+                else:
+                    rbsps = [PK.pack_p_slice(sym, p, fqp, frame_num=fn,
+                                             num_ref=nv,
+                                             row0=s0 * rows, n_rows=rows)
+                             for s0 in range(self.n_slices)]
+            for rb in rbsps:
+                slices.append((pend["idr"], rb))
+            res = AVCFrameResult(
+                frame_type=pend["ftype"],
+                bits=sum(len(rb) for rb in rbsps) * 8,
+                psnr_y=pend["psnr_y"], recon=pend["rec8"])
+            results.append(res)
+            if verbose:
+                print(f"frame {pend['idx']:3d} {pend['ftype']:3s} "
+                      f"bits {res.bits:7d} PSNR-Y {res.psnr_y:6.2f}")
+            return res
+
         for idx, yuv in enumerate(frames):
             if rc is not None and idx > 0:
+                # rate control needs the previous frame's bits NOW
+                if pending is not None:
+                    res = finalize(pending)
+                    pending = None
+                    mse_y = 255.0 ** 2 / (10.0 ** (res.psnr_y / 10.0))
+                    rc.update(res.bits, qp, float(np.sqrt(mse_y)))
                 qp = rc.frame_qp()
             orgbuf = np.concatenate(
                 [np.asarray(yuv[0], np.uint8),
@@ -210,35 +288,16 @@ class TPUAVCCodec:
                 axis=0)
             y, u, v = _split_org(jnp.asarray(orgbuf), H=H, W=W)
             idr = self._is_idr(idx)
+            meta = dict(idx=idx, idr=idr, qp=qp)
             if idr:
                 ups, us, vs = self._dummy_refs()
                 sym, rec, tctx = self._encode_fn(True)(
                     y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(0),
                     no_force)
-                buf, recbuf = _pack_out(sym, tctx, rec)
-                buf, recbuf = jax.device_get((buf, recbuf))
-                sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)
-                rows = mb_h // self.n_slices
-                if p.cabac:
-                    rbsps = [PKC.pack_i_slice_cabac(
-                        sym, p, qp, frame_num=0, idr=True,
-                        idr_pic_id=idr_pic_id, row0=s0 * rows, n_rows=rows)
-                        for s0 in range(self.n_slices)]
-                elif AN.available():
-                    rbsps = [AN.pack_slice(sym, p, SLICE_I, qp, 0, True,
-                                           idr_pic_id, 1, row0=s0 * rows,
-                                           n_rows=rows)
-                             for s0 in range(self.n_slices)]
-                else:
-                    rbsps = [PK.pack_i_slice(sym, p, qp, frame_num=0,
-                                             idr=True,
-                                             idr_pic_id=idr_pic_id,
-                                             row0=s0 * rows, n_rows=rows)
-                             for s0 in range(self.n_slices)]
+                meta.update(ftype="IDR", idr_pic_id=idr_pic_id)
                 idr_pic_id = (idr_pic_id + 1) & 0xFFFF
                 frame_num = 1
                 dpb = []
-                ftype = "IDR"
             else:
                 n_valid = min(len(dpb), R)
                 refs = [dpb[i if i < n_valid else n_valid - 1]
@@ -251,32 +310,23 @@ class TPUAVCCodec:
                 sym, rec, tctx = self._encode_fn(False)(
                     y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(n_valid),
                     fim)
-                buf, recbuf = _pack_out(sym, tctx, rec)
-                buf, recbuf = jax.device_get((buf, recbuf))
-                sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)
-                rows = mb_h // self.n_slices
-                if p.cabac:
-                    rbsps = [PKC.pack_p_slice_cabac(
-                        sym, p, qp, frame_num=frame_num, num_ref=n_valid,
-                        row0=s0 * rows, n_rows=rows)
-                        for s0 in range(self.n_slices)]
-                elif AN.available():
-                    rbsps = [AN.pack_slice(sym, p, SLICE_P, qp, frame_num,
-                                           False, 0, n_valid,
-                                           row0=s0 * rows, n_rows=rows)
-                             for s0 in range(self.n_slices)]
-                else:
-                    rbsps = [PK.pack_p_slice(sym, p, qp,
-                                             frame_num=frame_num,
-                                             num_ref=n_valid,
-                                             row0=s0 * rows, n_rows=rows)
-                             for s0 in range(self.n_slices)]
+                meta.update(ftype="P", frame_num=frame_num,
+                            n_valid=n_valid)
                 frame_num = (frame_num + 1) % (1 << p.log2_max_frame_num)
-                ftype = "P"
+            buf, ctxbuf, recbuf = _pack_out(sym, tctx, rec)
 
+            # previous frame's entropy pack overlaps this frame's device
+            # compute (the device is busy encoding; the host packs bits)
+            if pending is not None:
+                finalize(pending)
+                pending = None
+
+            # critical path: ctx+recon -> deblock -> ref upload -> prep
+            ctxbuf, recbuf = jax.device_get((ctxbuf, recbuf))
+            tctx, rec_np = _unpack_ctx_rec(ctxbuf, recbuf, mb_h, mb_w)
             if p.deblock:
                 ctx = DeblockContext(mb_w, mb_h, qp, p.chroma_qp_offset)
-                if ftype != "IDR":
+                if meta["ftype"] != "IDR":
                     ctx.mb_intra = np.asarray(tctx["mb_intra"])
                     ctx.nnz = np.asarray(tctx["nnz"], np.int64)
                     ctx.mv = np.asarray(tctx["mv"], np.int64)
@@ -291,22 +341,17 @@ class TPUAVCCodec:
             dpb.insert(0, _prep_ref_packed(jnp.asarray(refbuf), sr=self.sr,
                                            H=H, W=W))
             dpb = dpb[:R]
-            for rb in rbsps:
-                slices.append((idr, rb))
             rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec_np)
             mse = ((np.asarray(yuv[0], np.float64) - rec8[0]) ** 2).mean()
-            res = AVCFrameResult(
-                frame_type=ftype, bits=sum(len(rb) for rb in rbsps) * 8,
-                psnr_y=99.99 if mse == 0 else
-                float(10 * np.log10(255.0 ** 2 / mse)),
-                recon=rec8)
-            results.append(res)
+            meta.update(buf=buf, rec8=rec8,
+                        psnr_y=99.99 if mse == 0 else
+                        float(10 * np.log10(255.0 ** 2 / mse)))
+            pending = meta
+        if pending is not None:
+            res = finalize(pending)
             if rc is not None:
                 mse_y = 255.0 ** 2 / (10.0 ** (res.psnr_y / 10.0))
                 rc.update(res.bits, qp, float(np.sqrt(mse_y)))
-            if verbose:
-                print(f"frame {idx:3d} {ftype:3s} bits {res.bits:7d} "
-                      f"PSNR-Y {res.psnr_y:6.2f}")
         return results, assemble_stream(p, slices)
 
 
@@ -349,9 +394,9 @@ def _tpu_b_sequence(codec, frames, qp=None, verbose=False):
         sym, rec, tctx = codec._encode_fn(False)(
             y, u, v, ups, us, vs, jnp.int32(fqp),
             jnp.int32(len(prep_list)), no_force)
-        buf, recbuf = _pack_out(sym, tctx, rec)
-        buf, recbuf = jax.device_get((buf, recbuf))
-        return _unpack_out(buf, recbuf, mb_h, mb_w)
+        buf, ctxbuf, recbuf = _pack_out(sym, tctx, rec)
+        buf, ctxbuf, recbuf = jax.device_get((buf, ctxbuf, recbuf))
+        return _unpack_out(buf, ctxbuf, recbuf, mb_h, mb_w)
 
     def device_encode_b(yuv, prep0, prep1, col_motion, fqp):
         y, u, v = _split_org(jnp.asarray(_orgbuf(yuv)), H=H, W=W)
@@ -447,9 +492,9 @@ def _tpu_b_sequence(codec, frames, qp=None, verbose=False):
             sym, rec, tctx = codec._encode_fn(True)(
                 y, u, v, ups, us, vs, jnp.int32(fqp), jnp.int32(0),
                 no_force)
-            buf, recbuf = _pack_out(sym, tctx, rec)
-            buf, recbuf = jax.device_get((buf, recbuf))
-            sym, tctx, rec_np = _unpack_out(buf, recbuf, mb_h, mb_w)
+            buf, ctxbuf, recbuf = _pack_out(sym, tctx, rec)
+            buf, ctxbuf, recbuf = jax.device_get((buf, ctxbuf, recbuf))
+            sym, tctx, rec_np = _unpack_out(buf, ctxbuf, recbuf, mb_h, mb_w)
             rows = mb_h // codec.n_slices
             packi = PKC.pack_i_slice_cabac if p.cabac else PK.pack_i_slice
             rbsps = [packi(sym, p, fqp, frame_num=0, idr=True,

@@ -47,7 +47,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.me import sixtap_halfpel
+from ..ops.me import sixtap_phases
 from ..ops.transform import COEFF_COST
 from . import quant_jax as QJ
 from . import intra_jax as IJ
@@ -123,12 +123,14 @@ def chroma_pad(sr: int) -> int:
 def prep_ref(rec_y, rec_u, rec_v, sr: int):
     """Build the MC-ready planes of one reference picture (device).
 
-    Returns (up [4*(H+2P), 4*(W+2P)] int32 quarter-pel grid,
-             u_pad, v_pad int32).  The quarter-pel grid is the spec
-    8.4.2.2.1 process (6-tap half-pel + bilinear quarter; ops/me.py)."""
+    Returns (up [4, 4, H+2P, W+2P] uint8 phase-split quarter-pel planes,
+             u_pad, v_pad int32).  The quarter-pel samples are the spec
+    8.4.2.2.1 process (6-tap half-pel + bilinear quarter; ops/me.py);
+    the phase-split uint8 layout makes every MC gather one contiguous
+    byte window (16x less HBM traffic than a strided int32 grid)."""
     P, PC = luma_pad(sr), chroma_pad(sr)
     y = jnp.pad(rec_y.astype(jnp.int32), P, mode="edge")
-    up = sixtap_halfpel(y)
+    up = sixtap_phases(y)
     u = jnp.pad(rec_u.astype(jnp.int32), PC, mode="edge")
     v = jnp.pad(rec_v.astype(jnp.int32), PC, mode="edge")
     return up, u, v
@@ -261,11 +263,17 @@ def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
 # ===========================================================================
 
 def _gather_block(up, y0, x0, mvx, mvy, bh: int, bw: int, P: int):
-    """Prediction block [bh, bw] from the quarter-pel grid; scalar coords."""
-    ys = ((y0 + P) * 4 + mvy).astype(jnp.int32)
-    xs = ((x0 + P) * 4 + mvx).astype(jnp.int32)
-    sl = jax.lax.dynamic_slice(up, (ys, xs), (4 * bh - 3, 4 * bw - 3))
-    return sl[::4, ::4]
+    """Prediction block [bh, bw] int32 from the phase-split quarter-pel
+    planes ``up [4, 4, Hp, Wp] uint8``; scalar traced coords/MV."""
+    mvx = mvx.astype(jnp.int32)
+    mvy = mvy.astype(jnp.int32)
+    py = mvy & 3
+    px = mvx & 3
+    iy = y0 + P + (mvy >> 2)
+    ix = x0 + P + (mvx >> 2)
+    sl = jax.lax.dynamic_slice(up, (py, px, iy.astype(jnp.int32),
+                                    ix.astype(jnp.int32)), (1, 1, bh, bw))
+    return sl[0, 0].astype(jnp.int32)
 
 
 _H4J = jnp.asarray(np.array([[1, 1, 1, 1], [1, 1, -1, -1],
@@ -794,8 +802,9 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
     """Encode ONE row-band slice (search + subpel + decision scan).
 
     All arrays are band views: org_y [sb_h*16, W]; ref_ups
-    [R, 4*(sb_h*16+2P), 4*(W+2P)] (the band's rows of the quarter-pel
-    grid including the P-sample halo above/below); ref_us/ref_vs the
+    [R, 4, 4, sb_h*16+2P, W+2P] uint8 (the band's rows of the
+    phase-split quarter-pel planes including the P-sample halo
+    above/below); ref_us/ref_vs the
     band's padded chroma rows; force_intra [sb_h, mb_w].  Slices reset
     every prediction/entropy context, so a band encodes with no
     knowledge of its neighbors — this function is the unit that
@@ -819,7 +828,7 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
     if not intra_only:
         R = ref_ups.shape[0]
-        ref_pads = ref_ups[:, ::4, ::4]            # integer samples
+        ref_pads = ref_ups[:, 0, 0].astype(jnp.int32)   # integer samples
         mv_int, _sad_int, pmv2 = _integer_search(org_y, ref_pads, sr, lam_me)
         mv_q, sad_q = _subpel_refine(org_y, ref_ups, mv_int, _sad_int,
                                      pmv2, sr, lam_me)
@@ -845,10 +854,10 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         ar_p=jnp.full((4, 4), QJ.OFFSET_INTER, jnp.int32),
     )
 
-    def mb_body(st, j, mv_mb, sad_mb, forced):
-        """One MB of the band; st holds the band arrays."""
-        mby = j // mb_w                        # band-local MB row
-        mbx = j % mb_w
+    def mb_compute(st, mby, mbx, mv_mb, sad_mb, forced):
+        """Decisions + residuals for one MB; returns (updates, symbols)
+        WITHOUT touching ``st`` — the wavefront scheduler applies updates
+        for a whole anti-diagonal of MBs at once."""
         y0, x0 = mby * 16, mbx * 16            # band-local pixel coords
         cy0, cx0 = mby * 8, mbx * 8
         by0, bx0 = mby * 4, mbx * 4
@@ -1173,33 +1182,19 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         ref_cells = jnp.where(sel_intra, -1,
                               jnp.broadcast_to(win_r, (4, 4)))
 
-        st = dict(st)
-        st["rec_y"] = jax.lax.dynamic_update_slice(
-            st["rec_y"], rec16, (y0 + 1, x0 + 1))
-        st["rec_u"] = jax.lax.dynamic_update_slice(
-            st["rec_u"], rec_u8, (cy0 + 1, cx0 + 1))
-        st["rec_v"] = jax.lax.dynamic_update_slice(
-            st["rec_v"], rec_v8, (cy0 + 1, cx0 + 1))
-        st["mv"] = jax.lax.dynamic_update_slice(
-            st["mv"], mv_cells, (by0, bx0, 0))
-        st["ref"] = jax.lax.dynamic_update_slice(
-            st["ref"], ref_cells, (by0, bx0))
-        st["nnz_y"] = jax.lax.dynamic_update_slice(
-            st["nnz_y"], nnz_cells, (by0, bx0))
-        st["nnz_c"] = jax.lax.dynamic_update_slice(
-            st["nnz_c"], nnzc_cells, (0, mby * 2, mbx * 2))
-        st["i4m"] = jax.lax.dynamic_update_slice(
-            st["i4m"], i4m_cells, (by0, bx0))
-        if adaptive_rounding:
-            # JVT-N011: commit the winning mode's rounding adjustments
-            # into the matching offset list (q_around.c:132)
-            fadj_intra = jnp.where(sel_i16, i16["fadj"], i4["fadj"])
-            st["ar_i"] = jnp.clip(
-                st["ar_i"] + jnp.where(sel_intra, fadj_intra, 0),
-                0, QJ.AR_RANGE)
-            if not intra_only:
-                upd = jnp.where(is_skip | sel_intra, 0, fadj_m[win_m])
-                st["ar_p"] = jnp.clip(st["ar_p"] + upd, 0, QJ.AR_RANGE)
+        # JVT-N011 rounding adjustments of the winning mode (q_around.c:132)
+        fadj_intra = jnp.where(sel_i16, i16["fadj"], i4["fadj"])
+        ar_i_add = jnp.where(sel_intra, fadj_intra, 0)
+        if intra_only:
+            ar_p_add = jnp.zeros((4, 4), jnp.int32)
+        else:
+            ar_p_add = jnp.where(is_skip | sel_intra, 0, fadj_m[win_m])
+
+        upd = dict(rec16=rec16, rec_u8=rec_u8, rec_v8=rec_v8,
+                   mv_cells=mv_cells, ref_cells=ref_cells,
+                   nnz_cells=nnz_cells, nnzc_cells=nnzc_cells,
+                   i4m_cells=i4m_cells, ar_i_add=ar_i_add,
+                   ar_p_add=ar_p_add)
 
         win_code = jnp.where(sel_i16, 6,
                              jnp.where(sel_i4, 5,
@@ -1219,15 +1214,69 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             cac=cac_out.astype(jnp.int32),
             mb_intra=sel_intra,
         )
-        return st, out
+        return upd, out
 
-    def step(st, xs):
-        j, mv_j, sad_j, forced_j = xs
-        return mb_body(st, j, mv_j, sad_j, forced_j)
+    # ------------------------------------------------------------------
+    # Wavefront scheduler: an MB depends on its left, top and top-right
+    # neighbors only (intra availability, MVP, nC), so MBs along the
+    # anti-diagonal c == t - 2*r are independent and all their inputs
+    # were committed at steps <= t-1.  One scan step computes one MB per
+    # band row (vmapped — same op count as one MB) and commits the
+    # row-disjoint state updates; mb_w + 2*(sb_h-1) steps instead of
+    # sb_h*mb_w, identical decisions/bitstream semantics.
+    # ------------------------------------------------------------------
+    force_flat = force_intra.reshape(nmb_s)
+    lane_r = jnp.arange(sb_h, dtype=jnp.int32)
+    T = mb_w + 2 * (sb_h - 1)
 
-    xs = (jnp.arange(nmb_s, dtype=jnp.int32), mv_q, sad_q,
-          force_intra.reshape(nmb_s))
-    state, sym = jax.lax.scan(step, state, xs)
+    def step(st, t):
+        cs = t - 2 * lane_r                    # [sb_h] lane columns
+        valid = (cs >= 0) & (cs < mb_w)
+        csc = jnp.clip(cs, 0, mb_w - 1)
+        js = lane_r * mb_w + csc
+        upds, outs = jax.vmap(
+            mb_compute, in_axes=(None, 0, 0, 0, 0, 0))(
+                st, lane_r, csc, mv_q[js], sad_q[js], force_flat[js])
+        new = dict(st)
+
+        def put(key, val, pos, shape, v):
+            cur = jax.lax.dynamic_slice(new[key], pos, shape)
+            new[key] = jax.lax.dynamic_update_slice(
+                new[key], jnp.where(v, val, cur), pos)
+
+        for r in range(sb_h):
+            c = csc[r]
+            v = valid[r]
+            put("rec_y", upds["rec16"][r], (16 * r + 1, c * 16 + 1),
+                (16, 16), v)
+            put("rec_u", upds["rec_u8"][r], (8 * r + 1, c * 8 + 1),
+                (8, 8), v)
+            put("rec_v", upds["rec_v8"][r], (8 * r + 1, c * 8 + 1),
+                (8, 8), v)
+            put("mv", upds["mv_cells"][r], (4 * r, c * 4, 0), (4, 4, 2), v)
+            put("ref", upds["ref_cells"][r], (4 * r, c * 4), (4, 4), v)
+            put("nnz_y", upds["nnz_cells"][r], (4 * r, c * 4), (4, 4), v)
+            put("nnz_c", upds["nnzc_cells"][r], (0, 2 * r, c * 2),
+                (2, 2, 2), v)
+            put("i4m", upds["i4m_cells"][r], (4 * r, c * 4), (4, 4), v)
+        if adaptive_rounding:
+            vm = valid[:, None, None]
+            new["ar_i"] = jnp.clip(
+                st["ar_i"] + jnp.where(vm, upds["ar_i_add"], 0).sum(0),
+                0, QJ.AR_RANGE)
+            new["ar_p"] = jnp.clip(
+                st["ar_p"] + jnp.where(vm, upds["ar_p_add"], 0).sum(0),
+                0, QJ.AR_RANGE)
+        return new, outs
+
+    state, ys = jax.lax.scan(step, state, jnp.arange(T, dtype=jnp.int32))
+    # ys [T, sb_h, ...] -> band raster [nmb_s, ...]: MB (r, c) ran at
+    # step c + 2*r in lane r
+    jr = np.arange(nmb_s, dtype=np.int32) // mb_w
+    jc = np.arange(nmb_s, dtype=np.int32) % mb_w
+    t_idx = jnp.asarray(jc + 2 * jr)
+    r_idx = jnp.asarray(jr)
+    sym = {k: v[t_idx, r_idx] for k, v in ys.items()}
     return sym, state
 
 
@@ -1251,8 +1300,8 @@ def _band_views(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, force_intra,
 
     def slice_refs(r0):
         ups = jax.lax.dynamic_slice(
-            ref_ups, (0, 4 * r0, 0),
-            (R, 4 * (bandH + 2 * P), ref_ups.shape[2]))
+            ref_ups, (0, 0, 0, r0, 0),
+            (R, 4, 4, bandH + 2 * P, ref_ups.shape[4]))
         us = jax.lax.dynamic_slice(
             ref_us, (0, r0 // 2, 0),
             (R, bandH // 2 + 2 * PC, ref_us.shape[2]))
@@ -1293,8 +1342,9 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  n_slices: int = 1, adaptive_rounding: bool = True):
     """Encode one frame's decisions + residuals on device.
 
-    org_*: int32 planes.  ref_ups [R, 4*(H+2P), 4*(W+2P)]: quarter-pel
-    grids of reference list 0 (most recent first; pad slots by repeating
+    org_*: int32 planes.  ref_ups [R, 4, 4, H+2P, W+2P] uint8:
+    phase-split quarter-pel planes of list 0 (most recent first; pad
+    slots by repeating
     and set ``n_valid``); ref_us/ref_vs: padded chroma planes.  qp traced
     int32; force_intra [mb_h, mb_w] traced bool.
 
@@ -1471,7 +1521,7 @@ def _encode_band_b(org_y, org_u, org_v,
     R1 = r1_ups.shape[0]
     searches = []
     for ups in (r0_ups, r1_ups):
-        pads = ups[:, ::4, ::4]
+        pads = ups[:, 0, 0].astype(jnp.int32)
         mv_i, sad_i, pmv2 = _integer_search(org_y, pads, sr, lam_me)
         mv_q, sad_q = _subpel_refine(org_y, ups, mv_i, sad_i, pmv2, sr,
                                      lam_me)
@@ -1495,9 +1545,7 @@ def _encode_band_b(org_y, org_u, org_v,
         ar_p=jnp.full((4, 4), QJ.OFFSET_INTER, jnp.int32),
     )
 
-    def mb_body(st, j, mv0_mb, sad0_mb, mv1_mb, sad1_mb):
-        mby = j // mb_w
-        mbx = j % mb_w
+    def mb_compute(st, mby, mbx, mv0_mb, sad0_mb, mv1_mb, sad1_mb):
         y0, x0 = mby * 16, mbx * 16
         cy0, cx0 = mby * 8, mbx * 8
         by0, bx0 = mby * 4, mbx * 4
@@ -1719,34 +1767,15 @@ def _encode_band_b(org_y, org_u, org_v,
         ref0_cells = jnp.broadcast_to(ref0_cells, (4, 4)).astype(jnp.int32)
         ref1_cells = jnp.broadcast_to(ref1_cells, (4, 4)).astype(jnp.int32)
 
-        st = dict(st)
-        st["rec_y"] = jax.lax.dynamic_update_slice(
-            st["rec_y"], rec16, (y0 + 1, x0 + 1))
-        st["rec_u"] = jax.lax.dynamic_update_slice(
-            st["rec_u"], rec_u8, (cy0 + 1, cx0 + 1))
-        st["rec_v"] = jax.lax.dynamic_update_slice(
-            st["rec_v"], rec_v8, (cy0 + 1, cx0 + 1))
-        st["mv0"] = jax.lax.dynamic_update_slice(
-            st["mv0"], mv0_cells, (by0, bx0, 0))
-        st["ref0"] = jax.lax.dynamic_update_slice(
-            st["ref0"], ref0_cells, (by0, bx0))
-        st["mv1"] = jax.lax.dynamic_update_slice(
-            st["mv1"], mv1_cells, (by0, bx0, 0))
-        st["ref1"] = jax.lax.dynamic_update_slice(
-            st["ref1"], ref1_cells, (by0, bx0))
-        st["nnz_y"] = jax.lax.dynamic_update_slice(
-            st["nnz_y"], nnz_cells, (by0, bx0))
-        st["nnz_c"] = jax.lax.dynamic_update_slice(
-            st["nnz_c"], nnzc_cells, (0, mby * 2, mbx * 2))
-        st["i4m"] = jax.lax.dynamic_update_slice(
-            st["i4m"], i4m_cells, (by0, bx0))
-        if adaptive_rounding:
-            fadj_intra = jnp.where(sel_i16, i16["fadj"], i4["fadj"])
-            st["ar_i"] = jnp.clip(
-                st["ar_i"] + jnp.where(sel_intra, fadj_intra, 0),
-                0, QJ.AR_RANGE)
-            upd = jnp.where(is_skip | sel_intra, 0, fadj_m[win_m])
-            st["ar_p"] = jnp.clip(st["ar_p"] + upd, 0, QJ.AR_RANGE)
+        fadj_intra = jnp.where(sel_i16, i16["fadj"], i4["fadj"])
+        upd = dict(rec16=rec16, rec_u8=rec_u8, rec_v8=rec_v8,
+                   mv0_cells=mv0_cells, ref0_cells=ref0_cells,
+                   mv1_cells=mv1_cells, ref1_cells=ref1_cells,
+                   nnz_cells=nnz_cells, nnzc_cells=nnzc_cells,
+                   i4m_cells=i4m_cells,
+                   ar_i_add=jnp.where(sel_intra, fadj_intra, 0),
+                   ar_p_add=jnp.where(is_skip | sel_intra, 0,
+                                      fadj_m[win_m]))
 
         win_code = jnp.where(
             sel_i16, 6,
@@ -1771,14 +1800,63 @@ def _encode_band_b(org_y, org_u, org_v,
             cac=cac_out.astype(jnp.int32),
             mb_intra=sel_intra,
         )
-        return st, out
+        return upd, out
 
-    def step(st, xs):
-        j, m0, sd0, m1, sd1 = xs
-        return mb_body(st, j, m0, sd0, m1, sd1)
+    # wavefront scheduler (see _encode_band): one MB per band row along
+    # the anti-diagonal c == t - 2*r, mb_w + 2*(sb_h-1) steps
+    lane_r = jnp.arange(sb_h, dtype=jnp.int32)
+    T = mb_w + 2 * (sb_h - 1)
 
-    xs = (jnp.arange(nmb_s, dtype=jnp.int32), mv0_q, sad0_q, mv1_q, sad1_q)
-    state, sym = jax.lax.scan(step, state, xs)
+    def step(st, t):
+        cs = t - 2 * lane_r
+        valid = (cs >= 0) & (cs < mb_w)
+        csc = jnp.clip(cs, 0, mb_w - 1)
+        js = lane_r * mb_w + csc
+        upds, outs = jax.vmap(
+            mb_compute, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                st, lane_r, csc, mv0_q[js], sad0_q[js],
+                mv1_q[js], sad1_q[js])
+        new = dict(st)
+
+        def put(key, val, pos, shape, v):
+            cur = jax.lax.dynamic_slice(new[key], pos, shape)
+            new[key] = jax.lax.dynamic_update_slice(
+                new[key], jnp.where(v, val, cur), pos)
+
+        for r in range(sb_h):
+            c = csc[r]
+            v = valid[r]
+            put("rec_y", upds["rec16"][r], (16 * r + 1, c * 16 + 1),
+                (16, 16), v)
+            put("rec_u", upds["rec_u8"][r], (8 * r + 1, c * 8 + 1),
+                (8, 8), v)
+            put("rec_v", upds["rec_v8"][r], (8 * r + 1, c * 8 + 1),
+                (8, 8), v)
+            put("mv0", upds["mv0_cells"][r], (4 * r, c * 4, 0),
+                (4, 4, 2), v)
+            put("ref0", upds["ref0_cells"][r], (4 * r, c * 4), (4, 4), v)
+            put("mv1", upds["mv1_cells"][r], (4 * r, c * 4, 0),
+                (4, 4, 2), v)
+            put("ref1", upds["ref1_cells"][r], (4 * r, c * 4), (4, 4), v)
+            put("nnz_y", upds["nnz_cells"][r], (4 * r, c * 4), (4, 4), v)
+            put("nnz_c", upds["nnzc_cells"][r], (0, 2 * r, c * 2),
+                (2, 2, 2), v)
+            put("i4m", upds["i4m_cells"][r], (4 * r, c * 4), (4, 4), v)
+        if adaptive_rounding:
+            vm = valid[:, None, None]
+            new["ar_i"] = jnp.clip(
+                st["ar_i"] + jnp.where(vm, upds["ar_i_add"], 0).sum(0),
+                0, QJ.AR_RANGE)
+            new["ar_p"] = jnp.clip(
+                st["ar_p"] + jnp.where(vm, upds["ar_p_add"], 0).sum(0),
+                0, QJ.AR_RANGE)
+        return new, outs
+
+    state, ys = jax.lax.scan(step, state, jnp.arange(T, dtype=jnp.int32))
+    jr = np.arange(nmb_s, dtype=np.int32) // mb_w
+    jc = np.arange(nmb_s, dtype=np.int32) % mb_w
+    sym = {k: v[jnp.asarray(jc + 2 * jr), jnp.asarray(jr)]
+           for k, v in ys.items()}
     return sym, state
 
 

@@ -93,6 +93,50 @@ def sixtap_halfpel(plane: jnp.ndarray):
     return up
 
 
+def sixtap_phases(plane: jnp.ndarray):
+    """Phase-split quarter-pel interpolation (spec 8.4.2.2.1 semantics).
+
+    Same samples as :func:`sixtap_halfpel` but laid out as
+    ``[4, 4, H, W] uint8`` where ``[fy, fx, y, x]`` is the (fy, fx)
+    quarter-pel value at integer position (y, x).  The MC gather for a
+    quarter-pel MV then reads ONE contiguous [bh, bw] window of the
+    (fy, fx) plane — no 4-strided reads over a 16x-inflated int32 grid,
+    which is what made subpel refinement HBM-bound at 1080p.
+    """
+    p = plane.astype(jnp.int32)
+    H, W = p.shape
+    pad = jnp.pad(p, ((2, 3), (2, 3)), mode="edge")
+
+    def tap6(x, axis):
+        sl = [jax.lax.slice_in_dim(x, i, x.shape[axis] - 5 + i, axis=axis)
+              for i in range(6)]
+        return (sl[0] - 5 * sl[1] + 20 * sl[2] + 20 * sl[3] - 5 * sl[4]
+                + sl[5])
+
+    G = p
+    b_raw = tap6(pad, 1)[2:2 + H, 0:W]
+    b = jnp.clip((b_raw + 16) >> 5, 0, 255)
+    h_raw = tap6(pad, 0)[0:H, 2:2 + W]
+    h = jnp.clip((h_raw + 16) >> 5, 0, 255)
+    h_raw_padcols = jnp.pad(h_raw, ((0, 0), (2, 3)), mode="edge")
+    j = jnp.clip((tap6(h_raw_padcols, 1)[:, 0:W] + 512) >> 10, 0, 255)
+
+    def avg(x, y):
+        return (x + y + 1) >> 1
+
+    shift_r = lambda x: jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    shift_d = lambda x: jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+
+    rows = [
+        [G, avg(G, b), b, avg(b, shift_r(G))],
+        [avg(G, h), avg(b, h), avg(b, j), avg(b, shift_r(h))],
+        [h, avg(h, j), j, avg(j, shift_r(h))],
+        [avg(h, shift_d(G)), avg(shift_d(b), h), avg(j, shift_d(b)),
+         avg(shift_d(b), shift_r(h))],
+    ]
+    return jnp.stack([jnp.stack(r) for r in rows]).astype(jnp.uint8)
+
+
 class MEResult(NamedTuple):
     mv_x: jnp.ndarray   # quarter-pel units, [nby, nbx]
     mv_y: jnp.ndarray
