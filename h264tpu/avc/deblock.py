@@ -115,6 +115,10 @@ class DeblockContext:
         # list-0 picture ids/MVs (-1 where list 0 unused).
         self.mv1 = None
         self.ref1 = None
+        # High profile: MBs coded with transform_size_8x8_flag=1 do not
+        # filter their internal 4x4 luma edges (spec 8.7: transform
+        # block boundaries only)
+        self.transform8 = np.zeros((mb_h, mb_w), bool)
 
 
 def _mv_far(a, b):
@@ -176,10 +180,14 @@ def deblock_frame(rec_y, rec_u, rec_v, ctx: DeblockContext):
             py, px = mby * 16, mbx * 16
             cy, cx = mby * 8, mbx * 8
 
+            t8 = bool(ctx.transform8[mby, mbx])
+
             # ---------- vertical edges, left to right ----------
             for e in range(4):
                 if e == 0 and mbx == 0:
                     continue
+                if t8 and e in (1, 3):  # 8x8 transform: no internal
+                    continue            # 4x4 luma edges (spec 8.7)
                 x = px + 4 * e
                 mb_edge = e == 0
                 qp_p = int(ctx.mb_qp[mby, mbx - 1]) if mb_edge else qp
@@ -205,6 +213,8 @@ def deblock_frame(rec_y, rec_u, rec_v, ctx: DeblockContext):
             # ---------- horizontal edges, top to bottom ----------
             for e in range(4):
                 if e == 0 and mby == 0:
+                    continue
+                if t8 and e in (1, 3):
                     continue
                 yy = py + 4 * e
                 mb_edge = e == 0

@@ -221,3 +221,141 @@ def pred_chroma_all(top8: np.ndarray, left8: np.ndarray, corner: int,
                                   0, 255)
         allowed[CH_PLANE] = True
     return preds, allowed
+
+
+def pred8x8_all(top16: np.ndarray, left8: np.ndarray, corner: int,
+                avail_t: bool, avail_l: bool, avail_tr: bool,
+                avail_c: bool):
+    """All 9 Intra_8x8 predictions for one 8x8 block (spec 8.3.2).
+
+    top16: p[0..15, -1] raw (8 top + 8 top-right samples; junk where
+    unavailable); left8: p[-1, 0..7]; corner: p[-1, -1]; avail_c: the
+    up-left sample's availability (per-block geometry — the caller
+    derives it, ``JM/ldecod/src/intra8x8_pred.c`` block_available_up_left).
+    Reference samples are low-pass filtered first (8.3.2.2.1), then the
+    nine 4x4-style modes run on the filtered samples (8.3.2.2.2-10).
+    Returns (preds [9, 8, 8] int64, allowed [9] bool).
+    """
+    t_raw = top16.astype(np.int64).copy()
+    if avail_t and not avail_tr:
+        t_raw[8:] = t_raw[7]            # substitute p[7,-1]
+    l_raw = left8.astype(np.int64)
+    c_raw = int(corner)
+
+    # --- 8.3.2.2.1 reference sample filtering ---
+    t = t_raw.copy()
+    l = l_raw.copy()
+    c = c_raw
+    if avail_t:
+        ext = np.empty(17, np.int64)
+        ext[1:] = t_raw
+        ext[0] = c_raw if avail_c else t_raw[0]
+        t[0] = (ext[0] + 2 * t_raw[0] + t_raw[1] + 2) >> 2
+        t[1:15] = (t_raw[0:14] + 2 * t_raw[1:15] + t_raw[2:16] + 2) >> 2
+        t[15] = (t_raw[14] + 3 * t_raw[15] + 2) >> 2
+    if avail_c:
+        if avail_t and avail_l:
+            c = (t_raw[0] + 2 * c_raw + l_raw[0] + 2) >> 2
+        elif avail_t:
+            c = (3 * c_raw + t_raw[0] + 2) >> 2
+        elif avail_l:
+            c = (3 * c_raw + l_raw[0] + 2) >> 2
+    if avail_l:
+        l[0] = ((c_raw + 2 * l_raw[0] + l_raw[1] + 2) >> 2 if avail_c
+                else (3 * l_raw[0] + l_raw[1] + 2) >> 2)
+        l[1:7] = (l_raw[0:6] + 2 * l_raw[1:7] + l_raw[2:8] + 2) >> 2
+        l[7] = (l_raw[6] + 3 * l_raw[7] + 2) >> 2
+
+    P = lambda i: c if i == -1 else int(t[i])
+    L = lambda i: c if i == -1 else int(l[i])
+
+    preds = np.zeros((9, 8, 8), np.int64)
+    allowed = np.zeros(9, bool)
+
+    if avail_t:
+        preds[VERT] = t[:8][None, :]
+        allowed[VERT] = True
+    if avail_l:
+        preds[HOR] = l[:, None]
+        allowed[HOR] = True
+
+    if avail_t and avail_l:
+        dc = (int(t[:8].sum()) + int(l.sum()) + 8) >> 4
+    elif avail_t:
+        dc = (int(t[:8].sum()) + 4) >> 3
+    elif avail_l:
+        dc = (int(l.sum()) + 4) >> 3
+    else:
+        dc = 128
+    preds[DC] = dc
+    allowed[DC] = True
+
+    if avail_t:
+        for r in range(8):
+            for col in range(8):
+                i = r + col
+                preds[DIAG_DL, r, col] = (
+                    (P(14) + 3 * P(15) + 2) >> 2 if i == 14
+                    else (P(i) + 2 * P(i + 1) + P(i + 2) + 2) >> 2)
+                i2 = col + (r >> 1)
+                preds[VERT_L, r, col] = (
+                    (P(i2) + P(i2 + 1) + 1) >> 1 if r % 2 == 0
+                    else (P(i2) + 2 * P(i2 + 1) + P(i2 + 2) + 2) >> 2)
+        allowed[DIAG_DL] = allowed[VERT_L] = True
+
+    if avail_l:
+        for r in range(8):
+            for col in range(8):
+                z = col + 2 * r
+                i = r + (col >> 1)
+                if z > 13:
+                    v = L(7)
+                elif z == 13:
+                    v = (L(6) + 3 * L(7) + 2) >> 2
+                elif z % 2 == 0:
+                    v = (L(i) + L(i + 1) + 1) >> 1
+                else:
+                    v = (L(i) + 2 * L(i + 1) + L(i + 2) + 2) >> 2
+                preds[HOR_U, r, col] = v
+        allowed[HOR_U] = True
+
+    if avail_t and avail_l and avail_c:
+        for r in range(8):
+            for col in range(8):
+                if col > r:
+                    i = col - r
+                    preds[DIAG_DR, r, col] = \
+                        (P(i - 2) + 2 * P(i - 1) + P(i) + 2) >> 2
+                elif col < r:
+                    i = r - col
+                    preds[DIAG_DR, r, col] = \
+                        (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+                else:
+                    preds[DIAG_DR, r, col] = (P(0) + 2 * c + L(0) + 2) >> 2
+                z = 2 * col - r
+                i = col - (r >> 1)
+                if z >= 0 and z % 2 == 0:
+                    v = (P(i - 1) + P(i) + 1) >> 1
+                elif z >= 0:
+                    v = (P(i - 2) + 2 * P(i - 1) + P(i) + 2) >> 2
+                elif z == -1:
+                    v = (L(0) + 2 * c + P(0) + 2) >> 2
+                else:
+                    j = r - 2 * col
+                    v = (L(j - 1) + 2 * L(j - 2) + L(j - 3) + 2) >> 2
+                preds[VERT_R, r, col] = v
+                z = 2 * r - col
+                i = r - (col >> 1)
+                if z >= 0 and z % 2 == 0:
+                    v = (L(i - 1) + L(i) + 1) >> 1
+                elif z >= 0:
+                    v = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+                elif z == -1:
+                    v = (P(0) + 2 * c + L(0) + 2) >> 2
+                else:
+                    j = col - 2 * r
+                    v = (P(j - 1) + 2 * P(j - 2) + P(j - 3) + 2) >> 2
+                preds[HOR_D, r, col] = v
+        allowed[DIAG_DR] = allowed[VERT_R] = allowed[HOR_D] = True
+
+    return preds, allowed

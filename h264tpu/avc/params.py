@@ -42,6 +42,9 @@ class AVCParams:
     # no VUI.  aspect_ratio_idc 0 = unspecified/omitted.
     vui_timing: tuple = None
     aspect_ratio_idc: int = 0
+    # High profile (profile_idc 100): enable the per-MB 8x8 luma
+    # transform choice (PPS transform_8x8_mode_flag; spec 7.4.2.2)
+    transform_8x8: bool = False
 
     @property
     def mb_w(self):
@@ -63,6 +66,12 @@ def write_sps(p: AVCParams) -> bytes:
     w.u(0, 8)                      # constraint flags + reserved zero
     w.u(p.level_idc, 8)
     w.ue(0)                        # sps_id
+    if p.profile_idc >= 100:       # High-profile SPS extension (7.3.2.1.1)
+        w.ue(1)                    # chroma_format_idc 4:2:0
+        w.ue(0)                    # bit_depth_luma_minus8
+        w.ue(0)                    # bit_depth_chroma_minus8
+        w.u(0, 1)                  # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)                  # seq_scaling_matrix_present_flag
     w.ue(p.log2_max_frame_num - 4)
     w.ue(p.poc_type)
     if p.poc_type == 0:
@@ -122,6 +131,10 @@ def write_pps(p: AVCParams) -> bytes:
     w.u(1, 1)                      # deblocking_filter_control_present_flag
     w.u(0, 1)                      # constrained_intra_pred_flag
     w.u(0, 1)                      # redundant_pic_cnt_present_flag
+    if p.transform_8x8:            # High-profile PPS extension
+        w.u(1, 1)                  # transform_8x8_mode_flag
+        w.u(0, 1)                  # pic_scaling_matrix_present_flag
+        w.se(p.chroma_qp_offset)   # second_chroma_qp_index_offset
     return _trail(w)
 
 

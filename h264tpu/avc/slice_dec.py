@@ -45,8 +45,19 @@ def parse_sps(rbsp: bytes) -> dict:
     r.u(8)
     s["level_idc"] = r.u(8)
     s["sps_id"] = r.ue()
+    s["chroma_format_idc"] = 1
     if s["profile_idc"] in (100, 110, 122, 244, 44, 83, 86, 118, 128):
-        raise NotImplementedError("high profiles not supported")
+        # High-profile SPS extension (spec 7.3.2.1.1)
+        s["chroma_format_idc"] = r.ue()
+        if s["chroma_format_idc"] != 1:
+            raise NotImplementedError("chroma_format_idc != 4:2:0")
+        if r.ue() or r.ue():                # bit_depth_{luma,chroma}_minus8
+            raise NotImplementedError(">8-bit coding")
+        r.u(1)                              # qpprime_y_zero_transform_bypass
+        if r.u(1):                          # seq_scaling_matrix_present
+            for _ in range(8):
+                if r.u(1):
+                    raise NotImplementedError("non-flat scaling lists")
     s["log2_max_frame_num"] = r.ue() + 4
     s["poc_type"] = r.ue()
     if s["poc_type"] == 0:
@@ -153,6 +164,17 @@ def parse_pps(rbsp: bytes) -> dict:
     if p["constrained_intra"]:
         raise NotImplementedError("constrained intra pred")
     p["redundant_pic_cnt"] = r.u(1)
+    p["transform_8x8"] = 0
+    p["second_chroma_qp_offset"] = p["chroma_qp_offset"]
+    # more_rbsp_data: bits remain before the rbsp_stop_one_bit
+    stop = int(np.flatnonzero(r._bits)[-1])
+    if r.pos < stop:                        # High-profile PPS extension
+        p["transform_8x8"] = r.u(1)
+        if r.u(1):                          # pic_scaling_matrix_present
+            raise NotImplementedError("PPS scaling lists")
+        p["second_chroma_qp_offset"] = r.se()
+        if p["second_chroma_qp_offset"] != p["chroma_qp_offset"]:
+            raise NotImplementedError("separate Cr QP offset")
     return p
 
 
@@ -297,9 +319,22 @@ class AVCDecoder:
         ctx.mb_qp = pic["mb_qp"]
         ctx.mb_intra = pic["mb_intra"]
         ctx.nnz = pic["nnz"]
+        t8 = pic.get("transform8")
+        if t8 is not None and t8.any():
+            # 8x8-transform MBs: bS tests the 8x8 TRANSFORM block's coded
+            # status (spec 8.7.2.1), so spread each 8x8's aggregate over
+            # its four 4x4 cells (JM cbp_blk semantics; the per-4x4
+            # values stay as-read for CAVLC nC only)
+            nnz = pic["nnz"]
+            q = nnz.reshape(pic["mb_h"] * 2, 2,
+                            pic["mb_w"] * 2, 2).sum(axis=(1, 3))
+            q = np.repeat(np.repeat(q, 2, 0), 2, 1)
+            m8 = np.repeat(np.repeat(t8, 4, 0), 4, 1)
+            ctx.nnz = np.where(m8, q, nnz)
         ctx.mv = pic["mv"]
         ctx.ref = pic["ref"]
         ctx.alpha_off, ctx.beta_off = pic["a_off"], pic["b_off"]
+        ctx.transform8 = pic.get("transform8", ctx.transform8)
         if pic["is_b"]:
             ctx.mv1 = pic["mv1"]
             ctx.ref1 = pic["ref1"]
@@ -535,6 +570,7 @@ class AVCDecoder:
                 mb_intra=np.zeros((mb_h, mb_w), bool),
                 decoded=np.zeros((mb_h, mb_w), bool),
                 erc_ref=None,
+                transform8=np.zeros((mb_h, mb_w), bool),
                 mb_qp=np.full((mb_h, mb_w), qp, np.int64))
         pic = self._pic
 
@@ -661,6 +697,8 @@ class _SliceDecoder:
             self.mb_intra = np.zeros((mb_h, mb_w), bool)
             self.mb_qp = np.full((mb_h, mb_w), qp, np.int64)
         self.nnz_c = np.zeros((2, mb_h * 2, mb_w * 2), np.int64)
+        self.transform8 = pic["transform8"] if pic is not None else \
+            np.zeros((mb_h, mb_w), bool)
         self.i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
         self.mvf = INTER.MVField(mb_h, mb_w)
         # last set bit == rbsp_stop_one_bit; data remains while pos < it
@@ -935,11 +973,21 @@ class _SliceDecoder:
         cbp = int(CODENUM_TO_CBP_INTER[
             self.top._tr(r, "coded_block_pattern", r.ue())])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        t8 = False
+        no_small = mb_type in (0, 1, 2) or \
+            (mb_type in (3, 4) and all(s == 0 for s in subs))
+        if cbp_luma > 0 and self.pps["transform_8x8"] and no_small:
+            t8 = bool(self.top._tr(r, "transform_size_8x8_flag", r.u(1)))
+        self.transform8[mby, mbx] = t8
         qp = self._prev_qp(mby * self.mb_w + mbx)
         if cbp > 0:
             qp = (qp + self.top._tr(r, "mb_qp_delta", r.se()) + 52) % 52
         self.mb_qp[mby, mbx] = qp
-        self._decode_residual_luma(mby, mbx, cbp_luma, qp, intra16=False)
+        if t8:
+            self._decode_residual_luma8(mby, mbx, cbp_luma, qp)
+        else:
+            self._decode_residual_luma(mby, mbx, cbp_luma, qp,
+                                       intra16=False)
         self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
                                      intra=False)
 
@@ -953,6 +1001,10 @@ class _SliceDecoder:
     def _decode_intra_mb(self, mby, mbx, intra_type):
         r = self.r
         by, bx = mby * 4, mbx * 4
+        if intra_type == 0 and self.pps["transform_8x8"] and \
+                r.u(1):                      # transform_size_8x8_flag
+            self._decode_intra8x8_mb(mby, mbx)
+            return
         if intra_type == 0:                  # I4x4
             modes = np.zeros(16, np.int64)
             for k in range(16):
@@ -1119,6 +1171,123 @@ class _SliceDecoder:
                 Q.idct4x4(deq))
             self.rec_y[y0:y0 + 16, x0:x0 + 16] = \
                 rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+
+    # --- High profile: 8x8 transform (spec 8.5.12.2; JM ldecod
+    # transform8x8.c itrans8x8 / read_comp_cavlc.c interleaved 4x4) ---
+    def _read_zz64_cavlc(self, mby, mbx, y8, x8):
+        """CAVLC 8x8 residual: four interleaved 4x4 blocks — coefficient
+        k of sub-block b4 sits at 8x8 zig-zag position 4*k + b4; each
+        sub-block keeps its own total_coeff for nC/nnz (spec 7.3.5.3.2,
+        JM read_comp_coeff_4x4_CAVLC with luma_transform_size_8x8_flag)."""
+        by, bx = mby * 4 + y8 * 2, mbx * 4 + x8 * 2
+        zz64 = np.zeros(64, np.int64)
+        for b4 in range(4):
+            bby, bbx = by + (b4 >> 1), bx + (b4 & 1)
+            nc = self._nc_luma(bby, bbx)
+            zz = CV.read_block(self.r, nc, 16)
+            self.st_nnz[bby, bbx] = int((zz != 0).sum())
+            zz64[4 * np.arange(16) + b4] = zz
+        return zz64
+
+    def _decode_residual_luma8(self, mby, mbx, cbp_luma, qp):
+        """Inter luma residual with the 8x8 transform."""
+        from . import quant8 as Q8
+        y0, x0 = mby * 16, mbx * 16
+        for b8 in range(4):
+            y8, x8 = b8 >> 1, b8 & 1
+            if not (cbp_luma & (1 << b8)):
+                self.st_nnz[mby * 4 + y8 * 2:mby * 4 + y8 * 2 + 2,
+                            mbx * 4 + x8 * 2:mbx * 4 + x8 * 2 + 2] = 0
+                continue
+            zz64 = self._read_zz64_cavlc(mby, mbx, y8, x8)
+            lev = Q8.unzigzag8(zz64)
+            deq = Q8.dequant8x8(lev, qp)
+            yy, xx = y0 + y8 * 8, x0 + x8 * 8
+            pred = self.rec_y[yy:yy + 8, xx:xx + 8]
+            self.rec_y[yy:yy + 8, xx:xx + 8] = \
+                Q8.reconstruct8(pred, Q8.idct8x8(deq))
+
+    def _decode_intra8x8_mb(self, mby, mbx):
+        """I_NxN with transform_size_8x8_flag=1 (spec 8.3.2; JM ldecod
+        intra8x8_pred.c + transform8x8.c)."""
+        from . import quant8 as Q8
+        r = self.r
+        by, bx = mby * 4, mbx * 4
+        self.transform8[mby, mbx] = True
+        modes = np.zeros(4, np.int64)
+        for b8 in range(4):
+            y8, x8 = b8 >> 1, b8 & 1
+            cby, cbx = by + 2 * y8, bx + 2 * x8
+            avail_l = cbx > 0 and self._mb_ok(cby // 4, (cbx - 1) // 4)
+            avail_t = cby > 0 and self._mb_ok((cby - 1) // 4, cbx // 4)
+            ma = int(self.i4_modes[cby, cbx - 1]) if avail_l else -2
+            mb_ = int(self.i4_modes[cby - 1, cbx]) if avail_t else -2
+            if ma == -2 or mb_ == -2:
+                mpm = 2
+            else:
+                mpm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+            if r.u(1):
+                m = mpm
+            else:
+                rem = r.u(3)
+                m = rem + (1 if rem >= mpm else 0)
+            modes[b8] = m
+            self.i4_modes[cby:cby + 2, cbx:cbx + 2] = m
+        ch_mode = r.ue()
+        cbp = int(CODENUM_TO_CBP_INTRA[r.ue()])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        qp = self._prev_qp(mby * self.mb_w + mbx)
+        if cbp > 0:
+            qp = (qp + r.se() + 52) % 52
+        self.mb_qp[mby, mbx] = qp
+
+        y0, x0 = mby * 16, mbx * 16
+        W = self.rec_y.shape[1]
+        for b8 in range(4):
+            y8, x8 = b8 >> 1, b8 & 1
+            yy, xx = y0 + y8 * 8, x0 + x8 * 8
+            if cbp_luma & (1 << b8):
+                zz64 = self._read_zz64_cavlc(mby, mbx, y8, x8)
+            else:
+                zz64 = np.zeros(64, np.int64)
+                self.st_nnz[by + y8 * 2:by + y8 * 2 + 2,
+                            bx + x8 * 2:bx + x8 * 2 + 2] = 0
+            # per-block availability (JM getNeighbour geometry)
+            mb_t = mby > 0 and self._mb_ok(mby - 1, mbx)
+            mb_l = mbx > 0 and self._mb_ok(mby, mbx - 1)
+            avail_t = True if y8 == 1 else mb_t
+            avail_l = True if x8 == 1 else mb_l
+            if b8 == 0:
+                avail_tr = mb_t
+                avail_c = (mby > 0 and mbx > 0
+                           and self._mb_ok(mby - 1, mbx - 1))
+            elif b8 == 1:
+                avail_tr = (mby > 0 and mbx < self.mb_w - 1
+                            and self._mb_ok(mby - 1, mbx + 1))
+                avail_c = mb_t
+            elif b8 == 2:
+                avail_tr = True
+                avail_c = mb_l
+            else:
+                avail_tr = False
+                avail_c = True
+            top16 = np.zeros(16, np.int64)
+            if avail_t:
+                hi = min(xx + 16, W)
+                top16[:hi - xx] = self.rec_y[yy - 1, xx:hi]
+                if hi - xx < 16:
+                    top16[hi - xx:] = self.rec_y[yy - 1, hi - 1]
+            left8 = self.rec_y[yy:yy + 8, xx - 1] if avail_l else \
+                np.zeros(8, np.int64)
+            corner = self.rec_y[yy - 1, xx - 1] if avail_c else 0
+            preds, _ = IP.pred8x8_all(top16, left8, corner, avail_t,
+                                      avail_l, avail_tr, avail_c)
+            deq = Q8.dequant8x8(Q8.unzigzag8(zz64), qp)
+            self.rec_y[yy:yy + 8, xx:xx + 8] = \
+                Q8.reconstruct8(preds[int(modes[b8])], Q8.idct8x8(deq))
+        self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
+                                     intra=True, ch_mode=ch_mode)
+        self.mb_intra[mby, mbx] = True
 
     def _decode_residual_chroma(self, mby, mbx, cbp_chroma, qp, intra,
                                 ch_mode=None):
