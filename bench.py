@@ -17,6 +17,7 @@ arithmetic utilization — search MACs (n_offsets x n_refs x H x W x 1.5
 planes) per second over a nominal 2 Tops/s int32 VPU peak for v5e.
 """
 
+import functools
 import json
 import time
 
@@ -114,6 +115,119 @@ def bench_avc(n_timed=8, qp=28, sr=8, n_slices=9, H=288, W=352):
     return fps, psnr, kbps
 
 
+def bench_jm_host(n_cif=10, n_1080=3, qp=28, sr=8):
+    """Measure JM 18.5 lencod on THIS host (judge-matched settings:
+    encoder_baseline.cfg, RDO=1, CAVLC, 1 ref) — the honest anchor for
+    avc_vs_jm_host.  Needs the .jm oracle build (tools/build_jm.sh)."""
+    import os
+    import subprocess
+    import tempfile
+    jm_bin = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jm", "JM", "bin")
+    if not os.path.exists(os.path.join(jm_bin, "lencod.exe")):
+        return None
+
+    def run(H, W, n_frames):
+        with tempfile.TemporaryDirectory() as tmp:
+            raw = bytearray()
+            for y, u, v in make_frames(n_frames, H, W):
+                raw += y.tobytes() + u.tobytes() + v.tobytes()
+            src = os.path.join(tmp, "in.yuv")
+            open(src, "wb").write(bytes(raw))
+            t0 = time.time()
+            r = subprocess.run(
+                [os.path.join(jm_bin, "lencod.exe"),
+                 "-d", os.path.join(jm_bin, "encoder_baseline.cfg"),
+                 "-p", f"InputFile={src}",
+                 "-p", f"FramesToBeEncoded={n_frames}",
+                 "-p", f"SourceWidth={W}", "-p", f"SourceHeight={H}",
+                 "-p", f"OutputWidth={W}", "-p", f"OutputHeight={H}",
+                 "-p", "IntraPeriod=0", "-p", "IDRPeriod=0",
+                 "-p", f"QPISlice={qp}", "-p", f"QPPSlice={qp}",
+                 "-p", "SymbolMode=0", "-p", "OutFileMode=0",
+                 "-p", f"OutputFile={os.path.join(tmp, 'o.264')}",
+                 "-p", f"ReconFile={os.path.join(tmp, 'r.yuv')}",
+                 "-p", "NumberReferenceFrames=1", "-p", "RDOptimization=1",
+                 "-p", f"SearchRange={sr}"],
+                capture_output=True, text=True, cwd=tmp, timeout=600)
+            if r.returncode != 0:
+                return None
+            return n_frames / (time.time() - t0)
+    return run(288, 352, n_cif), run(1088, 1920, n_1080)
+
+
+def bench_avc_stages(qp=28, sr=8, n_slices=17, H=1088, W=1920):
+    """Per-stage wall budget of one steady-state P frame at 1080p
+    (upload / device search+RD graph / transfers / host pack / deblock /
+    ref prep) — the frame time decomposition VERDICT round 4 asked for."""
+    import jax
+    import jax.numpy as jnp
+    from h264tpu.avc.params import AVCParams, SLICE_P
+    from h264tpu.avc import tpu_enc as TE
+    from h264tpu.avc import tpu_codec as TC
+    from h264tpu.avc import native as AN
+    from h264tpu.avc.deblock import DeblockContext
+
+    p = AVCParams(width=W, height=H, qp=qp, num_ref_frames=1, level_idc=42)
+    mb_h, mb_w = p.mb_h, p.mb_w
+    frames = make_frames(3, H, W)
+    no_force = jnp.zeros((mb_h, mb_w), bool)
+    enc = functools.partial(TE.encode_frame, mb_h=mb_h, mb_w=mb_w, sr=sr,
+                            intra_only=False, n_slices=n_slices,
+                            chroma_qp_offset=p.chroma_qp_offset)
+
+    def orgbuf(yuv):
+        return np.concatenate(
+            [yuv[0], np.concatenate([yuv[1], yuv[2]], axis=1)],
+            axis=0).astype(np.uint8)
+
+    prep = TC._prep_ref_packed(jnp.asarray(orgbuf(frames[0])), sr=sr,
+                               H=H, W=W)
+    ups, us, vs = (prep[0][None], prep[1][None], prep[2][None])
+    stages = {}
+
+    def tick(name, fn, reps=2):
+        fn()                                   # compile / warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        stages[name] = round(float(np.median(ts)), 3)
+
+    ob = orgbuf(frames[1])
+    tick("upload", lambda: jax.block_until_ready(
+        TC._split_org(jnp.asarray(ob), H=H, W=W)))
+    y, u, v = TC._split_org(jnp.asarray(ob), H=H, W=W)
+    tick("encode_graph", lambda: jax.block_until_ready(
+        enc(y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(1), no_force)))
+    sym, rec, tctx = enc(y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(1),
+                         no_force)
+    tick("pack_out", lambda: jax.block_until_ready(
+        TC._pack_out(sym, tctx, rec)))
+    bufs = TC._pack_out(sym, tctx, rec)
+    tick("download", lambda: jax.device_get(bufs))
+    bufh = jax.device_get(bufs)
+    symh, ctxh, rec_np = TC._unpack_out(*bufh, mb_h, mb_w)
+    rows = mb_h // n_slices
+    tick("pack_host", lambda: [AN.pack_slice(
+        symh, p, SLICE_P, qp, 1, False, 0, 1, row0=s0 * rows, n_rows=rows)
+        for s0 in range(n_slices)])
+    ctx = DeblockContext(mb_w, mb_h, qp, p.chroma_qp_offset)
+    ctx.mb_intra = np.asarray(ctxh["mb_intra"])
+    ctx.nnz = np.asarray(ctxh["nnz"], np.int64)
+    ctx.mv = np.asarray(ctxh["mv"], np.int64)
+    ctx.ref = np.asarray(ctxh["ref"], np.int64)
+    tick("deblock_host", lambda: AN.deblock_frame(*rec_np, ctx))
+    rec_db = AN.deblock_frame(*rec_np, ctx)
+    rb = np.concatenate(
+        [rec_db[0], np.concatenate([rec_db[1], rec_db[2]], axis=1)],
+        axis=0).astype(np.uint8)
+    tick("ref_prep", lambda: jax.block_until_ready(
+        TC._prep_ref_packed(jnp.asarray(rb), sr=sr, H=H, W=W)))
+    return stages
+
+
 def main():
     out = {}
 
@@ -194,6 +308,25 @@ def main():
             out[f"{name}_fps"] = None
             out[f"{name}_error"] = type(e).__name__
         emit()
+    # honest anchor: JM 18.5 measured on THIS host, same settings as the
+    # avc_* rows above (VERDICT r4: the 2008 log.dat anchor flatters)
+    try:
+        jm = bench_jm_host()
+        if jm is not None:
+            cif_fps, hd_fps = jm
+            out["jm_host_cif_fps"] = round(cif_fps, 3) if cif_fps else None
+            out["jm_host_1080p_fps"] = round(hd_fps, 3) if hd_fps else None
+            if hd_fps and out.get("avc_1080p_fps"):
+                out["avc_vs_jm_host"] = round(
+                    out["avc_1080p_fps"] / hd_fps, 2)
+    except Exception as e:
+        out["jm_host_error"] = type(e).__name__
+    emit()
+    try:
+        out["stages_1080p_s"] = bench_avc_stages()
+    except Exception as e:
+        out["stages_error"] = f"{type(e).__name__}: {str(e)[:100]}"
+    emit()
     print(json.dumps(out))
 
 

@@ -90,7 +90,8 @@ def level_check(level_idc: int, *, width: int, height: int,
 def check_params(p, frame_rate: float = 30.0, bitrate_kbps: float = 0.0):
     """Validate an avc.params.AVCParams configuration end-to-end."""
     profile_check(p.profile_idc, cabac=getattr(p, "cabac", False),
-                  fmo=p.slice_groups > 1)
+                  fmo=p.slice_groups > 1,
+                  transform_8x8=getattr(p, "transform_8x8", False))
     level_check(p.level_idc, width=p.width, height=p.height,
                 frame_rate=frame_rate, num_ref_frames=p.num_ref_frames,
                 bitrate_kbps=bitrate_kbps)

@@ -54,11 +54,12 @@ def _load():
         lib.avc_pack_slice.restype = ctypes.c_int64
         lib.avc_pack_slice.argtypes = (
             [ctypes.c_int32] * 6 + [_U8P, ctypes.c_int64]
-            + [_I32P] * 12 + [_I32P, _U8P, ctypes.c_int64])
+            + [_I32P] * 13 + [ctypes.c_int32]
+            + [_I32P, _U8P, ctypes.c_int64])
         lib.avc_deblock_frame.restype = ctypes.c_int64
         lib.avc_deblock_frame.argtypes = (
             [_I32P] * 3 + [ctypes.c_int32] * 2
-            + [_I32P, _U8P, _I32P, _I32P, _I32P]
+            + [_I32P, _U8P, _U8P, _I32P, _I32P, _I32P]
             + [ctypes.c_int32] * 3 + [_I32P] * 3)
         _lib = lib
     except Exception:
@@ -120,12 +121,16 @@ def pack_slice(sym, p: AVCParams, slice_type: int, qp: int, frame_num: int,
     arrs = [_i32(sym[k]) for k in
             ("win", "ri", "mvd", "i4flags", "i16mode", "i16dc", "cmode",
              "cbp_luma", "cbp_chroma", "zz", "cdc", "cac")]
+    t8 = _i32(sym["t8"]) if "t8" in sym else \
+        np.zeros(mb_h * mb_w, np.int32)
     cap = 4 * 1024 * 1024 + hdr_bits // 8
     out = np.zeros(cap, np.uint8)
     n = lib.avc_pack_slice(
         slice_type, mb_w, mb_h, row0, n_rows, num_ref,
         hdr.ctypes.data_as(_U8P), hdr_bits,
-        *[_ptr(a) for a in arrs], _ptr(_tables_buffer()),
+        *[_ptr(a) for a in arrs], _ptr(t8),
+        ctypes.c_int32(1 if p.transform_8x8 else 0),
+        _ptr(_tables_buffer()),
         out.ctypes.data_as(_U8P), cap)
     assert n > 0, "avc_pack_slice overflow"
     return out[:n].tobytes()
@@ -140,12 +145,14 @@ def deblock_frame(rec_y, rec_u, rec_v, ctx):
     v = _i32(rec_v).copy()
     mb_qp = _i32(ctx.mb_qp)
     mb_intra = np.ascontiguousarray(ctx.mb_intra, np.uint8)
+    t8 = np.ascontiguousarray(ctx.transform8, np.uint8)
     nnz = _i32(ctx.nnz)
     mv = _i32(ctx.mv)
     ref = _i32(ctx.ref)
     lib.avc_deblock_frame(
         _ptr(y), _ptr(u), _ptr(v), ctx.mb_w, ctx.mb_h,
-        _ptr(mb_qp), mb_intra.ctypes.data_as(_U8P), _ptr(nnz), _ptr(mv),
+        _ptr(mb_qp), mb_intra.ctypes.data_as(_U8P),
+        t8.ctypes.data_as(_U8P), _ptr(nnz), _ptr(mv),
         _ptr(ref), ctx.chroma_qp_offset, ctx.alpha_off, ctx.beta_off,
         _ptr(_i32(ALPHA_TABLE)), _ptr(_i32(BETA_TABLE)),
         _ptr(_i32(CLIP_TAB)))

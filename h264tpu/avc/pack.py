@@ -102,7 +102,8 @@ def _write_chroma_residual(w, cdc, cac, cbp_chroma, nnz_c, mby, mbx,
 
 
 def _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i, use_i16: bool,
-                         in_p: bool, top_row=0, base=None):
+                         in_p: bool, top_row=0, base=None,
+                         transform_8x8: bool = False):
     """mb_type .. residual for one intra MB (shared I/P/B logic);
     ``base`` = intra mb_type offset (0 in I, 5 in P, 23 in B)."""
     cbp_luma = int(sym["cbp_luma"][i])
@@ -114,6 +115,8 @@ def _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i, use_i16: bool,
                                 cbp_luma != 0))
     else:
         w.ue(base + MB_I4x4)
+        if transform_8x8:
+            w.u(0, 1)          # transform_size_8x8_flag: we emit I4x4
         flags = np.asarray(sym["i4flags"][i])
         for k in range(16):
             w.u(int(flags[k, 0]), 1)
@@ -152,7 +155,8 @@ def pack_i_slice(sym, p: AVCParams, qp: int, frame_num: int = 0,
         mby, mbx = i // mb_w, i % mb_w
         _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i,
                              use_i16=win[i] == WIN_I16, in_p=False,
-                             top_row=row0)
+                             top_row=row0,
+                             transform_8x8=p.transform_8x8)
     w.u(1, 1)
     return w.to_bytes()
 
@@ -184,7 +188,8 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
         if wc in (WIN_I4, WIN_I16):
             _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i,
                                  use_i16=wc == WIN_I16, in_p=True,
-                                 top_row=row0)
+                                 top_row=row0,
+                                 transform_8x8=p.transform_8x8)
             continue
         mb_type = {WIN_16x16: 0, WIN_16x8: 1, WIN_8x16: 2, WIN_P8x8: 3}[wc]
         w.ue(mb_type)
@@ -207,6 +212,11 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
         cbp = cbp_luma | (cbp_chroma << 4)
         w.ue(int(CBP_TO_CODENUM_INTER[cbp]))
         if cbp > 0:
+            if p.transform_8x8 and cbp_luma > 0:
+                # every inter shape we emit is >= 8x8 (P partitions,
+                # B direct/16x16 with direct_8x8_inference=1), so the
+                # flag is always present when luma is coded (spec 7.3.5)
+                w.u(int(sym["t8"][i]) if "t8" in sym else 0, 1)
             w.se(0)
             _write_luma_residual(w, np.asarray(sym["zz"][i]), cbp_luma,
                                  nnz_y, mby, mbx, False, top_by=row0 * 4)
@@ -257,7 +267,8 @@ def pack_b_slice(sym, p: AVCParams, qp: int, frame_num: int,
         if wc in (WIN_I4, WIN_I16):
             _write_intra_payload(w, sym, nnz_y, nnz_c, mby, mbx, i,
                                  use_i16=wc == WIN_I16, in_p=True,
-                                 top_row=row0, base=23)
+                                 top_row=row0, base=23,
+                                 transform_8x8=p.transform_8x8)
             continue
         mb_type = {WIN_B_DIRECT: 0, WIN_B_L0: 1, WIN_B_L1: 2,
                    WIN_B_BI: 3}[wc]
@@ -279,6 +290,11 @@ def pack_b_slice(sym, p: AVCParams, qp: int, frame_num: int,
         cbp = cbp_luma | (cbp_chroma << 4)
         w.ue(int(CBP_TO_CODENUM_INTER[cbp]))
         if cbp > 0:
+            if p.transform_8x8 and cbp_luma > 0:
+                # every inter shape we emit is >= 8x8 (P partitions,
+                # B direct/16x16 with direct_8x8_inference=1), so the
+                # flag is always present when luma is coded (spec 7.3.5)
+                w.u(int(sym["t8"][i]) if "t8" in sym else 0, 1)
             w.se(0)
             _write_luma_residual(w, np.asarray(sym["zz"][i]), cbp_luma,
                                  nnz_y, mby, mbx, False, top_by=row0 * 4)

@@ -72,7 +72,7 @@ def parse_sps(rbsp: bytes) -> dict:
     if not s["frame_mbs_only"]:
         raise NotImplementedError("interlace")
     s["height"] = s["height_map_units"] * 16
-    r.u(1)                                  # direct_8x8_inference
+    s["direct_8x8_inference"] = r.u(1)
     if r.u(1):                              # frame_cropping
         s["crop"] = (r.ue(), r.ue(), r.ue(), r.ue())
     else:
@@ -704,6 +704,8 @@ class _SliceDecoder:
         # last set bit == rbsp_stop_one_bit; data remains while pos < it
         self._stop = int(np.flatnonzero(r._bits)[-1])
         self.cabac = bool(pps["cabac"])
+        if self.cabac and pps.get("transform_8x8"):
+            raise NotImplementedError("CABAC with 8x8 transform")
         if self.cabac:
             from . import cabac as CB
             while r.pos % 8:                    # cabac_alignment_one_bit
@@ -1803,8 +1805,9 @@ def _b_decode_mb(self, mb):
         self.mb_intra[mby, mbx] = True
         return
     self.mb_intra[mby, mbx] = False
+    subs = None
     if mb_type == 22:                        # B_8x8 (Table 7-18 sub types)
-        self._decode_b_8x8(mb)
+        subs = self._decode_b_8x8(mb)
     elif mb_type == 0:                       # B_Direct_16x16
         preds = self._decode_b_direct(mb)
         self._b_mc_bi(mby, mbx, preds)
@@ -1896,11 +1899,30 @@ def _b_decode_mb(self, mb):
     cbp = int(CODENUM_TO_CBP_INTER[
         self.top._tr(r, "coded_block_pattern", r.ue())])
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    t8 = False
+    if cbp_luma > 0 and self.pps["transform_8x8"]:
+        # noSubMbPartSizeLessThan8x8Flag (spec 7.3.5): B_8x8 needs every
+        # sub >= 8x8 (or direct with inference); B_Direct_16x16 needs
+        # direct_8x8_inference_flag
+        inference = self.sps.get("direct_8x8_inference", 1)
+        if subs is not None:
+            ok = all(sx in (1, 2, 3) or (sx == 0 and inference)
+                     for sx in subs)
+        elif mb_type == 0:
+            ok = bool(inference)
+        else:
+            ok = True
+        if ok:
+            t8 = bool(self.top._tr(r, "transform_size_8x8_flag", r.u(1)))
+    self.transform8[mby, mbx] = t8
     qp = self._prev_qp(mb)
     if cbp > 0:
         qp = (qp + self.top._tr(r, "mb_qp_delta", r.se()) + 52) % 52
     self.mb_qp[mby, mbx] = qp
-    self._decode_residual_luma(mby, mbx, cbp_luma, qp, intra16=False)
+    if t8:
+        self._decode_residual_luma8(mby, mbx, cbp_luma, qp)
+    else:
+        self._decode_residual_luma(mby, mbx, cbp_luma, qp, intra16=False)
     self._decode_residual_chroma(mby, mbx, cbp_chroma, qp, intra=False)
 
 
@@ -1996,6 +2018,7 @@ def _b_decode_8x8(self, mb):
                                     np.zeros(2, np.int64), -1)
 
     self._b_8x8_mc(mb, subs, kinds, ris0, ris1, mvs0, mvs1)
+    return subs
 
 
 def _b_8x8_mc(self, mb, subs, kinds, ris0, ris1, mvs0, mvs1):

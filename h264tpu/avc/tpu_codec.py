@@ -34,7 +34,7 @@ _prep_ref = functools.partial(jax.jit, static_argnames="sr")(TE.prep_ref)
 _SYM_KEYS = (("win", 1), ("ri", 1), ("mvd", 8), ("i4flags", 32),
              ("i16mode", 1), ("i16dc", 16), ("cmode", 1), ("cbp_luma", 1),
              ("cbp_chroma", 1), ("zz", 256), ("cdc", 8), ("cac", 120),
-             ("mb_intra", 1))
+             ("mb_intra", 1), ("t8", 1))
 
 
 @jax.jit
@@ -51,7 +51,9 @@ def _pack_out(sym, ctx, rec):
         [ctx["nnz"].reshape(-1).astype(jnp.int16),
          ctx["mv"].reshape(-1).astype(jnp.int16),
          ctx["ref"].reshape(-1).astype(jnp.int16),
-         ctx["mb_intra"].reshape(-1).astype(jnp.int16)])
+         ctx["mb_intra"].reshape(-1).astype(jnp.int16),
+         ctx.get("t8", ctx["mb_intra"] * 0).reshape(-1)
+            .astype(jnp.int16)])
     y, u, v = rec
     recbuf = jnp.concatenate(
         [y, jnp.concatenate([u, v], axis=1)], axis=0).astype(jnp.uint8)
@@ -72,7 +74,7 @@ def _unpack_sym(buf, mb_h, mb_w):
     for k, shp in shapes.items():
         sym[k] = sym[k].reshape(shp)
     for k in ("win", "ri", "i16mode", "cmode", "cbp_luma", "cbp_chroma",
-              "mb_intra"):
+              "mb_intra", "t8"):
         sym[k] = sym[k][:, 0]
     return sym
 
@@ -90,6 +92,8 @@ def _unpack_ctx_rec(ctxbuf, recbuf, mb_h, mb_w):
     ctx["ref"] = ctxbuf[off:off + h4 * w4].reshape(h4, w4)
     off += h4 * w4
     ctx["mb_intra"] = ctxbuf[off:off + nmb].reshape(mb_h, mb_w).astype(bool)
+    off += nmb
+    ctx["t8"] = ctxbuf[off:off + nmb].reshape(mb_h, mb_w).astype(bool)
     H, W = mb_h * 16, mb_w * 16
     rec = (recbuf[:H].astype(np.int64),
            recbuf[H:, :W // 2].astype(np.int64),
@@ -160,6 +164,9 @@ class TPUAVCCodec:
                 # decoder DPB must hold {prev anchor, ref-B, anchor}
                 raise ValueError("hierarchical GOP needs "
                                  "num_ref_frames >= 3")
+        if p.transform_8x8 and (bframes > 0 or p.cabac):
+            raise NotImplementedError("8x8 transform is CAVLC-IPPP for "
+                                      "now (no CABAC ctx / B driver)")
         if check_conformance:
             conformance.check_params(p)
         self._dummy = None
@@ -169,7 +176,8 @@ class TPUAVCCodec:
         p = self.p
         kw = dict(mb_h=p.mb_h, mb_w=p.mb_w, sr=self.sr,
                   intra_only=intra_only, n_slices=self.n_slices,
-                  chroma_qp_offset=p.chroma_qp_offset)
+                  chroma_qp_offset=p.chroma_qp_offset,
+                  transform8=p.transform_8x8)
         if self.mesh is None:
             return functools.partial(TE.encode_frame, **kw)
         if intra_only not in self._sharded:
@@ -331,6 +339,16 @@ class TPUAVCCodec:
                     ctx.nnz = np.asarray(tctx["nnz"], np.int64)
                     ctx.mv = np.asarray(tctx["mv"], np.int64)
                     ctx.ref = np.asarray(tctx["ref"], np.int64)
+                t8 = np.asarray(tctx["t8"])
+                if t8.any():
+                    # 8x8-transform MBs: bS tests the 8x8 block's coded
+                    # status; internal 4x4 luma edges unfiltered
+                    ctx.transform8 = t8
+                    q = ctx.nnz.reshape(mb_h * 2, 2,
+                                        mb_w * 2, 2).sum(axis=(1, 3))
+                    q = np.repeat(np.repeat(q, 2, 0), 2, 1)
+                    m8 = np.repeat(np.repeat(t8, 4, 0), 4, 1)
+                    ctx.nnz = np.where(m8, q, ctx.nnz)
                 if AN.available():
                     rec_np = AN.deblock_frame(*rec_np, ctx)
                 else:

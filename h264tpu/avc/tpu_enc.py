@@ -50,6 +50,7 @@ import jax.numpy as jnp
 from ..ops.me import sixtap_phases
 from ..ops.transform import COEFF_COST
 from . import quant_jax as QJ
+from . import quant8_jax as Q8J
 from . import intra_jax as IJ
 from . import cavlc_jax as CJ
 from .tables import BLOCK_SCAN, BLOCK_SCAN_INV, CBP_TO_CODENUM_INTER
@@ -287,6 +288,17 @@ def _satd(diff):
     t = jnp.einsum("ij,...jk,kl->...il", _H4J, b, _H4J)
     s = jnp.abs(t).sum(axis=(-1, -2))
     return ((s + 1) >> 1).sum().astype(jnp.int32)
+
+
+def _satd_nd(diff):
+    """Batched SATD: [..., bh, bw] residuals -> [...] (same JM rounding:
+    (|Hadamard|sum + 1) >> 1 per 4x4 tile, summed)."""
+    *lead, bh, bw = diff.shape
+    b = diff.reshape(*lead, bh // 4, 4, bw // 4, 4)
+    b = jnp.swapaxes(b, -3, -2)                       # [..., t_y, t_x, 4, 4]
+    t = jnp.einsum("ij,...jk,kl->...il", _H4J, b, _H4J)
+    s = jnp.abs(t).sum(axis=(-1, -2))
+    return ((s + 1) >> 1).sum(axis=(-1, -2)).astype(jnp.int32)
 
 
 def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me,
@@ -716,6 +728,37 @@ def _code_inter_luma(org16, pred16, qp, ar_off=None):
     return zz_coding, rec, cbp_bits, fadj
 
 
+def _code_inter_luma8(org16, pred16, qp):
+    """High-profile 8x8 luma residual coding of one MB prediction.
+
+    Returns (zz_coding [16,16] int32 — the four 8x8 blocks' coefficients
+    as CAVLC-interleaved 4x4 sub-blocks in coding order (coeff k of
+    sub-block b4 is 8x8 scan position 4k+b4, spec 7.3.5.3.2), rec
+    [16,16], cbp_luma_bits int32 with one bit per coded 8x8 pair,
+    nnz_cells [4,4] per-sub-block counts for the nC context).
+    Reference: JM/lencod/src/transform8x8.c:522."""
+    res = org16.astype(jnp.int32) - pred16
+    blocks = res.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3)      # [2,2,8,8]
+    w = Q8J.fdct8x8(blocks)
+    lev = Q8J.quant8x8(w, qp, False)
+    zz = Q8J.zigzag8(lev)                                       # [2,2,64]
+    nz8 = (zz != 0).any(-1)                                     # [2,2]
+    lev = jnp.where(nz8[..., None, None], lev, 0)
+    zz = jnp.where(nz8[..., None], zz, 0)
+    deq = Q8J.dequant8x8(lev, qp)
+    pred_b = pred16.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3)
+    rec_b = jnp.clip(pred_b + ((Q8J.idct8x8(deq) + 32) >> 6), 0, 255)
+    rec = rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
+    cbp_bits = (nz8.reshape(4).astype(jnp.int32)
+                * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
+    subs = zz.reshape(2, 2, 16, 4).transpose(0, 1, 3, 2)        # [.,.,b4,16]
+    zz_coding = subs.reshape(16, 16)        # rows 4*b8+b4, coding order
+    counts = (subs != 0).sum(-1)                                # [2,2,4]
+    nnz_cells = counts.reshape(2, 2, 2, 2).transpose(
+        0, 2, 1, 3).reshape(4, 4)           # [y4, x4]
+    return zz_coding, rec, cbp_bits, nnz_cells
+
+
 def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
     """-> (dc_levels [2,4], ac_zzs [2,2,2,15], recs [2,8,8], cbp_chroma)."""
     dc_levels = []
@@ -798,7 +841,7 @@ def te_bits_t(v, n_active):
 def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, *, sb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
-                 adaptive_rounding: bool = True):
+                 adaptive_rounding: bool = True, transform8: bool = False):
     """Encode ONE row-band slice (search + subpel + decision scan).
 
     All arrays are band views: org_y [sb_h*16, W]; ref_ups
@@ -898,6 +941,7 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             acz_int = jnp.zeros((2, 2, 2, 15), jnp.int32)
             crecs_int = jnp.zeros((2, 8, 8), jnp.int32)
             cbp_c_int = jnp.int32(0)
+            t8 = jnp.bool_(False)
         else:
             # ---- stage 1: ME cost per (mode, ref) for REFERENCE selection
             # (JM picks ref_idx in the motion search by SATD + lambda_me *
@@ -1122,6 +1166,32 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             pred_u8 = jnp.where(skip_cand, predu_sk, predu_modes[win_m])
             pred_v8 = jnp.where(skip_cand, predv_sk, predv_modes[win_m])
 
+            t8 = jnp.bool_(False)
+            if transform8:
+                # High profile: re-code the winning prediction with the
+                # 8x8 transform; per-MB transform_size_8x8_flag RD
+                # (luma SSD + bits only — chroma is identical both ways)
+                zz8, rec8, cbp8, _n8 = _code_inter_luma8(org16, pred16, qp)
+                ssd8 = ((org16 - rec8) ** 2).sum()
+                bits8 = CJ.block_bits_est(
+                    zz8, jnp.zeros(16, jnp.int32), 16).reshape(4, 4)
+                coded8 = ((cbp8 >> jnp.arange(4)) & 1) > 0
+                bits8 = jnp.where(coded8[:, None], bits8, 0).sum()
+                ssd4 = ((org16 - rec16_int) ** 2).sum()
+                bits4 = lum_bits[win_m]
+                cbp_full8 = cbp8 | (cbp_c_int << 4)
+                cbp_full4 = cbp_bits_int | (cbp_c_int << 4)
+                db = ue_bits(_CBP_INTER_J[cbp_full8]) \
+                    - ue_bits(_CBP_INTER_J[cbp_full4])
+                rd8 = ssd8.astype(jnp.float32) \
+                    + lam * (bits8 + db).astype(jnp.float32)
+                rd4 = ssd4.astype(jnp.float32) + lam * bits4.astype(
+                    jnp.float32)
+                t8 = nsk & ~is_intra & (cbp8 > 0) & (rd8 < rd4)
+                zzc = jnp.where(t8, zz8, zzc)
+                rec16_int = jnp.where(t8, rec8, rec16_int)
+                cbp_bits_int = jnp.where(t8, cbp8, cbp_bits_int)
+
             # the zero-MVD candidate (mode index M-1) EMITS as P_16x16
             emit_m = jnp.where(win_m == M - 1, 0, win_m)
             # emit as P_Skip: the explicit candidate, or a 16x16/ref0
@@ -1213,6 +1283,7 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             cdc=cdc_out.astype(jnp.int32),
             cac=cac_out.astype(jnp.int32),
             mb_intra=sel_intra,
+            t8=(t8 & ~sel_intra & ~is_skip).astype(jnp.int32),
         )
         return upd, out
 
@@ -1328,18 +1399,20 @@ def _assemble_bands(sym_b, state_b, S: int, sb_h: int, mb_h: int, mb_w: int):
     ctx = dict(nnz=state_b["nnz_y"].reshape(mb_h * 4, w4),
                mv=state_b["mv"].reshape(mb_h * 4, w4, 2),
                ref=jnp.maximum(state_b["ref"], -1).reshape(mb_h * 4, w4),
-               mb_intra=sym["mb_intra"].reshape(mb_h, mb_w))
+               mb_intra=sym["mb_intra"].reshape(mb_h, mb_w),
+               t8=sym["t8"].reshape(mb_h, mb_w))
     return sym, rec, ctx
 
 
 @functools.partial(
     jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
                               "chroma_qp_offset", "n_slices",
-                              "adaptive_rounding"))
+                              "adaptive_rounding", "transform8"))
 def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, *, mb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
-                 n_slices: int = 1, adaptive_rounding: bool = True):
+                 n_slices: int = 1, adaptive_rounding: bool = True,
+                 transform8: bool = False):
     """Encode one frame's decisions + residuals on device.
 
     org_*: int32 planes.  ref_ups [R, 4, 4, H+2P, W+2P] uint8:
@@ -1367,7 +1440,8 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
     f = functools.partial(_encode_band, sb_h=sb_h, mb_w=mb_w, sr=sr,
                           intra_only=intra_only,
                           chroma_qp_offset=chroma_qp_offset,
-                          adaptive_rounding=adaptive_rounding)
+                          adaptive_rounding=adaptive_rounding,
+                          transform8=transform8)
     sym_b, state_b = jax.vmap(
         lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
                                              qp, n_valid, fb))(*banded)
@@ -1376,7 +1450,8 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
 def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                         intra_only: bool, chroma_qp_offset: int = 0,
-                        n_slices: int = 1, adaptive_rounding: bool = True):
+                        n_slices: int = 1, adaptive_rounding: bool = True,
+                        transform8: bool = False):
     """Build a jitted frame encoder sharded over ``mesh`` axis ``axis``.
 
     The picture's ``n_slices`` row-band slices are distributed over the
@@ -1403,7 +1478,8 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
     f = functools.partial(_encode_band, sb_h=sb_h, mb_w=mb_w, sr=sr,
                           intra_only=intra_only,
                           chroma_qp_offset=chroma_qp_offset,
-                          adaptive_rounding=adaptive_rounding)
+                          adaptive_rounding=adaptive_rounding,
+                          transform8=transform8)
 
     sh = PS(axis)
     rep = PS()

@@ -30,6 +30,12 @@ import pickle
 from concurrent.futures import ThreadPoolExecutor
 
 
+def _encode_unit_task(codec_factory, ckpt, gi: int, frames):
+    """Top-level (picklable) GOP work item for process workers."""
+    enc = GOPEncoder(codec_factory, intra_period=0, checkpoint_dir=ckpt)
+    return enc._encode_unit(gi, frames)
+
+
 def split_gops(n_frames: int, intra_period: int):
     """[(start, stop)] display-index ranges, each starting at an IDR.
 
@@ -78,17 +84,34 @@ class GOPEncoder:
             os.replace(tmp, self._unit_path(gi))     # atomic commit
         return out
 
-    def encode(self, frames, workers: int = 1):
+    def encode(self, frames, workers: int = 1, processes: bool = False):
         """Encode all GOPs (``workers`` > 1 fans units out concurrently —
         the per-host worker shape; on one machine they time-share the
         chip).  Returns (units, stream) where ``stream`` is the
         display-order concatenation with a single parameter-set prefix.
+
+        ``processes=True`` runs each worker as a SEPARATE spawned
+        process — real host isolation (own interpreter, own jax runtime,
+        work and results crossing a process boundary exactly like a DCN
+        hop).  ``codec_factory`` must then be picklable (a top-level
+        function or ``functools.partial`` of one; see
+        :mod:`h264tpu.models.gop_workers`).
         """
         frames = list(frames)
         spans = split_gops(len(frames), self.intra_period)
         if workers <= 1:
             units = [self._encode_unit(gi, frames[s:e])
                      for gi, (s, e) in enumerate(spans)]
+        elif processes:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            with ProcessPoolExecutor(
+                    max_workers=workers,
+                    mp_context=mp.get_context("spawn")) as ex:
+                futs = [ex.submit(_encode_unit_task, self.codec_factory,
+                                  self.ckpt, gi, frames[s:e])
+                        for gi, (s, e) in enumerate(spans)]
+                units = [f.result() for f in futs]
         else:
             with ThreadPoolExecutor(max_workers=workers) as ex:
                 futs = [ex.submit(self._encode_unit, gi, frames[s:e])

@@ -281,7 +281,8 @@ void write_chroma_residual(BW& w, const Ctx& c, const Tabs& T,
 }
 
 void write_intra_payload(BW& w, const Ctx& c, const Tabs& T, const Sym& S,
-                         int mby, int mbx, int i, bool use_i16, bool in_p) {
+                         int mby, int mbx, int i, bool use_i16, bool in_p,
+                         int transform8) {
   int cbp_luma = S.cbp_luma[i];
   int cbp_chroma = S.cbp_chroma[i];
   int base = in_p ? 5 : 0;
@@ -290,6 +291,7 @@ void write_intra_payload(BW& w, const Ctx& c, const Tabs& T, const Sym& S,
     w.ue(base + mt);
   } else {
     w.ue(base + 0);
+    if (transform8) w.put(0, 1);  // transform_size_8x8_flag: I4x4
     const int32_t* fl = S.i4flags + i * 32;
     for (int k = 0; k < 16; k++) {
       w.put(fl[k * 2], 1);
@@ -325,6 +327,7 @@ int64_t avc_pack_slice(int32_t slice_type, int32_t mb_w, int32_t mb_h,
                        const int32_t* cmode, const int32_t* cbp_luma,
                        const int32_t* cbp_chroma, const int32_t* zz,
                        const int32_t* cdc, const int32_t* cac,
+                       const int32_t* t8, int32_t transform8,
                        const int32_t* tables, uint8_t* out, int64_t cap) {
   Tabs T = load_tabs(tables);
   Sym S{win, ri, mvd, i4flags, i16mode, i16dc, cmode,
@@ -365,7 +368,7 @@ int64_t avc_pack_slice(int32_t slice_type, int32_t mb_w, int32_t mb_h,
     if (slice_type == 0) { w.ue(skip_run); skip_run = 0; }
     if (wc == 5 || wc == 6) {
       write_intra_payload(w, c, T, S, mby, mbx, i, wc == 6,
-                          slice_type == 0);
+                          slice_type == 0, transform8);
       continue;
     }
     // inter MB (P slice)
@@ -388,6 +391,9 @@ int64_t avc_pack_slice(int32_t slice_type, int32_t mb_w, int32_t mb_h,
     int cbp = cbp_luma[i] | (cbp_chroma[i] << 4);
     w.ue(T.cbp_inter[cbp]);
     if (cbp > 0) {
+      // every inter shape we emit is >= 8x8, so the flag is always
+      // present when luma is coded (spec 7.3.5)
+      if (transform8 && cbp_luma[i] > 0) w.put(t8[i], 1);
       w.se(0);
       write_luma_residual(w, c, T, S.zz + i * 256, cbp_luma[i], mby, mbx,
                           false, nullptr);
@@ -486,7 +492,8 @@ static const int32_t QP_SCALE_CR[52] = {
 
 int64_t avc_deblock_frame(int32_t* y, int32_t* u, int32_t* v, int32_t mb_w,
                           int32_t mb_h, const int32_t* mb_qp,
-                          const uint8_t* mb_intra, const int32_t* nnz,
+                          const uint8_t* mb_intra, const uint8_t* t8,
+                          const int32_t* nnz,
                           const int32_t* mv, const int32_t* ref,
                           int32_t chroma_qp_offset, int32_t alpha_off,
                           int32_t beta_off, const int32_t* alpha_tab,
@@ -517,8 +524,11 @@ int64_t avc_deblock_frame(int32_t* y, int32_t* u, int32_t* v, int32_t mb_w,
       int qp = mb_qp[mby * mb_w + mbx];
       int py = mby * 16, px = mbx * 16;
       int cy = mby * 8, cx = mbx * 8;
+      bool is8 = t8[mby * mb_w + mbx] != 0;
       for (int e = 0; e < 4; e++) {       // vertical edges
         if (e == 0 && mbx == 0) continue;
+        // 8x8 transform: internal 4x4 luma edges unfiltered (spec 8.7)
+        if (is8 && (e == 1 || e == 3)) continue;
         int x = px + 4 * e;
         bool mb_edge = e == 0;
         int qp_p = mb_edge ? mb_qp[mby * mb_w + mbx - 1] : qp;
@@ -548,6 +558,7 @@ int64_t avc_deblock_frame(int32_t* y, int32_t* u, int32_t* v, int32_t mb_w,
       }
       for (int e = 0; e < 4; e++) {       // horizontal edges
         if (e == 0 && mby == 0) continue;
+        if (is8 && (e == 1 || e == 3)) continue;
         int yy = py + 4 * e;
         bool mb_edge = e == 0;
         int qp_p = mb_edge ? mb_qp[(mby - 1) * mb_w + mbx] : qp;

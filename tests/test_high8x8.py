@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from test_avc_conformance import (JM_BIN, run_lencod, decode_ours,
-                                  jm_tools)  # noqa: F401
+                                  ldecod_decode, jm_tools)  # noqa: F401
 
 
 @pytest.mark.parametrize("cfg", [
@@ -31,3 +31,32 @@ from test_avc_conformance import (JM_BIN, run_lencod, decode_ours,
 def test_decode_lencod_high_8x8_bit_exact(jm_tools, tmp_path, cfg):
     stream, recon = run_lencod(tmp_path, **cfg)
     assert decode_ours(stream) == recon
+
+
+def test_tpu_encoder_high_8x8_both_oracles(jm_tools, tmp_path):
+    """Our TPU-path High stream (per-MB transform_size_8x8_flag RD on the
+    winning inter mode) decodes bit-exactly in BOTH JM ldecod and our own
+    decoder, and actually uses the 8x8 transform."""
+    from h264tpu.utils.yuv import YUVReader
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.slice_dec import AVCDecoder
+
+    r = YUVReader(os.path.join(JM_BIN, "foreman_part_qcif.yuv"), 176, 144)
+    frames = [r.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=27, profile_idc=100,
+                  transform_8x8=True, num_ref_frames=1)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3)
+    res, stream = codec.encode_sequence(frames)
+
+    recon = b"".join(np.asarray(pl, np.uint8).tobytes()
+                     for re in res for pl in re.recon)
+    assert ldecod_decode(tmp_path, stream) == recon
+    dec = AVCDecoder(trace=True)
+    out = dec.decode(stream)
+    got = b"".join(np.asarray(pl, np.uint8).tobytes()
+                   for fr in out for pl in fr)
+    assert got == recon
+    # the tool must actually engage on real content
+    st = dec.bit_statistics()
+    assert st.get("transform_size_8x8_flag", (0, 0))[0] > 0

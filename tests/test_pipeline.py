@@ -117,3 +117,21 @@ def test_gop_parallel_fvc(foreman_qcif):
     from h264tpu.models.fractal_codec import FractalDecoder
     dec = FractalDecoder().decode(units1[0]["stream"])
     assert len(dec) == 3
+
+
+def test_gop_parallel_multiprocess_byte_identical(foreman_qcif):
+    """REAL process isolation (SURVEY 4(e)): GOP units encoded by spawned
+    worker processes — separate interpreters/jax runtimes, results
+    crossing a process boundary — concatenate byte-identically to the
+    in-process sequential encode."""
+    import functools
+    from h264tpu.models.gop_parallel import GOPEncoder
+    from h264tpu.models.gop_workers import tpu_avc_cpu_factory
+
+    frames = [foreman_qcif.read(i % 3) for i in range(6)]
+    factory = functools.partial(tpu_avc_cpu_factory, 176, 144, 30,
+                                n_slices=1, search_range=4)
+    _, seq_stream = GOPEncoder(factory, intra_period=3).encode(frames)
+    _, mp_stream = GOPEncoder(factory, intra_period=3).encode(
+        frames, workers=2, processes=True)
+    assert mp_stream == seq_stream

@@ -127,7 +127,10 @@ def psnr(a, b):
 def run_ours(frames, qp, sr=8, n_slices=3):
     from h264tpu.avc.params import AVCParams
     from h264tpu.avc.tpu_codec import TPUAVCCodec
-    p = AVCParams(width=W, height=H, qp=qp, num_ref_frames=1)
+    # High profile with the per-MB 8x8 transform RD (round-5); the JM
+    # anchor stays encoder_baseline RDO=1 with matched tools
+    p = AVCParams(width=W, height=H, qp=qp, num_ref_frames=1,
+                  profile_idc=100, transform_8x8=True)
     codec = TPUAVCCodec(p, intra_period=0, search_range=sr,
                         n_slices=n_slices)
     res, stream = codec.encode_sequence(frames)
