@@ -105,7 +105,7 @@ def _ptr(a):
 
 def pack_slice(sym, p: AVCParams, slice_type: int, qp: int, frame_num: int,
                idr: bool, idr_pic_id: int, num_ref: int,
-               row0: int = 0, n_rows: int = None) -> bytes:
+               row0: int = 0, n_rows: int = None, wp=None) -> bytes:
     """Native twin of pack.pack_i_slice / pack_p_slice (byte-identical)."""
     lib = _load()
     assert lib is not None
@@ -114,7 +114,8 @@ def pack_slice(sym, p: AVCParams, slice_type: int, qp: int, frame_num: int,
     hw = BitWriter()
     write_slice_header(hw, p, slice_type, frame_num, idr, qp,
                        idr_pic_id=idr_pic_id, first_mb=row0 * mb_w,
-                       num_ref_idx_l0=num_ref if slice_type == SLICE_P else 1)
+                       num_ref_idx_l0=num_ref if slice_type == SLICE_P else 1,
+                       wp=wp)
     hdr = np.frombuffer(hw.to_bytes(), np.uint8)
     hdr_bits = hw.bit_length()
 

@@ -163,7 +163,8 @@ def pack_i_slice(sym, p: AVCParams, qp: int, frame_num: int = 0,
 
 def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
                  num_ref: int, row0: int = 0, n_rows: int = None,
-                 poc_lsb: int = 0, mmco=None, reorder_l0=None) -> bytes:
+                 poc_lsb: int = 0, mmco=None, reorder_l0=None,
+                 wp=None) -> bytes:
     """Pack a P frame's symbols into one P slice RBSP covering MB rows
     [row0, row0 + n_rows)."""
     mb_h, mb_w = p.mb_h, p.mb_w
@@ -175,7 +176,8 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
     w = BitWriter()
     write_slice_header(w, p, SLICE_P, frame_num, False, qp,
                        num_ref_idx_l0=num_ref, first_mb=row0 * mb_w,
-                       poc_lsb=poc_lsb, mmco=mmco, reorder_l0=reorder_l0)
+                       poc_lsb=poc_lsb, mmco=mmco, reorder_l0=reorder_l0,
+                       wp=wp)
     skip_run = 0
     for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
         mby, mbx = i // mb_w, i % mb_w

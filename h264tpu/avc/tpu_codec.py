@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .params import AVCParams, assemble_stream
-from .codec import AVCFrameResult
+from .codec import AVCFrameResult, estimate_wp
 from .deblock import DeblockContext, deblock_frame
 from . import conformance
 from . import tpu_enc as TE
@@ -116,6 +116,15 @@ def _prep_ref_packed(buf, sr, H, W):
     return TE.prep_ref(y, u, v, sr)
 
 
+@jax.jit
+def _weight_luma(up, wy, oy):
+    """Explicit-WP view of one reference's phase-split quarter-pel
+    planes (luma MC is a pure gather, so weighting the planes IS the
+    spec 8.4.2.3.2 post-MC transform; d_l = 5)."""
+    return jnp.clip((((up.astype(jnp.int32)) * wy + 16) >> 5) + oy,
+                    0, 255).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("H", "W"))
 def _split_org(buf, H, W):
     return (buf[:H].astype(jnp.int32), buf[H:, :W // 2].astype(jnp.int32),
@@ -167,6 +176,10 @@ class TPUAVCCodec:
         if p.transform_8x8 and (bframes > 0 or p.cabac):
             raise NotImplementedError("8x8 transform is CAVLC-IPPP for "
                                       "now (no CABAC ctx / B driver)")
+        if p.weighted_pred and (bframes > 0 or p.cabac
+                                or mesh is not None):
+            raise NotImplementedError("device WP is CAVLC-IPPP "
+                                      "single-mesh for now")
         if check_conformance:
             conformance.check_params(p)
         self._dummy = None
@@ -222,6 +235,7 @@ class TPUAVCCodec:
 
         slices, results = [], []
         dpb = []                               # (up, u_pad, v_pad), newest 1st
+        dpb_means = []                         # (dc_y, dc_u, dc_v) per entry
         frame_num = 0
         idr_pic_id = 0
         H, W = p.height, p.width
@@ -253,6 +267,7 @@ class TPUAVCCodec:
                              for s0 in range(self.n_slices)]
             else:
                 fn, nv = pend["frame_num"], pend["n_valid"]
+                wp = pend.get("wp")
                 if p.cabac:
                     rbsps = [PKC.pack_p_slice_cabac(
                         sym, p, fqp, frame_num=fn, num_ref=nv,
@@ -261,12 +276,14 @@ class TPUAVCCodec:
                 elif AN.available():
                     rbsps = [AN.pack_slice(sym, p, SLICE_P, fqp, fn,
                                            False, 0, nv,
-                                           row0=s0 * rows, n_rows=rows)
+                                           row0=s0 * rows, n_rows=rows,
+                                           wp=wp)
                              for s0 in range(self.n_slices)]
                 else:
                     rbsps = [PK.pack_p_slice(sym, p, fqp, frame_num=fn,
                                              num_ref=nv,
-                                             row0=s0 * rows, n_rows=rows)
+                                             row0=s0 * rows, n_rows=rows,
+                                             wp=wp)
                              for s0 in range(self.n_slices)]
             for rb in rbsps:
                 slices.append((pend["idr"], rb))
@@ -310,16 +327,29 @@ class TPUAVCCodec:
                 n_valid = min(len(dpb), R)
                 refs = [dpb[i if i < n_valid else n_valid - 1]
                         for i in range(R)]
-                ups = jnp.stack([r[0] for r in refs])
+                wp = None
+                wp_c = None
+                if p.weighted_pred:
+                    means = [dpb_means[i if i < n_valid else n_valid - 1]
+                             for i in range(R)]
+                    wp = estimate_wp(yuv, means)
+                    ups = jnp.stack([
+                        _weight_luma(r[0], jnp.int32(e[0]), jnp.int32(e[1]))
+                        for r, e in zip(refs, wp["l0"])])
+                    wp_c = jnp.asarray(
+                        [[e[2], e[3], e[4], e[5]] for e in wp["l0"]],
+                        jnp.int32)
+                else:
+                    ups = jnp.stack([r[0] for r in refs])
                 us = jnp.stack([r[1] for r in refs])
                 vs = jnp.stack([r[2] for r in refs])
                 fim = force_intra(idx) if force_intra else None
                 fim = no_force if fim is None else jnp.asarray(fim, bool)
                 sym, rec, tctx = self._encode_fn(False)(
                     y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(n_valid),
-                    fim)
+                    fim, wp_c)
                 meta.update(ftype="P", frame_num=frame_num,
-                            n_valid=n_valid)
+                            n_valid=n_valid, wp=wp)
                 frame_num = (frame_num + 1) % (1 << p.log2_max_frame_num)
             buf, ctxbuf, recbuf = _pack_out(sym, tctx, rec)
 
@@ -360,6 +390,9 @@ class TPUAVCCodec:
                                            H=H, W=W))
             dpb = dpb[:R]
             rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec_np)
+            if p.weighted_pred:
+                dpb_means.insert(0, tuple(float(pl.mean()) for pl in rec8))
+                dpb_means = dpb_means[:R]
             mse = ((np.asarray(yuv[0], np.float64) - rec8[0]) ** 2).mean()
             meta.update(buf=buf, rec8=rec8,
                         psnr_y=99.99 if mse == 0 else

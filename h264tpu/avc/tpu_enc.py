@@ -839,7 +839,7 @@ def te_bits_t(v, n_active):
 
 
 def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
-                 force_intra, *, sb_h: int, mb_w: int, sr: int,
+                 force_intra, wp_c=None, *, sb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
                  adaptive_rounding: bool = True, transform8: bool = False):
     """Encode ONE row-band slice (search + subpel + decision scan).
@@ -868,6 +868,22 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
     org_y = org_y.astype(jnp.int32)
     org_u = org_u.astype(jnp.int32)
     org_v = org_v.astype(jnp.int32)
+
+    def wpc(pred, ci, r=None):
+        """Explicit-WP transform of a chroma MC output (spec 8.4.2.3.2;
+        decoder weights POST-interpolation, so the encoder must too).
+        ``wp_c`` [R, 4] = (wu, ou, wv, ov) per list-0 ref; identity when
+        WP is off (no ops added).  Luma needs no per-site transform: the
+        driver weights the phase-split quarter-pel planes themselves
+        (luma MC is a pure gather, so plane weighting IS post-MC)."""
+        if wp_c is None:
+            return pred
+        if r is None:                       # pred [R, ...]: per-ref
+            w_ = wp_c[:, 2 * ci].reshape(-1, *([1] * (pred.ndim - 1)))
+            o_ = wp_c[:, 2 * ci + 1].reshape(-1, *([1] * (pred.ndim - 1)))
+        else:
+            w_, o_ = wp_c[r, 2 * ci], wp_c[r, 2 * ci + 1]
+        return jnp.clip(((pred * w_ + 16) >> 5) + o_, 0, 255)
 
     if not intra_only:
         R = ref_ups.shape[0]
@@ -1019,8 +1035,8 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
                 rm = ref_m[SLOT_MODE[s]]
                 lp = jax.vmap(lg)(ref_ups, mv_mb[:, s])        # [R,bh,bw]
-                upb = jax.vmap(cg)(ref_us, mv_mb[:, s])
-                vpb = jax.vmap(cg)(ref_vs, mv_mb[:, s])
+                upb = wpc(jax.vmap(cg)(ref_us, mv_mb[:, s]), 0)
+                vpb = wpc(jax.vmap(cg)(ref_vs, mv_mb[:, s]), 1)
                 lsel.append(lp[rm])
                 usel.append(upb[rm])
                 vsel.append(vpb[rm])
@@ -1047,10 +1063,10 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                            by0, bx0, by0, bx0, sh4, w4)
             pred16_sk = _gather_block(ref_ups[0], y0, x0,
                                       smv[0], smv[1], 16, 16, P)
-            predu_sk = _chroma_block(ref_us[0], cy0, cx0,
-                                     smv[0], smv[1], 8, 8, PC)
-            predv_sk = _chroma_block(ref_vs[0], cy0, cx0,
-                                     smv[0], smv[1], 8, 8, PC)
+            predu_sk = wpc(_chroma_block(ref_us[0], cy0, cx0,
+                                         smv[0], smv[1], 8, 8, PC), 0, 0)
+            predv_sk = wpc(_chroma_block(ref_vs[0], cy0, cx0,
+                                         smv[0], smv[1], 8, 8, PC), 1, 0)
 
             # ---- zero-MVD candidate: 16x16/ref0 AT the spec median
             # predictor (mvd = 0 costs ~3 header bits — the ME lattice
@@ -1061,10 +1077,10 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                               "none", sh4, w4)
             pred16_pm = _gather_block(ref_ups[0], y0, x0,
                                       pm0[0], pm0[1], 16, 16, P)
-            predu_pm = _chroma_block(ref_us[0], cy0, cx0,
-                                     pm0[0], pm0[1], 8, 8, PC)
-            predv_pm = _chroma_block(ref_vs[0], cy0, cx0,
-                                     pm0[0], pm0[1], 8, 8, PC)
+            predu_pm = wpc(_chroma_block(ref_us[0], cy0, cx0,
+                                         pm0[0], pm0[1], 8, 8, PC), 0, 0)
+            predv_pm = wpc(_chroma_block(ref_vs[0], cy0, cx0,
+                                         pm0[0], pm0[1], 8, 8, PC), 1, 0)
             pred16_modes = jnp.concatenate(
                 [pred16_modes, pred16_pm[None]])          # [5,16,16]
             predu_modes = jnp.concatenate([predu_modes, predu_pm[None]])
@@ -1409,7 +1425,7 @@ def _assemble_bands(sym_b, state_b, S: int, sb_h: int, mb_h: int, mb_w: int):
                               "chroma_qp_offset", "n_slices",
                               "adaptive_rounding", "transform8"))
 def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
-                 force_intra, *, mb_h: int, mb_w: int, sr: int,
+                 force_intra, wp_c=None, *, mb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
                  n_slices: int = 1, adaptive_rounding: bool = True,
                  transform8: bool = False):
@@ -1444,7 +1460,8 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                           transform8=transform8)
     sym_b, state_b = jax.vmap(
         lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
-                                             qp, n_valid, fb))(*banded)
+                                             qp, n_valid, fb, wp_c))(
+        *banded)
     return _assemble_bands(sym_b, state_b, S, sb_h, mb_h, mb_w)
 
 

@@ -143,10 +143,19 @@ def write_tree(w: BitWriter, maps: dict, search_range: int,
             continue
         if ref_bits:
             w.u(np.asarray(maps["ref"])[m], ref_bits)
-        w.u(np.asarray(maps["dx"])[m] + sr, mvb)
-        w.u(np.asarray(maps["dy"])[m] + sr, mvb)
-        w.u((np.asarray(maps["a"])[m] + 235) // 5, 7)
-        w.u((np.asarray(maps["beta"])[m] + 60) // 5, 6)
+        # leaf params are strongly correlated along the leaf raster, so
+        # fixed-length fields wasted ~21 bits/leaf at low rates (the
+        # round-4 BD-rate audit's dominant cost): code the first leaf
+        # raw, then se(delta-to-previous) — the FR reference's
+        # writeScaleAndOffset_new delta-coding idea (macroblock.c:3169)
+        for vals, nbits in (
+                (np.asarray(maps["dx"])[m] + sr, mvb),
+                (np.asarray(maps["dy"])[m] + sr, mvb),
+                ((np.asarray(maps["a"])[m] + 235) // 5, 7),
+                ((np.asarray(maps["beta"])[m] + 60) // 5, 6)):
+            w.u(int(vals[0]), nbits)
+            if vals.size > 1:
+                w.se(np.diff(vals))
 
 
 def read_tree(r: BitReader, Hp: int, Wp: int, search_range: int,
@@ -183,10 +192,18 @@ def read_tree(r: BitReader, Hp: int, Wp: int, search_range: int,
             continue
         ref = r.u_array(n, ref_bits) if ref_bits else \
             np.zeros(n, dtype=np.int64)
-        dx = r.u_array(n, mvb) - sr
-        dy = r.u_array(n, mvb) - sr
-        a = r.u_array(n, 7) * 5 - 235
-        beta = r.u_array(n, 6) * 5 - 60
+
+        def pred(nbits):
+            first = r.u(nbits)
+            if n > 1:
+                d = r.se_array(n - 1)
+                return np.concatenate([[first], first + np.cumsum(d)])
+            return np.array([first], dtype=np.int64)
+
+        dx = pred(mvb) - sr
+        dy = pred(mvb) - sr
+        a = pred(7) * 5 - 235
+        beta = pred(6) * 5 - 60
         # broadcast leaf params to all cells of each leaf
         bh, bw = SHAPES[code]
         ch, cw = bh // 4, bw // 4
