@@ -62,8 +62,12 @@ def parse_sps(rbsp: bytes) -> dict:
     s["poc_type"] = r.ue()
     if s["poc_type"] == 0:
         s["log2_max_poc_lsb"] = r.ue() + 4
-    elif s["poc_type"] == 1:
-        raise NotImplementedError("poc_type 1")
+    elif s["poc_type"] == 1:                # spec 8.2.1.2 cycle offsets
+        s["delta_poc_always_zero"] = r.u(1)
+        s["offset_for_non_ref_pic"] = r.se()
+        s["offset_for_top_to_bottom_field"] = r.se()
+        n = r.ue()
+        s["offsets_for_ref_frame"] = [r.se() for _ in range(n)]
     s["num_ref_frames"] = r.ue()
     r.u(1)
     s["width"] = (r.ue() + 1) * 16
@@ -276,7 +280,7 @@ class AVCDecoder:
             if n.nal_type == NAL_SPS:
                 s = parse_sps(n.rbsp)
                 self.sps[s["sps_id"]] = s
-                poc_reorder |= s["poc_type"] == 0
+                poc_reorder |= s["poc_type"] in (0, 1)
             elif n.nal_type == NAL_PPS:
                 p = parse_pps(n.rbsp)
                 self.pps[p["pps_id"]] = p
@@ -453,6 +457,37 @@ class AVCDecoder:
             poc = msb + lsb
             if ref_idc != 0:
                 self._prev_poc_lsb, self._prev_poc_msb = lsb, msb
+        elif sps["poc_type"] == 1:          # spec 8.2.1.2 (frame coding)
+            d0 = d1 = 0
+            if not sps["delta_poc_always_zero"]:
+                d0 = r.se()
+                if pps["pic_order_present"]:
+                    d1 = r.se()
+            max_fn = 1 << sps["log2_max_frame_num"]
+            if idr and first_mb == 0:
+                fno = 0
+            elif getattr(self, "_prev_frame_num1", 0) > frame_num:
+                fno = getattr(self, "_prev_fno", 0) + max_fn
+            else:
+                fno = getattr(self, "_prev_fno", 0)
+            if first_mb == 0:
+                self._prev_fno = fno
+                self._prev_frame_num1 = frame_num
+            offs = sps["offsets_for_ref_frame"]
+            ncyc = len(offs)
+            abs_fn = fno + frame_num if ncyc else 0
+            if ref_idc == 0 and abs_fn > 0:
+                abs_fn -= 1
+            if abs_fn > 0:
+                cyc, inc = divmod(abs_fn - 1, ncyc)
+                expected = cyc * sum(offs) + sum(offs[:inc + 1])
+            else:
+                expected = 0
+            if ref_idc == 0:
+                expected += sps["offset_for_non_ref_pic"]
+            top = expected + d0
+            bottom = top + sps["offset_for_top_to_bottom_field"] + d1
+            poc = min(top, bottom)
         direct_spatial = True
         if slice_type == 1:
             direct_spatial = bool(r.u(1))   # else temporal (8.4.1.2.3)
@@ -470,20 +505,20 @@ class AVCDecoder:
                     op = self._tr(r, "modification_of_pic_nums_idc", r.ue())
                     if op == 3:
                         break
-                    if op in (0, 1):        # short-term picNum ops
+                    if op in (0, 1, 2):     # picNum / LongTermPicNum ops
                         reorder_ops.append((op, r.ue()))
                     else:
-                        raise NotImplementedError("long-term reordering")
+                        raise ValueError(f"modification idc {op}")
             if slice_type == 1 and r.u(1):
                 while True:                 # ref_pic_list_modification_l1
                     op = self._tr(r, "modification_of_pic_nums_idc_l1",
                                   r.ue())
                     if op == 3:
                         break
-                    if op in (0, 1):
+                    if op in (0, 1, 2):
                         reorder_ops_l1.append((op, r.ue()))
                     else:
-                        raise NotImplementedError("long-term reordering")
+                        raise ValueError(f"modification idc {op}")
         wp = None
         if (slice_type == 0 and pps["weighted_pred"]) or \
                 (slice_type == 1 and pps["weighted_bipred_idc"] == 1):
@@ -603,12 +638,20 @@ class AVCDecoder:
                 refs1[0], refs1[1] = refs1[1], refs1[0]
             col = refs1[0] if refs1 else None
         def apply_reorder(lst, ops):
-            # spec 8.2.4.3.1 short-term modification process
+            # spec 8.2.4.3.1/8.2.4.3.2 modification processes
             max_pic_num = max_fn
             pic_num_pred = frame_num
             idx = 0
             lst = list(lst)
             for op, d in ops:
+                if op == 2:                 # long-term: LongTermPicNum
+                    match = [e for e in lst
+                             if e.get("long") and e.get("lt_idx") == d]
+                    assert match, "LT reorder target not in DPB"
+                    lst.remove(match[0])
+                    lst.insert(idx, match[0])
+                    idx += 1
+                    continue
                 if op == 0:
                     pic_num_no_wrap = pic_num_pred - (d + 1)
                     if pic_num_no_wrap < 0:

@@ -841,7 +841,8 @@ def te_bits_t(v, n_active):
 def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, wp_c=None, *, sb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
-                 adaptive_rounding: bool = True, transform8: bool = False):
+                 adaptive_rounding: bool = True, transform8: bool = False,
+                 rdoq_decim: bool = True):
     """Encode ONE row-band slice (search + subpel + decision scan).
 
     All arrays are band views: org_y [sb_h*16, W]; ref_ups
@@ -1208,6 +1209,49 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 rec16_int = jnp.where(t8, rec8, rec16_int)
                 cbp_bits_int = jnp.where(t8, cbp8, cbp_bits_int)
 
+            if rdoq_decim:
+                # RD-gated coefficient decimation on the winner (the JM
+                # single-coefficient run-cost rule, quant4x4_trellis.c
+                # family's cheap end): drop 8x8 groups whose |lev|<=1
+                # coefficients cost more rate than they buy, but only
+                # when the full reconstruction RD agrees — unlike the
+                # blanket JM-8.6 drops this can only move along the RD
+                # curve.  Strongest at low rates (isolated +-1 levels).
+                cost_rows = _coeff_cost(zzc)                     # [16]
+                c8 = cost_rows.reshape(4, 4).sum(-1)             # [b8]
+                drop8 = c8 <= 4
+                drop8 = drop8 | (jnp.where(drop8, 0, c8).sum() <= 5)
+                zz_dec = jnp.where(drop8[jnp.arange(16) // 4, None],
+                                   0, zzc)
+                lev_dec = jnp.zeros((4, 4, 4, 4), jnp.int32).at[
+                    _SCANY, _SCANX].set(QJ.unzigzag(zz_dec))
+                pred_b = pred16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+                rec_dec = QJ.reconstruct(
+                    pred_b, QJ.idct4x4(QJ.dequant4x4(lev_dec, qp)))
+                rec_dec = rec_dec.transpose(0, 2, 1, 3).reshape(16, 16)
+                nz_dec = (zz_dec != 0).any(-1).reshape(4, 4).any(-1)
+                cbp_dec = (nz_dec.astype(jnp.int32)
+                           * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
+                bits_dec = CJ.block_bits_est(
+                    zz_dec, jnp.zeros(16, jnp.int32), 16)
+                cod_dec = ((cbp_dec >> (jnp.arange(16) // 4)) & 1) > 0
+                bits_dec = jnp.where(cod_dec, bits_dec, 0).sum()
+                bits_cur = CJ.block_bits_est(
+                    zzc, jnp.zeros(16, jnp.int32), 16)
+                cod_cur = ((cbp_bits_int >> (jnp.arange(16) // 4)) & 1) > 0
+                bits_cur = jnp.where(cod_cur, bits_cur, 0).sum()
+                dcbp = ue_bits(_CBP_INTER_J[cbp_dec | (cbp_c_int << 4)]) \
+                    - ue_bits(_CBP_INTER_J[cbp_bits_int | (cbp_c_int << 4)])
+                rd_dec = ((org16 - rec_dec) ** 2).sum().astype(jnp.float32) \
+                    + lam * (bits_dec + dcbp).astype(jnp.float32)
+                rd_cur = ((org16 - rec16_int) ** 2).sum().astype(
+                    jnp.float32) + lam * bits_cur.astype(jnp.float32)
+                use_dec = nsk & ~is_intra & ~t8 & (cbp_dec != cbp_bits_int) \
+                    & (rd_dec < rd_cur)
+                zzc = jnp.where(use_dec, zz_dec, zzc)
+                rec16_int = jnp.where(use_dec, rec_dec, rec16_int)
+                cbp_bits_int = jnp.where(use_dec, cbp_dec, cbp_bits_int)
+
             # the zero-MVD candidate (mode index M-1) EMITS as P_16x16
             emit_m = jnp.where(win_m == M - 1, 0, win_m)
             # emit as P_Skip: the explicit candidate, or a 16x16/ref0
@@ -1423,12 +1467,13 @@ def _assemble_bands(sym_b, state_b, S: int, sb_h: int, mb_h: int, mb_w: int):
 @functools.partial(
     jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
                               "chroma_qp_offset", "n_slices",
-                              "adaptive_rounding", "transform8"))
+                              "adaptive_rounding", "transform8",
+                              "rdoq_decim"))
 def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, wp_c=None, *, mb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
                  n_slices: int = 1, adaptive_rounding: bool = True,
-                 transform8: bool = False):
+                 transform8: bool = False, rdoq_decim: bool = True):
     """Encode one frame's decisions + residuals on device.
 
     org_*: int32 planes.  ref_ups [R, 4, 4, H+2P, W+2P] uint8:
@@ -1457,7 +1502,8 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                           intra_only=intra_only,
                           chroma_qp_offset=chroma_qp_offset,
                           adaptive_rounding=adaptive_rounding,
-                          transform8=transform8)
+                          transform8=transform8,
+                          rdoq_decim=rdoq_decim)
     sym_b, state_b = jax.vmap(
         lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
                                              qp, n_valid, fb, wp_c))(
@@ -1468,7 +1514,8 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                         intra_only: bool, chroma_qp_offset: int = 0,
                         n_slices: int = 1, adaptive_rounding: bool = True,
-                        transform8: bool = False):
+                        transform8: bool = False,
+                        rdoq_decim: bool = True):
     """Build a jitted frame encoder sharded over ``mesh`` axis ``axis``.
 
     The picture's ``n_slices`` row-band slices are distributed over the
@@ -1496,7 +1543,8 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                           intra_only=intra_only,
                           chroma_qp_offset=chroma_qp_offset,
                           adaptive_rounding=adaptive_rounding,
-                          transform8=transform8)
+                          transform8=transform8,
+                          rdoq_decim=rdoq_decim)
 
     sh = PS(axis)
     rep = PS()
@@ -1509,7 +1557,8 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
 
     @jax.jit
     def encode(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
-               force_intra):
+               force_intra, wp_c=None):
+        assert wp_c is None, "WP is not mesh-sharded yet"
         banded = _band_views(org_y, org_u, org_v, ref_ups, ref_us, ref_vs,
                              force_intra, S, sb_h, mb_w, sr)
         sym_b, state_b = shard_map(

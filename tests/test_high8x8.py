@@ -60,3 +60,50 @@ def test_tpu_encoder_high_8x8_both_oracles(jm_tools, tmp_path):
     # the tool must actually engage on real content
     st = dec.bit_statistics()
     assert st.get("transform_size_8x8_flag", (0, 0))[0] > 0
+
+
+def _long_input(tmp_path, n=9):
+    """Synthesize an n-frame YUV by cycling the 3 foreman frames (the
+    shipped clip is too short for multi-GOP B structures)."""
+    src = np.fromfile(os.path.join(JM_BIN, "foreman_part_qcif.yuv"),
+                      np.uint8)
+    fsz = 176 * 144 * 3 // 2
+    path = tmp_path / "long.yuv"
+    path.write_bytes(b"".join(
+        src[(i % 3) * fsz:(i % 3 + 1) * fsz].tobytes() for i in range(n)))
+    return str(path)
+
+
+def test_decode_lencod_poc_type1_ippp_bit_exact(jm_tools, tmp_path):
+    """POC type 1 decode, IPPP (VERDICT round-4 decoder corners)."""
+    stream, recon = run_lencod(
+        tmp_path, PicOrderCntType=1, IntraPeriod=0, IDRPeriod=0,
+        QPISlice=30, QPPSlice=30, NumberReferenceFrames=1, SearchRange=8,
+        RDOptimization=1)
+    assert decode_ours(stream) == recon
+
+
+def test_decode_lencod_poc_type1_bframes_bit_exact(jm_tools, tmp_path):
+    """POC type 1 with B pictures: non-ref offsets, cycle arithmetic,
+    POC-driven display reorder, temporal-direct DistScaleFactor."""
+    stream, recon = run_lencod(
+        tmp_path, InputFile=_long_input(tmp_path), FramesToBeEncoded=4,
+        PicOrderCntType=1, ProfileIDC=77, NumberBFrames=2,
+        NumberReferenceFrames=2, IntraPeriod=0, IDRPeriod=0,
+        QPISlice=30, QPPSlice=30, QPBSlice=32, SearchRange=8,
+        RDOptimization=1)
+    assert decode_ours(stream) == recon
+
+
+@pytest.mark.xfail(reason="B pictures whose l0 holds BOTH a past and a "
+                   "future reference (2-ref window) decode with 2-3 MBs "
+                   "off on specific content — pre-existing corner, "
+                   "independent of POC type and direct mode", strict=False)
+def test_decode_lencod_b_multiref_window_corner(jm_tools, tmp_path):
+    stream, recon = run_lencod(
+        tmp_path, InputFile=_long_input(tmp_path), FramesToBeEncoded=7,
+        PicOrderCntType=0, ProfileIDC=77, NumberBFrames=2,
+        NumberReferenceFrames=2, IntraPeriod=0, IDRPeriod=0,
+        QPISlice=30, QPPSlice=30, QPBSlice=32, SearchRange=8,
+        RDOptimization=1)
+    assert decode_ours(stream) == recon
