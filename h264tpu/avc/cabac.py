@@ -40,33 +40,48 @@ OFF_MAP = 193                        # [22][15]
 OFF_LAST = 523                       # [22][15]
 OFF_ONE = 853                        # [22][5]
 OFF_ABS = 963                        # [22][5]
-NUM_CTX = 1073
+OFF_TS = 1073                        # [3] transform_size_8x8_flag
+NUM_CTX = 1076
 
-# block categories (JM block-type enum subset used for 4:2:0 4x4 coding)
-LUMA_16DC, LUMA_16AC, LUMA_4x4, CHROMA_DC, CHROMA_AC = 0, 1, 5, 6, 7
+# block categories (JM block-type enum subset used for 4:2:0 coding)
+LUMA_16DC, LUMA_16AC, LUMA_8x8, LUMA_4x4, CHROMA_DC, CHROMA_AC = \
+    0, 1, 2, 5, 6, 7
 
-MAXPOS = {LUMA_16DC: 15, LUMA_16AC: 14, LUMA_4x4: 15,
+MAXPOS = {LUMA_16DC: 15, LUMA_16AC: 14, LUMA_8x8: 63, LUMA_4x4: 15,
           CHROMA_DC: 3, CHROMA_AC: 14}
-C1ISDC = {LUMA_16DC: 1, LUMA_16AC: 0, LUMA_4x4: 1,
+C1ISDC = {LUMA_16DC: 1, LUMA_16AC: 0, LUMA_8x8: 1, LUMA_4x4: 1,
           CHROMA_DC: 1, CHROMA_AC: 0}
-TYPE2CTX_BCBP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_4x4: 4,
+TYPE2CTX_BCBP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_8x8: 2, LUMA_4x4: 4,
                  CHROMA_DC: 5, CHROMA_AC: 6}
-TYPE2CTX_MAP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_4x4: 5,
+TYPE2CTX_MAP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_8x8: 2, LUMA_4x4: 5,
                 CHROMA_DC: 6, CHROMA_AC: 7}
 TYPE2CTX_LAST = TYPE2CTX_MAP
-TYPE2CTX_ONE = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_4x4: 4,
+TYPE2CTX_ONE = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_8x8: 2, LUMA_4x4: 4,
                 CHROMA_DC: 5, CHROMA_AC: 6}
-MAX_C2 = {LUMA_16DC: 4, LUMA_16AC: 4, LUMA_4x4: 4,
+MAX_C2 = {LUMA_16DC: 4, LUMA_16AC: 4, LUMA_8x8: 4, LUMA_4x4: 4,
           CHROMA_DC: 3, CHROMA_AC: 4}
+
+# 8x8 position -> ctx maps (JM lencod/src/cabac.c pos2ctx_map8x8 /
+# pos2ctx_last8x8; Rec. H.264 Table 9-43 frame-scan assignment)
+_P8x8_MAP = [
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12, 14]
+_P8x8_LAST = [
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8, 8]
 
 # position -> ctx tables (JM pos2ctx_map/pos2ctx_last): all our 4:2:0
 # 4x4-transform categories use the identity 4x4 table (CHROMA_DC 4:2:0 has
 # maxpos 3, so identity == the spec's min(levelListIdx, 2) on coded bins)
 _P4x4 = list(range(15)) + [14]
-POS2CTX_MAP = {LUMA_16DC: _P4x4, LUMA_16AC: _P4x4, LUMA_4x4: _P4x4,
-               CHROMA_DC: _P4x4, CHROMA_AC: _P4x4}
-POS2CTX_LAST = {LUMA_16DC: _P4x4, LUMA_16AC: _P4x4, LUMA_4x4: _P4x4,
-                CHROMA_DC: _P4x4, CHROMA_AC: _P4x4}
+POS2CTX_MAP = {LUMA_16DC: _P4x4, LUMA_16AC: _P4x4, LUMA_8x8: _P8x8_MAP,
+               LUMA_4x4: _P4x4, CHROMA_DC: _P4x4, CHROMA_AC: _P4x4}
+POS2CTX_LAST = {LUMA_16DC: _P4x4, LUMA_16AC: _P4x4, LUMA_8x8: _P8x8_LAST,
+                LUMA_4x4: _P4x4, CHROMA_DC: _P4x4, CHROMA_AC: _P4x4}
 
 # coded_block_flag bit positions in the per-MB cbp_bits bitset (JM layout)
 BIT_LUMA_DC = 0
@@ -97,6 +112,8 @@ def init_context_arrays(slice_type: int, cabac_init_idc: int, qp: int):
         grab(CT.INIT_LAST_I, CT.INIT_LAST_P).reshape(-1, 2),
         grab(CT.INIT_ONE_I, CT.INIT_ONE_P).reshape(-1, 2),
         grab(CT.INIT_ABS_I, CT.INIT_ABS_P).reshape(-1, 2),
+        grab(CT.INIT_TRANSFORM_SIZE_I,
+             CT.INIT_TRANSFORM_SIZE_P).reshape(-1, 2),
     ]
     mn = np.concatenate(groups, axis=0)
     assert mn.shape[0] == NUM_CTX, mn.shape
@@ -131,6 +148,7 @@ class MBState:
         self.ref1 = np.zeros((mb_h * 4, mb_w * 4), np.int64)
         self.direct = np.zeros((mb_h * 4, mb_w * 4), bool)
         self.btype0 = np.zeros((mb_h, mb_w), bool)   # B mb_type == 0
+        self.t8 = np.zeros((mb_h, mb_w), bool)       # 8x8 transform flag
         self.cipred = np.zeros((mb_h, mb_w), np.int64)
         self.first_mb = 0
         self.last_dqp = 0
@@ -159,6 +177,14 @@ class _Common:
         st, mby, mbx = self.st, self.mby, self.mbx
         a = 1 if (self.left and not st.skip[mby, mbx - 1]) else 0
         b = 1 if (self.up and not st.skip[mby - 1, mbx]) else 0
+        return a + b
+
+    def ts8_ctx(self):
+        """transform_size_8x8_flag ctx: neighbors' flags (JM
+        writeMB_transform_size_flag_CABAC)."""
+        st, mby, mbx = self.st, self.mby, self.mbx
+        a = 1 if (self.left and st.t8[mby, mbx - 1]) else 0
+        b = 1 if (self.up and st.t8[mby - 1, mbx]) else 0
         return a + b
 
     def itype_ctx(self):
@@ -593,6 +619,11 @@ class CabacWriter:
             self._unary(sym - 1, OFF_DELTA_QP + 2, OFF_DELTA_QP + 3)
         self.st.last_dqp = dqp
 
+    def transform_size_flag(self, c: _Common, flag: bool):
+        """transform_size_8x8_flag (spec 9.3.3.1.1.10)."""
+        self.enc.bit(OFF_TS + c.ts8_ctx(), 1 if flag else 0)
+        self.st.t8[c.mby, c.mbx] = bool(flag)
+
     def residual_block(self, c: _Common, cat: int, zz, by=0, bx=0, comp=0):
         """coded_block_flag + significance map + levels for one block.
 
@@ -600,11 +631,17 @@ class CabacWriter:
         DC position, as in the symbol arrays)."""
         zz = np.asarray(zz)
         nz = int((zz != 0).sum())
-        ctx = OFF_BCBP + 4 * TYPE2CTX_BCBP[cat] + c.cbf_ctx(cat, by, bx, comp)
-        self.enc.bit(ctx, 1 if nz else 0)
-        if not nz:
+        if cat != LUMA_8x8:
+            # coded_block_flag is absent for the 8x8 luma category
+            # (spec 7.4.5.3.3; the cbp bit already covers it)
+            ctx = OFF_BCBP + 4 * TYPE2CTX_BCBP[cat] \
+                + c.cbf_ctx(cat, by, bx, comp)
+            self.enc.bit(ctx, 1 if nz else 0)
+            if not nz:
+                return
+            c.set_cbf(cat, by, bx, comp)
+        elif not nz:
             return
-        c.set_cbf(cat, by, bx, comp)
         mp = MAXPOS[cat]
         map_base = OFF_MAP + 15 * TYPE2CTX_MAP[cat]
         last_base = OFF_LAST + 15 * TYPE2CTX_LAST[cat]
@@ -852,14 +889,21 @@ class CabacReader:
         self.st.last_dqp = dqp
         return dqp
 
+    def transform_size_flag(self, c: _Common) -> bool:
+        flag = bool(self.dec.bit(OFF_TS + c.ts8_ctx()))
+        self.st.t8[c.mby, c.mbx] = flag
+        return flag
+
     def residual_block(self, c: _Common, cat: int, by=0, bx=0, comp=0):
         """-> scan-order levels [MAXPOS[cat]+1] (AC cats exclude DC)."""
         mp = MAXPOS[cat]
         out = np.zeros(mp + 1, np.int64)
-        ctx = OFF_BCBP + 4 * TYPE2CTX_BCBP[cat] + c.cbf_ctx(cat, by, bx, comp)
-        if self.dec.bit(ctx) == 0:
-            return out
-        c.set_cbf(cat, by, bx, comp)
+        if cat != LUMA_8x8:
+            ctx = OFF_BCBP + 4 * TYPE2CTX_BCBP[cat] \
+                + c.cbf_ctx(cat, by, bx, comp)
+            if self.dec.bit(ctx) == 0:
+                return out
+            c.set_cbf(cat, by, bx, comp)
         map_base = OFF_MAP + 15 * TYPE2CTX_MAP[cat]
         last_base = OFF_LAST + 15 * TYPE2CTX_LAST[cat]
         p2m = POS2CTX_MAP[cat]

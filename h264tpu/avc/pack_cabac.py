@@ -31,7 +31,8 @@ def _assemble(hw: BitWriter, payload: bytes) -> bytes:
     return hw.to_bytes() + payload
 
 
-def _write_intra_mb(wtr: CB.CabacWriter, c, sym, i, mby, mbx, wc, in_p):
+def _write_intra_mb(wtr: CB.CabacWriter, c, sym, i, mby, mbx, wc, in_p,
+                    transform_8x8: bool = False):
     st = wtr.st
     cbp_luma = int(sym["cbp_luma"][i])
     cbp_chroma = int(sym["cbp_chroma"][i])
@@ -49,6 +50,8 @@ def _write_intra_mb(wtr: CB.CabacWriter, c, sym, i, mby, mbx, wc, in_p):
             wtr.mb_type_p_slice(5)
         else:
             wtr.mb_type_i_slice(c, None)
+        if transform_8x8:
+            wtr.transform_size_flag(c, False)   # we emit I4x4
         flags = np.asarray(sym["i4flags"][i])
         for k in range(16):
             wtr.intra_pred_mode(int(flags[k, 0]), int(flags[k, 1]))
@@ -114,7 +117,8 @@ def pack_i_slice_cabac(sym, p: AVCParams, qp: int, frame_num: int = 0,
     for i in range(row0 * mb_w, (row0 + n_rows) * mb_w):
         mby, mbx = i // mb_w, i % mb_w
         c = CB._Common(st, mby, mbx, intra=True)
-        _write_intra_mb(wtr, c, sym, i, mby, mbx, int(win[i]), in_p=False)
+        _write_intra_mb(wtr, c, sym, i, mby, mbx, int(win[i]), in_p=False,
+                        transform_8x8=p.transform_8x8)
         payload = wtr.end_of_slice(i == last)
     return _assemble(hw, payload)
 
@@ -151,7 +155,8 @@ def pack_p_slice_cabac(sym, p: AVCParams, qp: int, frame_num: int,
             st.cipred[mby, mbx] = 0
             st.last_dqp = 0
         elif intra:
-            _write_intra_mb(wtr, c, sym, i, mby, mbx, wc, in_p=True)
+            _write_intra_mb(wtr, c, sym, i, mby, mbx, wc, in_p=True,
+                            transform_8x8=p.transform_8x8)
         else:
             wtr.mb_type_p_slice(wc)
             parts = _GEO4[wc]
@@ -180,15 +185,33 @@ def pack_p_slice_cabac(sym, p: AVCParams, qp: int, frame_num: int,
             st.cbp[mby, mbx] = cbp
             st.cat[mby, mbx] = CB.MBState.CAT_INTER
             st.cipred[mby, mbx] = 0
+            t8 = bool(sym["t8"][i]) if "t8" in sym else False
+            if p.transform_8x8 and cbp_luma > 0:
+                # every inter shape we emit is >= 8x8 (spec 7.3.5)
+                wtr.transform_size_flag(c, t8)
             if cbp > 0:
                 wtr.mb_qp_delta(c, 0)
                 zz = np.asarray(sym["zz"][i])
-                for k in range(16):
-                    y4, x4 = int(_SCAN[k][0]), int(_SCAN[k][1])
-                    b8 = (y4 // 2) * 2 + (x4 // 2)
-                    if cbp_luma & (1 << b8):
-                        wtr.residual_block(c, CB.LUMA_4x4, zz[k],
-                                           by=by0 + y4, bx=bx0 + x4)
+                if t8:
+                    # cat-5: one 64-coeff block per coded 8x8 (the rows
+                    # hold CAVLC-interleaved 4x4 sub-blocks: de-leave)
+                    for b8 in range(4):
+                        if not (cbp_luma & (1 << b8)):
+                            continue
+                        zz64 = zz[4 * b8:4 * b8 + 4].T.reshape(64)
+                        wtr.residual_block(c, CB.LUMA_8x8, zz64)
+                        for cy in range(2):
+                            for cx4 in range(2):
+                                c.set_cbf(CB.LUMA_4x4,
+                                          by0 + 2 * (b8 >> 1) + cy,
+                                          bx0 + 2 * (b8 & 1) + cx4)
+                else:
+                    for k in range(16):
+                        y4, x4 = int(_SCAN[k][0]), int(_SCAN[k][1])
+                        b8 = (y4 // 2) * 2 + (x4 // 2)
+                        if cbp_luma & (1 << b8):
+                            wtr.residual_block(c, CB.LUMA_4x4, zz[k],
+                                               by=by0 + y4, bx=bx0 + x4)
                 _write_chroma_residual(wtr, c, sym, i, mby, mbx, cbp_chroma)
             else:
                 st.last_dqp = 0

@@ -747,8 +747,6 @@ class _SliceDecoder:
         # last set bit == rbsp_stop_one_bit; data remains while pos < it
         self._stop = int(np.flatnonzero(r._bits)[-1])
         self.cabac = bool(pps["cabac"])
-        if self.cabac and pps.get("transform_8x8"):
-            raise NotImplementedError("CABAC with 8x8 transform")
         if self.cabac:
             from . import cabac as CB
             while r.pos % 8:                    # cabac_alignment_one_bit
@@ -1286,53 +1284,59 @@ class _SliceDecoder:
             qp = (qp + r.se() + 52) % 52
         self.mb_qp[mby, mbx] = qp
 
-        y0, x0 = mby * 16, mbx * 16
-        W = self.rec_y.shape[1]
         for b8 in range(4):
             y8, x8 = b8 >> 1, b8 & 1
-            yy, xx = y0 + y8 * 8, x0 + x8 * 8
             if cbp_luma & (1 << b8):
                 zz64 = self._read_zz64_cavlc(mby, mbx, y8, x8)
             else:
                 zz64 = np.zeros(64, np.int64)
                 self.st_nnz[by + y8 * 2:by + y8 * 2 + 2,
                             bx + x8 * 2:bx + x8 * 2 + 2] = 0
-            # per-block availability (JM getNeighbour geometry)
-            mb_t = mby > 0 and self._mb_ok(mby - 1, mbx)
-            mb_l = mbx > 0 and self._mb_ok(mby, mbx - 1)
-            avail_t = True if y8 == 1 else mb_t
-            avail_l = True if x8 == 1 else mb_l
-            if b8 == 0:
-                avail_tr = mb_t
-                avail_c = (mby > 0 and mbx > 0
-                           and self._mb_ok(mby - 1, mbx - 1))
-            elif b8 == 1:
-                avail_tr = (mby > 0 and mbx < self.mb_w - 1
-                            and self._mb_ok(mby - 1, mbx + 1))
-                avail_c = mb_t
-            elif b8 == 2:
-                avail_tr = True
-                avail_c = mb_l
-            else:
-                avail_tr = False
-                avail_c = True
-            top16 = np.zeros(16, np.int64)
-            if avail_t:
-                hi = min(xx + 16, W)
-                top16[:hi - xx] = self.rec_y[yy - 1, xx:hi]
-                if hi - xx < 16:
-                    top16[hi - xx:] = self.rec_y[yy - 1, hi - 1]
-            left8 = self.rec_y[yy:yy + 8, xx - 1] if avail_l else \
-                np.zeros(8, np.int64)
-            corner = self.rec_y[yy - 1, xx - 1] if avail_c else 0
-            preds, _ = IP.pred8x8_all(top16, left8, corner, avail_t,
-                                      avail_l, avail_tr, avail_c)
-            deq = Q8.dequant8x8(Q8.unzigzag8(zz64), qp)
-            self.rec_y[yy:yy + 8, xx:xx + 8] = \
-                Q8.reconstruct8(preds[int(modes[b8])], Q8.idct8x8(deq))
+            self._recon_i8x8_block(mby, mbx, b8, int(modes[b8]), zz64, qp)
         self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
                                      intra=True, ch_mode=ch_mode)
         self.mb_intra[mby, mbx] = True
+
+    def _recon_i8x8_block(self, mby, mbx, b8, mode, zz64, qp):
+        """Reconstruct one Intra_8x8 block (shared CAVLC/CABAC): spec
+        8.3.2 availability geometry + filtered prediction + itrans8x8."""
+        from . import quant8 as Q8
+        y8, x8 = b8 >> 1, b8 & 1
+        y0, x0 = mby * 16, mbx * 16
+        yy, xx = y0 + y8 * 8, x0 + x8 * 8
+        W = self.rec_y.shape[1]
+        mb_t = mby > 0 and self._mb_ok(mby - 1, mbx)
+        mb_l = mbx > 0 and self._mb_ok(mby, mbx - 1)
+        avail_t = True if y8 == 1 else mb_t
+        avail_l = True if x8 == 1 else mb_l
+        if b8 == 0:
+            avail_tr = mb_t
+            avail_c = (mby > 0 and mbx > 0
+                       and self._mb_ok(mby - 1, mbx - 1))
+        elif b8 == 1:
+            avail_tr = (mby > 0 and mbx < self.mb_w - 1
+                        and self._mb_ok(mby - 1, mbx + 1))
+            avail_c = mb_t
+        elif b8 == 2:
+            avail_tr = True
+            avail_c = mb_l
+        else:
+            avail_tr = False
+            avail_c = True
+        top16 = np.zeros(16, np.int64)
+        if avail_t:
+            hi = min(xx + 16, W)
+            top16[:hi - xx] = self.rec_y[yy - 1, xx:hi]
+            if hi - xx < 16:
+                top16[hi - xx:] = self.rec_y[yy - 1, hi - 1]
+        left8 = self.rec_y[yy:yy + 8, xx - 1] if avail_l else \
+            np.zeros(8, np.int64)
+        corner = self.rec_y[yy - 1, xx - 1] if avail_c else 0
+        preds, _ = IP.pred8x8_all(top16, left8, corner, avail_t,
+                                  avail_l, avail_tr, avail_c)
+        deq = Q8.dequant8x8(Q8.unzigzag8(zz64), qp)
+        self.rec_y[yy:yy + 8, xx:xx + 8] = \
+            Q8.reconstruct8(preds[mode], Q8.idct8x8(deq))
 
     def _decode_residual_chroma(self, mby, mbx, cbp_chroma, qp, intra,
                                 ch_mode=None):
@@ -1517,14 +1521,107 @@ def _cabac_decode_mb(self, mb):
     cbp = rd.cbp(c)
     cst.cbp[mby, mbx] = cbp
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    t8 = False
+    no_small = win in (1, 2, 3) or \
+        (win == 4 and all(sx == 0 for sx in subs))
+    if cbp_luma > 0 and self.pps["transform_8x8"] and no_small:
+        t8 = rd.transform_size_flag(c)
+    self.transform8[mby, mbx] = t8
     qp = self._prev_qp(mb)
     if cbp > 0:
         qp = (qp + rd.mb_qp_delta(c) + 52) % 52
     else:
         cst.last_dqp = 0
     self.mb_qp[mby, mbx] = qp
-    self._cabac_residual_luma(mby, mbx, cbp_luma, qp, c, intra16=False)
+    if t8:
+        self._cabac_residual_luma8(mby, mbx, cbp_luma, qp, c)
+    else:
+        self._cabac_residual_luma(mby, mbx, cbp_luma, qp, c, intra16=False)
     self._cabac_residual_chroma(mby, mbx, cbp_chroma, qp, c, intra=False)
+
+
+def _cabac_residual_luma8(self, mby, mbx, cbp_luma, qp, c):
+    """CABAC 8x8 luma residual: one cat-5 (LUMA_8x8) block per coded
+    8x8, 64-coefficient scan, no coded_block_flag (spec 7.4.5.3.3); the
+    four 4x4 cells inherit the coded status for neighbor cbf contexts
+    and deblock (JM ldecod read_comp_coeff_8x8_CABAC)."""
+    from . import quant8 as Q8
+    rd = self.crd
+    by, bx = mby * 4, mbx * 4
+    y0, x0 = mby * 16, mbx * 16
+    for b8 in range(4):
+        y8, x8 = b8 >> 1, b8 & 1
+        cells = (slice(by + 2 * y8, by + 2 * y8 + 2),
+                 slice(bx + 2 * x8, bx + 2 * x8 + 2))
+        if not (cbp_luma & (1 << b8)):
+            self.st_nnz[cells] = 0
+            continue
+        zz64 = rd.residual_block(c, self.CB.LUMA_8x8)
+        cnt = int((zz64 != 0).sum())
+        self.st_nnz[cells] = cnt
+        for cy in range(2):
+            for cx4 in range(2):
+                c.set_cbf(self.CB.LUMA_4x4, by + 2 * y8 + cy,
+                          bx + 2 * x8 + cx4)
+        deq = Q8.dequant8x8(Q8.unzigzag8(zz64), qp)
+        yy, xx = y0 + y8 * 8, x0 + x8 * 8
+        pred = self.rec_y[yy:yy + 8, xx:xx + 8]
+        self.rec_y[yy:yy + 8, xx:xx + 8] = \
+            Q8.reconstruct8(pred, Q8.idct8x8(deq))
+
+
+def _cabac_intra8x8_mb(self, mby, mbx, c):
+    """I_NxN with transform_size_8x8_flag=1, CABAC entropy."""
+    from . import quant8 as Q8
+    rd = self.crd
+    cst = self.cst
+    by, bx = mby * 4, mbx * 4
+    self.transform8[mby, mbx] = True
+    modes = np.zeros(4, np.int64)
+    for b8 in range(4):
+        y8, x8 = b8 >> 1, b8 & 1
+        cby, cbx = by + 2 * y8, bx + 2 * x8
+        avail_l = cbx > 0 and self._mb_ok(cby // 4, (cbx - 1) // 4)
+        avail_t = cby > 0 and self._mb_ok((cby - 1) // 4, cbx // 4)
+        ma = int(self.i4_modes[cby, cbx - 1]) if avail_l else -2
+        mb_ = int(self.i4_modes[cby - 1, cbx]) if avail_t else -2
+        if ma == -2 or mb_ == -2:
+            mpm = 2
+        else:
+            mpm = min(ma if ma >= 0 else 2, mb_ if mb_ >= 0 else 2)
+        flag, rem = rd.intra_pred_mode()
+        m = mpm if flag else rem + (1 if rem >= mpm else 0)
+        modes[b8] = m
+        self.i4_modes[cby:cby + 2, cbx:cbx + 2] = m
+    ch_mode = rd.chroma_pred_mode(c)
+    cst.cipred[mby, mbx] = ch_mode
+    cbp = rd.cbp(c)
+    cst.cbp[mby, mbx] = cbp
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    qp = self._prev_qp(mby * self.mb_w + mbx)
+    if cbp > 0:
+        qp = (qp + rd.mb_qp_delta(c) + 52) % 52
+    else:
+        cst.last_dqp = 0
+    self.mb_qp[mby, mbx] = qp
+    for b8 in range(4):
+        y8, x8 = b8 >> 1, b8 & 1
+        cells = (slice(by + 2 * y8, by + 2 * y8 + 2),
+                 slice(bx + 2 * x8, bx + 2 * x8 + 2))
+        if cbp_luma & (1 << b8):
+            zz64 = rd.residual_block(c, self.CB.LUMA_8x8)
+            self.st_nnz[cells] = int((zz64 != 0).sum())
+            for cy in range(2):
+                for cx4 in range(2):
+                    c.set_cbf(self.CB.LUMA_4x4, by + 2 * y8 + cy,
+                              bx + 2 * x8 + cx4)
+        else:
+            zz64 = np.zeros(64, np.int64)
+            self.st_nnz[cells] = 0
+        self._recon_i8x8_block(mby, mbx, b8, int(modes[b8]), zz64, qp)
+    self._cabac_residual_chroma(mby, mbx, cbp_chroma, qp, c,
+                                intra=True, ch_mode=ch_mode)
+    self.mb_intra[mby, mbx] = True
 
 
 def _cabac_intra_mb(self, mby, mbx, intra_type, c):
@@ -1532,7 +1629,9 @@ def _cabac_intra_mb(self, mby, mbx, intra_type, c):
     rd = self.crd
     cst = self.cst
     by, bx = mby * 4, mbx * 4
-    if intra_type == 0:                      # I4x4
+    if intra_type == 0:                      # I_NxN
+        if self.pps["transform_8x8"] and rd.transform_size_flag(c):
+            return self._cabac_intra8x8_mb(mby, mbx, c)
         modes = np.zeros(16, np.int64)
         for k in range(16):
             y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
@@ -1698,6 +1797,8 @@ def _cabac_residual_chroma(self, mby, mbx, cbp_chroma, qp, c, intra,
 _SliceDecoder._decode_mb_cabac = _cabac_decode_mb
 _SliceDecoder._cabac_intra_mb = _cabac_intra_mb
 _SliceDecoder._cabac_residual_luma = _cabac_residual_luma
+_SliceDecoder._cabac_residual_luma8 = _cabac_residual_luma8
+_SliceDecoder._cabac_intra8x8_mb = _cabac_intra8x8_mb
 _SliceDecoder._cabac_residual_chroma = _cabac_residual_chroma
 
 
@@ -2158,6 +2259,7 @@ def _b_decode_mb_cabac(self, mb):
     c0 = CB._Common(cst, mby, mbx, intra=False)
     mb_type, i16_code = rd.mb_type_b_slice(c0)
     cst.btype0[mby, mbx] = mb_type == 0
+    b_subs = None
     if mb_type == 25:
         raise NotImplementedError("PCM in CABAC B")
 
@@ -2189,6 +2291,7 @@ def _b_decode_mb_cabac(self, mb):
     elif mb_type == 22:                      # B_8x8
         subs = [rd.sub_mb_type_b() for _ in range(4)]
         self._b_8x8_body_cabac(mb, subs)
+        b_subs = subs
     else:
         L0, L1, BI = 1, 2, 3
         if mb_type <= 3:
@@ -2288,13 +2391,30 @@ def _b_decode_mb_cabac(self, mb):
     cbp = rd.cbp(c)
     cst.cbp[mby, mbx] = cbp
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    t8 = False
+    if cbp_luma > 0 and self.pps["transform_8x8"]:
+        inference = self.sps.get("direct_8x8_inference", 1)
+        if b_subs is not None:
+            ok = all(sx in (1, 2, 3) or (sx == 0 and inference)
+                     for sx in b_subs)
+        elif mb_type == 0:
+            ok = bool(inference)
+        else:
+            ok = True
+        if ok:
+            t8 = rd.transform_size_flag(c)
+    self.transform8[mby, mbx] = t8
     qp = self._prev_qp(mb)
     if cbp > 0:
         qp = (qp + rd.mb_qp_delta(c) + 52) % 52
     else:
         cst.last_dqp = 0
     self.mb_qp[mby, mbx] = qp
-    self._cabac_residual_luma(mby, mbx, cbp_luma, qp, c, intra16=False)
+    if t8:
+        self._cabac_residual_luma8(mby, mbx, cbp_luma, qp, c)
+    else:
+        self._cabac_residual_luma(mby, mbx, cbp_luma, qp, c,
+                                  intra16=False)
     self._cabac_residual_chroma(mby, mbx, cbp_chroma, qp, c, intra=False)
 
 

@@ -173,9 +173,9 @@ class TPUAVCCodec:
                 # decoder DPB must hold {prev anchor, ref-B, anchor}
                 raise ValueError("hierarchical GOP needs "
                                  "num_ref_frames >= 3")
-        if p.transform_8x8 and (bframes > 0 or p.cabac):
-            raise NotImplementedError("8x8 transform is CAVLC-IPPP for "
-                                      "now (no CABAC ctx / B driver)")
+        if p.transform_8x8 and bframes > 0:
+            raise NotImplementedError("8x8 transform in the B driver "
+                                      "is not wired yet")
         if p.weighted_pred and (bframes > 0 or p.cabac
                                 or mesh is not None):
             raise NotImplementedError("device WP is CAVLC-IPPP "

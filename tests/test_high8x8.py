@@ -107,3 +107,56 @@ def test_decode_lencod_b_multiref_window_corner(jm_tools, tmp_path):
         QPISlice=30, QPPSlice=30, QPBSlice=32, SearchRange=8,
         RDOptimization=1)
     assert decode_ours(stream) == recon
+
+
+@pytest.mark.parametrize("cfg", [
+    # High + CABAC: inter/intra 8x8 with cat-5 contexts
+    dict(ProfileIDC=100, Transform8x8Mode=1, SymbolMode=1, IntraPeriod=0,
+         IDRPeriod=0, QPISlice=28, QPPSlice=28, NumberReferenceFrames=1,
+         SearchRange=16, RDOptimization=1),
+    # all-intra CABAC I8x8
+    dict(ProfileIDC=100, Transform8x8Mode=1, SymbolMode=1, IntraPeriod=1,
+         IDRPeriod=1, QPISlice=32, NumberReferenceFrames=1,
+         RDOptimization=1),
+    pytest.param(
+        # CABAC High with B pictures (flag in B MBs): hits the tracked
+        # past+future-l0 B corner (see
+        # test_decode_lencod_b_multiref_window_corner)
+        dict(ProfileIDC=100, Transform8x8Mode=1, SymbolMode=1,
+             NumberBFrames=2, NumberReferenceFrames=2, IntraPeriod=0,
+             IDRPeriod=0, QPISlice=28, QPPSlice=28, QPBSlice=30,
+             SearchRange=8, RDOptimization=1, FramesToBeEncoded=4),
+        marks=pytest.mark.xfail(reason="past+future l0 B corner",
+                                strict=False)),
+])
+def test_decode_lencod_high_cabac_8x8_bit_exact(jm_tools, tmp_path, cfg):
+    """CABAC 8x8 decode: cat-5 (LUMA_8x8) significance/level contexts,
+    transform_size_8x8_flag ctx, no coded_block_flag for 8x8 luma."""
+    if "FramesToBeEncoded" in cfg:
+        cfg = dict(cfg, InputFile=_long_input(tmp_path))
+    stream, recon = run_lencod(tmp_path, **cfg)
+    assert decode_ours(stream) == recon
+
+
+def test_tpu_encoder_high_cabac_8x8_both_oracles(jm_tools, tmp_path):
+    """High + CABAC from the TPU path: per-MB 8x8 RD with cat-5 residual
+    coding and transform_size_8x8_flag contexts — bit-exact in ldecod
+    AND our decoder."""
+    from h264tpu.utils.yuv import YUVReader
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.slice_dec import AVCDecoder
+
+    r = YUVReader(os.path.join(JM_BIN, "foreman_part_qcif.yuv"), 176, 144)
+    frames = [r.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=27, profile_idc=100,
+                  transform_8x8=True, cabac=True, num_ref_frames=1)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3)
+    res, stream = codec.encode_sequence(frames)
+    recon = b"".join(np.asarray(pl, np.uint8).tobytes()
+                     for re in res for pl in re.recon)
+    assert ldecod_decode(tmp_path, stream) == recon
+    out = AVCDecoder().decode(stream)
+    got = b"".join(np.asarray(pl, np.uint8).tobytes()
+                   for fr in out for pl in fr)
+    assert got == recon
