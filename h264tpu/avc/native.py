@@ -59,7 +59,7 @@ def _load():
         lib.avc_deblock_frame.restype = ctypes.c_int64
         lib.avc_deblock_frame.argtypes = (
             [_I32P] * 3 + [ctypes.c_int32] * 2
-            + [_I32P, _U8P, _U8P, _I32P, _I32P, _I32P]
+            + [_I32P, _U8P, _U8P, _I32P, _I32P, _I32P, _I32P, _I32P]
             + [ctypes.c_int32] * 3 + [_I32P] * 3)
         _lib = lib
     except Exception:
@@ -150,11 +150,16 @@ def deblock_frame(rec_y, rec_u, rec_v, ctx):
     nnz = _i32(ctx.nnz)
     mv = _i32(ctx.mv)
     ref = _i32(ctx.ref)
+    two_list = ctx.ref1 is not None
+    mv1 = _i32(ctx.mv1) if two_list else mv
+    ref1 = _i32(ctx.ref1) if two_list else ref
+    r1p = _ptr(ref1) if two_list else ctypes.cast(None, _I32P)
     lib.avc_deblock_frame(
         _ptr(y), _ptr(u), _ptr(v), ctx.mb_w, ctx.mb_h,
         _ptr(mb_qp), mb_intra.ctypes.data_as(_U8P),
         t8.ctypes.data_as(_U8P), _ptr(nnz), _ptr(mv),
-        _ptr(ref), ctx.chroma_qp_offset, ctx.alpha_off, ctx.beta_off,
+        _ptr(ref), _ptr(mv1), r1p,
+        ctx.chroma_qp_offset, ctx.alpha_off, ctx.beta_off,
         _ptr(_i32(ALPHA_TABLE)), _ptr(_i32(BETA_TABLE)),
         _ptr(_i32(CLIP_TAB)))
     return y.astype(np.int64), u.astype(np.int64), v.astype(np.int64)

@@ -45,6 +45,10 @@ class AVCParams:
     # High profile (profile_idc 100): enable the per-MB 8x8 luma
     # transform choice (PPS transform_8x8_mode_flag; spec 7.4.2.2)
     transform_8x8: bool = False
+    # HRD (spec E.1.2 / Annex C): (bit_rate_bps, cpb_size_bits) emits
+    # nal_hrd_parameters in the VUI (one CPB schedule, 24-bit delay
+    # fields) so buffering_period/pic_timing SEI can reference it
+    hrd: tuple = None
 
     @property
     def mb_w(self):
@@ -83,7 +87,8 @@ def write_sps(p: AVCParams) -> bytes:
     w.u(1, 1)                      # frame_mbs_only_flag
     w.u(1, 1)                      # direct_8x8_inference_flag
     w.u(0, 1)                      # frame_cropping_flag
-    has_vui = p.vui_timing is not None or p.aspect_ratio_idc
+    has_vui = (p.vui_timing is not None or p.aspect_ratio_idc
+               or p.hrd is not None)
     w.u(1 if has_vui else 0, 1)    # vui_parameters_present_flag
     if has_vui:
         w.u(1 if p.aspect_ratio_idc else 0, 1)
@@ -99,8 +104,25 @@ def write_sps(p: AVCParams) -> bytes:
             w.u(1, 1)              # fixed_frame_rate_flag
         else:
             w.u(0, 1)
-        w.u(0, 1)                  # nal_hrd_parameters_present_flag
-        w.u(0, 1)                  # vcl_hrd_parameters_present_flag
+        if p.hrd is not None:      # nal_hrd_parameters (spec E.1.2)
+            bitrate, cpb_bits = p.hrd
+            w.u(1, 1)              # nal_hrd_parameters_present_flag
+            w.ue(0)                # cpb_cnt_minus1
+            scale_br, scale_cpb = 6, 4   # BitRate/CpbSize scales
+            w.u(scale_br - 6, 4)   # bit_rate_scale
+            w.u(scale_cpb - 4, 4)  # cpb_size_scale
+            w.ue(max(int(bitrate) >> scale_br, 1) - 1)  # bit_rate_value
+            w.ue(max(int(cpb_bits) >> scale_cpb, 1) - 1)
+            w.u(0, 1)              # cbr_flag
+            w.u(23, 5)             # initial_cpb_removal_delay_length-1
+            w.u(23, 5)             # cpb_removal_delay_length_minus1
+            w.u(23, 5)             # dpb_output_delay_length_minus1
+            w.u(24, 5)             # time_offset_length
+            w.u(0, 1)              # vcl_hrd_parameters_present_flag
+            w.u(0, 1)              # low_delay_hrd_flag
+        else:
+            w.u(0, 1)              # nal_hrd_parameters_present_flag
+            w.u(0, 1)              # vcl_hrd_parameters_present_flag
         w.u(0, 1)                  # pic_struct_present_flag
         w.u(0, 1)                  # bitstream_restriction_flag
     return _trail(w)

@@ -113,11 +113,32 @@ def _parse_vui(r: BitReader) -> dict:
         v["num_units_in_tick"] = r.u(32)
         v["time_scale"] = r.u(32)
         v["fixed_frame_rate"] = r.u(1)
-    if r.u(1):                              # nal_hrd_parameters_present
-        raise NotImplementedError("NAL HRD parameters")
-    if r.u(1):                              # vcl_hrd_parameters_present
-        raise NotImplementedError("VCL HRD parameters")
-    r.u(1)                                  # pic_struct_present
+    def hrd_params():
+        h = {}
+        cpb_cnt = r.ue() + 1
+        h["bit_rate_scale"] = r.u(4) + 6
+        h["cpb_size_scale"] = r.u(4) + 4
+        h["schedules"] = []
+        for _ in range(cpb_cnt):
+            h["schedules"].append(
+                dict(bit_rate=(r.ue() + 1) << h["bit_rate_scale"],
+                     cpb_size=(r.ue() + 1) << h["cpb_size_scale"],
+                     cbr=bool(r.u(1))))
+        h["initial_cpb_removal_delay_length"] = r.u(5) + 1
+        h["cpb_removal_delay_length"] = r.u(5) + 1
+        h["dpb_output_delay_length"] = r.u(5) + 1
+        h["time_offset_length"] = r.u(5)
+        return h
+
+    nal_hrd = r.u(1)                        # nal_hrd_parameters_present
+    if nal_hrd:
+        v["nal_hrd"] = hrd_params()
+    vcl_hrd = r.u(1)                        # vcl_hrd_parameters_present
+    if vcl_hrd:
+        v["vcl_hrd"] = hrd_params()
+    if nal_hrd or vcl_hrd:
+        v["low_delay_hrd"] = r.u(1)
+    v["pic_struct_present"] = r.u(1)
     if r.u(1):                              # bitstream_restriction
         v["motion_vectors_over_pic_boundaries"] = r.u(1)
         v["max_bytes_per_pic_denom"] = r.ue()

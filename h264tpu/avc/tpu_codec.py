@@ -490,7 +490,10 @@ def _tpu_b_sequence(codec, frames, qp=None, verbose=False):
         ctx.ref = np.where(r0 == 0, poc0, -1)
         ctx.mv1 = np.asarray(tctx["mv1"], np.int64)
         ctx.ref1 = np.where(r1 == 0, poc1, -1)
-        return deblock_frame(*rec_np, ctx) if p.deblock else rec_np
+        if not p.deblock:
+            return rec_np
+        return AN.deblock_frame(*rec_np, ctx) if AN.available() \
+            else deblock_frame(*rec_np, ctx)
 
     def finish(rec_np, yuv, disp, ftype, bits):
         rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec_np)
@@ -553,7 +556,8 @@ def _tpu_b_sequence(codec, frames, qp=None, verbose=False):
                      for s0 in range(codec.n_slices)]
             if p.deblock:
                 ctx = DeblockContext(mb_w, mb_h, fqp, p.chroma_qp_offset)
-                rec_np = deblock_frame(*rec_np, ctx)
+                rec_np = AN.deblock_frame(*rec_np, ctx) \
+                    if AN.available() else deblock_frame(*rec_np, ctx)
             for rb in rbsps:
                 slices.append((True, rb, 3))
             frame_num = 1
@@ -591,7 +595,8 @@ def _tpu_b_sequence(codec, frames, qp=None, verbose=False):
                 ctx.nnz = np.asarray(tctx["nnz"], np.int64)
                 ctx.mv = np.asarray(tctx["mv"], np.int64)
                 ctx.ref = np.asarray(tctx["ref"], np.int64)
-                rec_np = deblock_frame(*rec_np, ctx)
+                rec_np = AN.deblock_frame(*rec_np, ctx) \
+                    if AN.available() else deblock_frame(*rec_np, ctx)
             for rb in rbsps:
                 slices.append((False, rb, 2))
             anchor_fn = frame_num

@@ -495,20 +495,49 @@ int64_t avc_deblock_frame(int32_t* y, int32_t* u, int32_t* v, int32_t mb_w,
                           const uint8_t* mb_intra, const uint8_t* t8,
                           const int32_t* nnz,
                           const int32_t* mv, const int32_t* ref,
+                          const int32_t* mv1, const int32_t* ref1,
                           int32_t chroma_qp_offset, int32_t alpha_off,
                           int32_t beta_off, const int32_t* alpha_tab,
                           const int32_t* beta_tab, const int32_t* clip_tab) {
   int W = mb_w * 16, w4 = mb_w * 4, w2c = mb_w * 8;
+  auto mv_far = [&](const int32_t* a, int ia, const int32_t* b, int ib) {
+    return abs(a[ia * 2] - b[ib * 2]) >= 4 ||
+           abs(a[ia * 2 + 1] - b[ib * 2 + 1]) >= 4;
+  };
   auto bs_edge = [&](int by_p, int bx_p, int by_q, int bx_q, bool mb_edge) {
     bool intra = mb_intra[(by_p / 4) * mb_w + bx_p / 4] ||
                  mb_intra[(by_q / 4) * mb_w + bx_q / 4];
     if (intra) return mb_edge ? 4 : 3;
     bool coded = nnz[by_p * w4 + bx_p] > 0 || nnz[by_q * w4 + bx_q] > 0;
     if (coded) return 2;
-    int mvpx = mv[(by_p * w4 + bx_p) * 2], mvpy = mv[(by_p * w4 + bx_p) * 2 + 1];
-    int mvqx = mv[(by_q * w4 + bx_q) * 2], mvqy = mv[(by_q * w4 + bx_q) * 2 + 1];
-    bool moved = abs(mvpx - mvqx) >= 4 || abs(mvpy - mvqy) >= 4 ||
-                 ref[by_p * w4 + bx_p] != ref[by_q * w4 + bx_q];
+    int ip = by_p * w4 + bx_p, iq = by_q * w4 + bx_q;
+    if (ref1 == nullptr) {
+      bool moved = mv_far(mv, ip, mv, iq) || ref[ip] != ref[iq];
+      return moved ? 1 : 0;
+    }
+    // two-list derivation (B pictures; twin of avc/deblock.py _bs_edge):
+    // ref/ref1 hold PICTURE ids, -1 = list unused
+    int rp0 = ref[ip], rp1 = ref1[ip], rq0 = ref[iq], rq1 = ref1[iq];
+    int lo_p = rp0 < rp1 ? rp0 : rp1, hi_p = rp0 < rp1 ? rp1 : rp0;
+    int lo_q = rq0 < rq1 ? rq0 : rq1, hi_q = rq0 < rq1 ? rq1 : rq0;
+    if (lo_p != lo_q || hi_p != hi_q) return 1;       // different pic sets
+    int n_p = (rp0 >= 0) + (rp1 >= 0), n_q = (rq0 >= 0) + (rq1 >= 0);
+    if (n_p != n_q) return 1;
+    bool moved;
+    if (n_p == 1) {
+      const int32_t* ap = rp0 >= 0 ? mv : mv1;
+      const int32_t* aq = rq0 >= 0 ? mv : mv1;
+      moved = mv_far(ap, ip, aq, iq);
+    } else if (rp0 == rp1) {                          // same pic twice
+      bool straight = mv_far(mv, ip, mv, iq) || mv_far(mv1, ip, mv1, iq);
+      bool crossed = mv_far(mv, ip, mv1, iq) || mv_far(mv1, ip, mv, iq);
+      moved = straight && crossed;
+    } else {                                          // two distinct pics
+      bool swap = (rp0 == rq1) && (rp0 != rq0);
+      moved = swap
+          ? (mv_far(mv, ip, mv1, iq) || mv_far(mv1, ip, mv, iq))
+          : (mv_far(mv, ip, mv, iq) || mv_far(mv1, ip, mv1, iq));
+    }
     return moved ? 1 : 0;
   };
   auto chroma_qp = [&](int qp) {

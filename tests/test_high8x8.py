@@ -160,3 +160,61 @@ def test_tpu_encoder_high_cabac_8x8_both_oracles(jm_tools, tmp_path):
     got = b"".join(np.asarray(pl, np.uint8).tobytes()
                    for fr in out for pl in fr)
     assert got == recon
+
+
+def test_hrd_vui_and_sei_messages(jm_tools, tmp_path):
+    """HRD: nal_hrd_parameters in the VUI + buffering_period/pic_timing
+    SEI per Annex C cadence.  ldecod and our decoder both decode the
+    stream bit-exactly (SEI skipped, VUI HRD parsed), and our parser
+    round-trips the delay fields."""
+    from h264tpu.utils.yuv import YUVReader
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.slice_dec import AVCDecoder, parse_sps
+    from h264tpu.avc import sei as SEI
+    from h264tpu.bitstream.nal import (annexb_parse, annexb_write,
+                                       NAL_PPS)
+
+    r = YUVReader(os.path.join(JM_BIN, "foreman_part_qcif.yuv"), 176, 144)
+    frames = [r.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=30, vui_timing=(1, 60),
+                  hrd=(256000, 512000))
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8)
+    res, stream = codec.encode_sequence(frames)
+
+    # splice HRD SEI after the PPS: buffering_period at the IDR + one
+    # pic_timing per picture
+    msgs = SEI.hrd_sei_for_sequence(len(frames), 256000.0, 512000.0, 30.0,
+                                    [q.bits for q in res])
+    nals = list(annexb_parse(stream))
+    pps_i = max(i for i, n in enumerate(nals) if n.nal_type == NAL_PPS)
+    out = nals[:pps_i + 1]
+    rest = nals[pps_i + 1:]
+    vcl_seen = 0
+    for n in rest:
+        if n.nal_type in (1, 5):
+            if vcl_seen < len(msgs):
+                out.append(SEI.sei_nalu(msgs[vcl_seen]))
+            vcl_seen += 1
+        out.append(n)
+    hrd_stream = annexb_write(out)
+
+    recon = b"".join(np.asarray(pl, np.uint8).tobytes()
+                     for q in res for pl in q.recon)
+    assert ldecod_decode(tmp_path, hrd_stream) == recon
+    dec = AVCDecoder()
+    got = b"".join(np.asarray(pl, np.uint8).tobytes()
+                   for fr in dec.decode(hrd_stream) for pl in fr)
+    assert got == recon
+
+    # VUI HRD parse round-trip
+    sps = parse_sps(next(n for n in nals if n.nal_type == 7).rbsp)
+    h = sps["vui"]["nal_hrd"]
+    assert h["schedules"][0]["bit_rate"] == 256000 // 64 * 64
+    assert h["initial_cpb_removal_delay_length"] == 24
+
+    # SEI payload round-trip
+    bp = SEI.parse_buffering_period(msgs[0][0][1])
+    assert bp["initial_cpb_removal_delay"] == int(90000 * 512000 / 256000)
+    pt = SEI.parse_pic_timing(msgs[1][0][1])
+    assert pt["dpb_output_delay"] == 3000
