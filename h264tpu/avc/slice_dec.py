@@ -561,7 +561,9 @@ class AVCDecoder:
                         wv, ov = r.se(), r.se()
                     wp[key].append((wy, oy, wu, ou, wv, ov))
         elif slice_type == 1 and pps["weighted_bipred_idc"] == 2:
-            raise NotImplementedError("implicit weighted bipred")
+            # implicit weighted bipred: weights derived per ref pair
+            # from POC distances at MC time (spec 8.4.2.3.1)
+            wp = dict(implicit=True, poc=poc)
         mmco_ops = []
         idr_long_term = False
         if ref_idc != 0:
@@ -927,8 +929,8 @@ class _SliceDecoder:
 
     def _wp_apply(self, planes, lst, ri):
         """Spec 8.4.2.3.2 unidirectional explicit WP of (Y, U, V)."""
-        if self.wp is None:
-            return planes
+        if self.wp is None or self.wp.get("implicit"):
+            return planes          # implicit mode: uni-pred unweighted
         e = (self.wp["l1"] if lst else self.wp["l0"])[ri]
         d_l, d_c = self.wp["d_l"], self.wp["d_c"]
         out = []
@@ -951,6 +953,27 @@ class _SliceDecoder:
         if self.wp is None:
             return tuple((a + b + 1) >> 1
                          for a, b in zip(acc[0][2], acc[1][2]))
+        if self.wp.get("implicit"):
+            # spec 8.4.2.3.1: w1 = DistScaleFactor >> 2 from the POC
+            # distances of the two reference pictures, w0 = 64 - w1;
+            # defaults 32/32 on td == 0, long-term refs, or range
+            # violations (JM ldecod weighted_prediction.c compute_
+            # colocated/implicit shapes)
+            e0 = self.ref_entries[acc[0][1]]
+            e1 = self.refs1_entries[acc[1][1]]
+            poc_cur = self.wp["poc"]
+            w0, w1 = 32, 32
+            td = min(max(e1["poc"] - e0["poc"], -128), 127)
+            if td != 0 and not e0.get("long") and not e1.get("long"):
+                tb = min(max(poc_cur - e0["poc"], -128), 127)
+                tx = (16384 + abs(td) // 2) // td
+                dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+                if -64 <= dsf >> 2 <= 128:
+                    w1 = dsf >> 2
+                    w0 = 64 - w1
+            return tuple(
+                np.clip((a * w0 + b * w1 + 32) >> 6, 0, 255)
+                for a, b in zip(acc[0][2], acc[1][2]))
         e0 = self.wp["l0"][acc[0][1]]
         e1 = self.wp["l1"][acc[1][1]]
         d_l, d_c = self.wp["d_l"], self.wp["d_c"]

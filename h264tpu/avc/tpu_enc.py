@@ -263,6 +263,16 @@ def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
 # Stage B: subpel refinement
 # ===========================================================================
 
+def _gather_block_i16(up, y0, x0, mvx, mvy, bh: int, bw: int, P: int):
+    """int16 variant of :func:`_gather_block` (subpel metric path)."""
+    mvx = mvx.astype(jnp.int32)
+    mvy = mvy.astype(jnp.int32)
+    sl = jax.lax.dynamic_slice(
+        up, (mvy & 3, mvx & 3, (y0 + P + (mvy >> 2)).astype(jnp.int32),
+             (x0 + P + (mvx >> 2)).astype(jnp.int32)), (1, 1, bh, bw))
+    return sl[0, 0].astype(jnp.int16)
+
+
 def _gather_block(up, y0, x0, mvx, mvy, bh: int, bw: int, P: int):
     """Prediction block [bh, bw] int32 from the phase-split quarter-pel
     planes ``up [4, 4, Hp, Wp] uint8``; scalar traced coords/MV."""
@@ -282,10 +292,14 @@ _H4J = jnp.asarray(np.array([[1, 1, 1, 1], [1, 1, -1, -1],
 
 
 def _satd(diff):
-    """4x4 Hadamard SATD of [bh, bw] residual (JM HadamardSAD4x4)."""
+    """4x4 Hadamard SATD of [bh, bw] residual (JM HadamardSAD4x4).
+    Accepts int16 residuals (values fit: |res| <= 255, 1-D transform
+    gain 4 -> |t| <= 4080); accumulation is forced to int32."""
     bh, bw = diff.shape
     b = diff.reshape(bh // 4, 4, bw // 4, 4).transpose(0, 2, 1, 3)
-    t = jnp.einsum("ij,...jk,kl->...il", _H4J, b, _H4J)
+    t = jnp.einsum("ij,...jk,kl->...il", _H4J.astype(diff.dtype), b,
+                   _H4J.astype(diff.dtype),
+                   preferred_element_type=jnp.int32)
     s = jnp.abs(t).sum(axis=(-1, -2))
     return ((s + 1) >> 1).sum().astype(jnp.int32)
 
@@ -327,13 +341,16 @@ def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me,
         x0 = mb_x + cx * 8
         ob = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
             o, (yy, xx), (bh, bw)))(y0, x0)          # [nmb, bh, bw]
+        ob16 = ob.astype(jnp.int16)
 
         def refine_one(up_r, mv0, pm, obk, yy, xx):
             mvx = 4 * mv0[0]
             mvy = 4 * mv0[1]
 
             def cost_at(cx_, cy_):
-                pred = _gather_block(up_r, yy, xx, cx_, cy_, bh, bw, P)
+                # int16 residuals halve the HBM traffic of the dominant
+                # stage (|org - pred| <= 255; SATD accumulates in int32)
+                pred = _gather_block_i16(up_r, yy, xx, cx_, cy_, bh, bw, P)
                 if use_satd:
                     sad = _satd(obk - pred)
                 else:
@@ -361,7 +378,7 @@ def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me,
 
         f = jax.vmap(jax.vmap(refine_one, in_axes=(None, 0, 0, 0, 0, 0)),
                      in_axes=(0, 0, 0, None, None, None))
-        mv_s, sad_s = f(ups, mv_int[:, s], pmv2[:, s], ob, y0, x0)
+        mv_s, sad_s = f(ups, mv_int[:, s], pmv2[:, s], ob16, y0, x0)
         out_mv.append(mv_s)
         out_sad.append(sad_s)
     return jnp.stack(out_mv, axis=1), jnp.stack(out_sad, axis=1)

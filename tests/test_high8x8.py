@@ -218,3 +218,15 @@ def test_hrd_vui_and_sei_messages(jm_tools, tmp_path):
     assert bp["initial_cpb_removal_delay"] == int(90000 * 512000 / 256000)
     pt = SEI.parse_pic_timing(msgs[1][0][1])
     assert pt["dpb_output_delay"] == 3000
+
+
+def test_decode_lencod_implicit_weighted_bipred(jm_tools, tmp_path):
+    """Implicit weighted bipred decode (spec 8.4.2.3.1: POC-distance
+    weights, defaults on td==0/range violations)."""
+    stream, recon = run_lencod(
+        tmp_path, InputFile=_long_input(tmp_path), FramesToBeEncoded=4,
+        PicOrderCntType=0, ProfileIDC=77, NumberBFrames=2,
+        NumberReferenceFrames=2, WeightedBiprediction=2, IntraPeriod=0,
+        IDRPeriod=0, QPISlice=28, QPPSlice=28, QPBSlice=30,
+        SearchRange=8, RDOptimization=1)
+    assert decode_ours(stream) == recon
