@@ -364,7 +364,9 @@ class AVCDecoder:
             ctx.mv1 = pic["mv1"]
             ctx.ref1 = pic["ref1"]
         if pic["disable_dbl"] != 1:
-            rec = deblock_frame(*rec, ctx)
+            from . import native as AN
+            rec = AN.deblock_frame(*rec, ctx) if AN.available() \
+                else deblock_frame(*rec, ctx)
         frame = tuple(np.asarray(pl, np.uint8) for pl in rec)
         self._order.append((pic.get("epoch", 0), pic["poc"]))
         if pic["ref_idc"] != 0:
