@@ -95,10 +95,12 @@ def test_decode_lencod_poc_type1_bframes_bit_exact(jm_tools, tmp_path):
     assert decode_ours(stream) == recon
 
 
-@pytest.mark.xfail(reason="B pictures whose l0 holds BOTH a past and a "
-                   "future reference (2-ref window) decode with 2-3 MBs "
-                   "off on specific content — pre-existing corner, "
-                   "independent of POC type and direct mode", strict=False)
+@pytest.mark.xfail(reason="B corner: 2-3 MBs (B_8x8 sub-partition "
+                   "regions, bottom MB row) decode with small pixel "
+                   "diffs on specific content — NOT deblock (persists "
+                   "with LFDisableIdc=1), independent of POC type, "
+                   "direct mode and entropy coder; pre-existing",
+                   strict=False)
 def test_decode_lencod_b_multiref_window_corner(jm_tools, tmp_path):
     stream, recon = run_lencod(
         tmp_path, InputFile=_long_input(tmp_path), FramesToBeEncoded=7,
