@@ -120,6 +120,22 @@ class MVField:
         mv_a, ref_a, av_a = self.cell(by, bx - 1)
         mv_b, ref_b, av_b = self.cell(by - 1, bx)
         mv_c, ref_c, av_c = self.cell(by - 1, bx + bw4)
+        # spec above-right geometry override (ldecod get_neighbors,
+        # macroblock.c): when C falls inside the current MB's not-yet-
+        # decoded right side it is unavailable REGARDLESS of any motion
+        # data already present (B direct sub-blocks are pre-derived, so
+        # the decoded mask alone would wrongly admit them as C)
+        cy_in = by & 3
+        cx_in = bx & 3
+        if cy_in > 0:
+            if cx_in < 2:
+                if cy_in == 2:
+                    if bw4 == 4:
+                        av_c = False
+                elif cx_in + bw4 == 2:
+                    av_c = False
+            elif cx_in + bw4 == 4:
+                av_c = False
         if not av_c:                     # outside / undecoded -> D
             mv_c, ref_c, av_c = self.cell(by - 1, bx - 1)
 

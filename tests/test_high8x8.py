@@ -95,13 +95,11 @@ def test_decode_lencod_poc_type1_bframes_bit_exact(jm_tools, tmp_path):
     assert decode_ours(stream) == recon
 
 
-@pytest.mark.xfail(reason="B corner: 2-3 MBs (B_8x8 sub-partition "
-                   "regions, bottom MB row) decode with small pixel "
-                   "diffs on specific content — NOT deblock (persists "
-                   "with LFDisableIdc=1), independent of POC type, "
-                   "direct mode and entropy coder; pre-existing",
-                   strict=False)
 def test_decode_lencod_b_multiref_window_corner(jm_tools, tmp_path):
+    """Regression: the above-right MVP candidate must be killed by the
+    spec geometry rule (ldecod get_neighbors) when it falls in the
+    current MB's right side — B direct sub-blocks are pre-derived, so
+    the decoded mask alone wrongly admitted them as C."""
     stream, recon = run_lencod(
         tmp_path, InputFile=_long_input(tmp_path), FramesToBeEncoded=7,
         PicOrderCntType=0, ProfileIDC=77, NumberBFrames=2,
@@ -120,16 +118,11 @@ def test_decode_lencod_b_multiref_window_corner(jm_tools, tmp_path):
     dict(ProfileIDC=100, Transform8x8Mode=1, SymbolMode=1, IntraPeriod=1,
          IDRPeriod=1, QPISlice=32, NumberReferenceFrames=1,
          RDOptimization=1),
-    pytest.param(
-        # CABAC High with B pictures (flag in B MBs): hits the tracked
-        # past+future-l0 B corner (see
-        # test_decode_lencod_b_multiref_window_corner)
-        dict(ProfileIDC=100, Transform8x8Mode=1, SymbolMode=1,
-             NumberBFrames=2, NumberReferenceFrames=2, IntraPeriod=0,
-             IDRPeriod=0, QPISlice=28, QPPSlice=28, QPBSlice=30,
-             SearchRange=8, RDOptimization=1, FramesToBeEncoded=4),
-        marks=pytest.mark.xfail(reason="past+future l0 B corner",
-                                strict=False)),
+    # CABAC High with B pictures (flag in B MBs)
+    dict(ProfileIDC=100, Transform8x8Mode=1, SymbolMode=1,
+         NumberBFrames=2, NumberReferenceFrames=2, IntraPeriod=0,
+         IDRPeriod=0, QPISlice=28, QPPSlice=28, QPBSlice=30,
+         SearchRange=8, RDOptimization=1, FramesToBeEncoded=4),
 ])
 def test_decode_lencod_high_cabac_8x8_bit_exact(jm_tools, tmp_path, cfg):
     """CABAC 8x8 decode: cat-5 (LUMA_8x8) significance/level contexts,
