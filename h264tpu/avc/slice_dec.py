@@ -318,6 +318,73 @@ class AVCDecoder:
             out.append(fr)
         return self._display_order(out, poc_reorder)
 
+    def decode_mvc(self, stream: bytes):
+        """Decode a 2-view MVC stereo stream (base AVC NALs + subset
+        SPS type 15 + coded-slice-extension type 20 with
+        nal_unit_header_mvc_extension).  View-1 pictures may predict
+        from the co-temporal base picture via the appended inter-view
+        reference (H.8.2.1).  Returns (view0_frames, view1_frames)."""
+        from .mvc import parse_mvc_ext, parse_subset_sps, NAL_SUBSET_SPS, \
+            NAL_SLICE_EXT
+        from . import inter as _INTER
+        out0 = []
+        self._order = []
+        self._idr_epoch = 0
+        self._pic = None
+        child = AVCDecoder(trace=self.trace)
+        child.sps = self.sps
+        child.pps = self.pps
+        child_out = []
+        child._order = []
+        child._idr_epoch = 0
+        child._pic = None
+        base_done = 0
+        for n in annexb_parse(stream):
+            if n.nal_type == NAL_SPS:
+                s = parse_sps(n.rbsp)
+                self.sps[s["sps_id"]] = s
+            elif n.nal_type == NAL_SUBSET_SPS:
+                parse_subset_sps(n.rbsp)     # structural validation
+            elif n.nal_type == NAL_PPS:
+                p = parse_pps(n.rbsp)
+                self.pps[p["pps_id"]] = p
+            elif n.nal_type in (NAL_IDR, NAL_SLICE):
+                fr = self._decode_slice(n.rbsp, n.nal_type == NAL_IDR,
+                                        n.ref_idc)
+                if fr is not None:
+                    out0.append(fr)
+            elif n.nal_type == NAL_SLICE_EXT:
+                ext = parse_mvc_ext(n.rbsp[:3])
+                # the co-temporal base picture must be complete: flush it
+                fr = self._finish_picture()
+                if fr is not None:
+                    out0.append(fr)
+                if len(out0) > base_done:
+                    base_done = len(out0)
+                    base_fr = out0[-1]
+                    planes = tuple(pl.astype(np.int64) for pl in base_fr)
+                    child._inter_view_entry = dict(
+                        fn=-1, poc=-1000 - base_done,
+                        frame=base_fr,
+                        rp=_INTER.RefPlanes(*planes),
+                        mv=np.zeros((self.sps[0]["height"] // 4,
+                                     self.sps[0]["width"] // 4, 2),
+                                    np.int64),
+                        ref=np.full((self.sps[0]["height"] // 4,
+                                     self.sps[0]["width"] // 4), -1,
+                                    np.int64),
+                        ref_poc=None, long=False, lt_idx=-1)
+                fr1 = child._decode_slice(n.rbsp[3:], False, n.ref_idc)
+                if fr1 is not None:
+                    child_out.append(fr1)
+        fr = self._finish_picture()
+        if fr is not None:
+            out0.append(fr)
+        fr1 = child._finish_picture()
+        if fr1 is not None:
+            child_out.append(fr1)
+        return out0, child_out
+
     def _display_order(self, out, poc_reorder):
         """Ascending-POC display reorder per 8.2.1; POC resets at each
         IDR, so the sort key is (idr_epoch, poc)."""
@@ -528,7 +595,9 @@ class AVCDecoder:
                     op = self._tr(r, "modification_of_pic_nums_idc", r.ue())
                     if op == 3:
                         break
-                    if op in (0, 1, 2):     # picNum / LongTermPicNum ops
+                    if op in (0, 1, 2, 4, 5):
+                        # 0/1 picNum, 2 LongTermPicNum, 4/5 inter-view
+                        # (MVC H.7.3.3.1.1 abs_diff_view_idx)
                         reorder_ops.append((op, r.ue()))
                     else:
                         raise ValueError(f"modification idc {op}")
@@ -646,6 +715,11 @@ class AVCDecoder:
         lterm = sorted([e for e in self.dpb if e.get("long")],
                        key=lambda e: e["lt_idx"])
         entries = sorted(short, key=lambda e: -picnum(e["fn"])) + lterm
+        iv = getattr(self, "_inter_view_entry", None)
+        if iv is not None and slice_type == 0:
+            # MVC inter-view reference: appended AFTER the temporal refs
+            # in RefPicList0 (spec H.8.2.1)
+            entries = entries + [iv]
         refs1 = []
         col = None
         if slice_type == 1:
@@ -669,6 +743,14 @@ class AVCDecoder:
             idx = 0
             lst = list(lst)
             for op, d in ops:
+                if op in (4, 5):            # MVC inter-view ref (H.8.2.2.3)
+                    iv2 = getattr(self, "_inter_view_entry", None)
+                    assert iv2 is not None, "inter-view op without ref"
+                    if iv2 in lst:
+                        lst.remove(iv2)
+                    lst.insert(idx, iv2)
+                    idx += 1
+                    continue
                 if op == 2:                 # long-term: LongTermPicNum
                     match = [e for e in lst
                              if e.get("long") and e.get("lt_idx") == d]
