@@ -55,9 +55,8 @@ def parse_sps(rbsp: bytes) -> dict:
             raise NotImplementedError(">8-bit coding")
         r.u(1)                              # qpprime_y_zero_transform_bypass
         if r.u(1):                          # seq_scaling_matrix_present
-            for _ in range(8):
-                if r.u(1):
-                    raise NotImplementedError("non-flat scaling lists")
+            from .qmatrix import parse_scaling_block
+            s["seq_scaling"] = parse_scaling_block(r, 8)
     s["log2_max_frame_num"] = r.ue() + 4
     s["poc_type"] = r.ue()
     if s["poc_type"] == 0:
@@ -196,7 +195,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if r.pos < stop:                        # High-profile PPS extension
         p["transform_8x8"] = r.u(1)
         if r.u(1):                          # pic_scaling_matrix_present
-            raise NotImplementedError("PPS scaling lists")
+            from .qmatrix import parse_scaling_block
+            p["pic_scaling"] = parse_scaling_block(
+                r, 6 + 2 * p["transform_8x8"])
         p["second_chroma_qp_offset"] = r.se()
         if p["second_chroma_qp_offset"] != p["chroma_qp_offset"]:
             raise NotImplementedError("separate Cr QP offset")
@@ -847,6 +848,9 @@ class _SliceDecoder:
             self.mb_intra = np.zeros((mb_h, mb_w), bool)
             self.mb_qp = np.full((mb_h, mb_w), qp, np.int64)
         self.nnz_c = np.zeros((2, mb_h * 2, mb_w * 2), np.int64)
+        from .qmatrix import resolve_qmatrix
+        self.qmat = resolve_qmatrix(sps.get("seq_scaling"),
+                                    pps.get("pic_scaling"))
         self.transform8 = pic["transform8"] if pic is not None else \
             np.zeros((mb_h, mb_w), bool)
         self.i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
@@ -873,6 +877,35 @@ class _SliceDecoder:
                 self.gmap[mb] != self.gmap[self.first_mb]:
             return False
         return mb >= self.first_mb
+
+    # --- weighted dequantization (High scaling lists; flat -> the
+    # JM-exact fast paths in avc/quant.py) ---
+    def _dq4(self, lev, qp, intra: bool, ci=None):
+        if self.qmat is None:
+            return Q.dequant4x4(lev, qp)
+        from . import qmatrix as QM
+        li = (0 if intra else 3) + (0 if ci is None else 1 + ci)
+        return QM.dequant4x4_w(lev, qp, self.qmat[li])
+
+    def _dqdc16(self, lev, qp):
+        if self.qmat is None:
+            return Q.dequant_dc16(lev, qp)
+        from . import qmatrix as QM
+        return QM.dequant_dc16_w(lev, qp, self.qmat[0])
+
+    def _dqdcc(self, lev, qpc, intra: bool, ci: int):
+        if self.qmat is None:
+            return Q.dequant_dc_chroma(lev, qpc)
+        from . import qmatrix as QM
+        return QM.dequant_dc_chroma_w(lev, qpc,
+                                      self.qmat[(1 if intra else 4) + ci])
+
+    def _dq8(self, lev, qp, intra: bool):
+        from . import quant8 as Q8
+        if self.qmat is None:
+            return Q8.dequant8x8(lev, qp)
+        from . import qmatrix as QM
+        return QM.dequant8x8_w(lev, qp, self.qmat[6 if intra else 7])
 
     # --- nC contexts (same derivation as the encoder) ---
     def _nc_luma(self, by, bx):
@@ -1242,7 +1275,7 @@ class _SliceDecoder:
             nc = self._nc_luma(by, bx)
             dc_zz = CV.read_block(r, nc, 16)
             dc_lev = Q.unzigzag(dc_zz)
-            dc_deq = Q.dequant_dc16(dc_lev, qp)
+            dc_deq = self._dqdc16(dc_lev, qp)
             ac = np.zeros((4, 4, 4, 4), np.int64)
             for k in range(16):
                 y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
@@ -1256,7 +1289,7 @@ class _SliceDecoder:
                     ac[y4, x4] = Q.unzigzag(full)
                 else:
                     self.st_nnz[bby, bbx] = 0
-            deq = Q.dequant4x4(ac, qp)
+            deq = self._dq4(ac, qp, intra=True)
             deq[:, :, 0, 0] = dc_deq
             rec_b = Q.reconstruct(
                 pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3),
@@ -1312,7 +1345,7 @@ class _SliceDecoder:
         corner = self.rec_y[y - 1, x - 1] if (y > 0 and x > 0) else 0
         preds, _ = IP.pred4x4_all(top9, left4, corner, avail_t, avail_l,
                                   avail_tr)
-        deq = Q.dequant4x4(Q.unzigzag(zz), qp)
+        deq = self._dq4(Q.unzigzag(zz), qp, intra=True)
         self.rec_y[y:y + 4, x:x + 4] = Q.reconstruct(preds[mode],
                                                      Q.idct4x4(deq))
 
@@ -1336,7 +1369,7 @@ class _SliceDecoder:
                 self.st_nnz[bby, bbx] = 0
         if cbp_luma:
             pred = self.rec_y[y0:y0 + 16, x0:x0 + 16]
-            deq = Q.dequant4x4(lev, qp)
+            deq = self._dq4(lev, qp, intra=False)
             rec_b = Q.reconstruct(
                 pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3),
                 Q.idct4x4(deq))
@@ -1372,7 +1405,7 @@ class _SliceDecoder:
                 continue
             zz64 = self._read_zz64_cavlc(mby, mbx, y8, x8)
             lev = Q8.unzigzag8(zz64)
-            deq = Q8.dequant8x8(lev, qp)
+            deq = self._dq8(lev, qp, intra=False)
             yy, xx = y0 + y8 * 8, x0 + x8 * 8
             pred = self.rec_y[yy:yy + 8, xx:xx + 8]
             self.rec_y[yy:yy + 8, xx:xx + 8] = \
@@ -1462,7 +1495,7 @@ class _SliceDecoder:
         corner = self.rec_y[yy - 1, xx - 1] if avail_c else 0
         preds, _ = IP.pred8x8_all(top16, left8, corner, avail_t,
                                   avail_l, avail_tr, avail_c)
-        deq = Q8.dequant8x8(Q8.unzigzag8(zz64), qp)
+        deq = self._dq8(Q8.unzigzag8(zz64), qp, intra=True)
         self.rec_y[yy:yy + 8, xx:xx + 8] = \
             Q8.reconstruct8(preds[mode], Q8.idct8x8(deq))
 
@@ -1492,7 +1525,7 @@ class _SliceDecoder:
         if cbp_chroma > 0:
             for ci in range(2):
                 dc_zz = CV.read_block(r, -1, 4)
-                dc_deqs[ci] = Q.dequant_dc_chroma(dc_zz, qpc)
+                dc_deqs[ci] = self._dqdcc(dc_zz, qpc, intra, ci)
         acs = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
         for ci in range(2):
             for by4 in range(2):
@@ -1508,7 +1541,7 @@ class _SliceDecoder:
                     else:
                         self.nnz_c[ci, cby, cbx] = 0
         for ci, rec_p in ((0, self.rec_u), (1, self.rec_v)):
-            deq = Q.dequant4x4(acs[ci], qpc) if cbp_chroma == 2 else \
+            deq = self._dq4(acs[ci], qpc, intra, ci) if cbp_chroma == 2 else \
                 np.zeros((2, 2, 4, 4), np.int64)
             deq[:, :, 0, 0] = dc_deqs[ci]
             rec_b = Q.reconstruct(
@@ -1691,7 +1724,7 @@ def _cabac_residual_luma8(self, mby, mbx, cbp_luma, qp, c):
             for cx4 in range(2):
                 c.set_cbf(self.CB.LUMA_4x4, by + 2 * y8 + cy,
                           bx + 2 * x8 + cx4)
-        deq = Q8.dequant8x8(Q8.unzigzag8(zz64), qp)
+        deq = self._dq8(Q8.unzigzag8(zz64), qp, intra=False)
         yy, xx = y0 + y8 * 8, x0 + x8 * 8
         pred = self.rec_y[yy:yy + 8, xx:xx + 8]
         self.rec_y[yy:yy + 8, xx:xx + 8] = \
@@ -1823,7 +1856,7 @@ def _cabac_intra_mb(self, mby, mbx, intra_type, c):
         pred = preds[i16mode]
         dc_zz = rd.residual_block(c, self.CB.LUMA_16DC)
         dc_lev = Q.unzigzag(dc_zz)
-        dc_deq = Q.dequant_dc16(dc_lev, qp)
+        dc_deq = self._dqdc16(dc_lev, qp)
         ac = np.zeros((4, 4, 4, 4), np.int64)
         for k in range(16):
             y4, x4 = int(BLOCK_SCAN[k][0]), int(BLOCK_SCAN[k][1])
@@ -1836,7 +1869,7 @@ def _cabac_intra_mb(self, mby, mbx, intra_type, c):
                 ac[y4, x4] = Q.unzigzag(full)
             else:
                 self.st_nnz[bby, bbx] = 0
-        deq = Q.dequant4x4(ac, qp)
+        deq = self._dq4(ac, qp, intra=True)
         deq[:, :, 0, 0] = dc_deq
         rec_b = Q.reconstruct(
             pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3), Q.idct4x4(deq))
@@ -1864,7 +1897,7 @@ def _cabac_residual_luma(self, mby, mbx, cbp_luma, qp, c, intra16):
             self.st_nnz[bby, bbx] = 0
     if cbp_luma:
         pred = self.rec_y[y0:y0 + 16, x0:x0 + 16]
-        deq = Q.dequant4x4(lev, qp)
+        deq = self._dq4(lev, qp, intra=False)
         rec_b = Q.reconstruct(
             pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3), Q.idct4x4(deq))
         self.rec_y[y0:y0 + 16, x0:x0 + 16] = \
@@ -1896,7 +1929,7 @@ def _cabac_residual_chroma(self, mby, mbx, cbp_chroma, qp, c, intra,
     if cbp_chroma > 0:
         for ci in range(2):
             dc_zz = rd.residual_block(c, self.CB.CHROMA_DC, comp=ci)
-            dc_deqs[ci] = Q.dequant_dc_chroma(dc_zz, qpc)
+            dc_deqs[ci] = self._dqdcc(dc_zz, qpc, intra, ci)
     acs = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
     for ci in range(2):
         for by4 in range(2):
@@ -1912,7 +1945,7 @@ def _cabac_residual_chroma(self, mby, mbx, cbp_chroma, qp, c, intra,
                 else:
                     self.nnz_c[ci, cby, cbx] = 0
     for ci, rec_p in ((0, self.rec_u), (1, self.rec_v)):
-        deq = Q.dequant4x4(acs[ci], qpc) if cbp_chroma == 2 else \
+        deq = self._dq4(acs[ci], qpc, intra, ci) if cbp_chroma == 2 else \
             np.zeros((2, 2, 4, 4), np.int64)
         deq[:, :, 0, 0] = dc_deqs[ci]
         rec_b = Q.reconstruct(

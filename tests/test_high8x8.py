@@ -225,3 +225,57 @@ def test_decode_lencod_implicit_weighted_bipred(jm_tools, tmp_path):
         IDRPeriod=0, QPISlice=28, QPPSlice=28, QPBSlice=30,
         SearchRange=8, RDOptimization=1)
     assert decode_ours(stream) == recon
+
+
+@pytest.mark.parametrize("cfg", [
+    # SPS scaling matrices (q_matrix.cfg), CAVLC High, 4x4 only
+    dict(ProfileIDC=100, ScalingMatrixPresentFlag=1, Transform8x8Mode=0,
+         IntraPeriod=0, IDRPeriod=0, QPISlice=28, QPPSlice=28,
+         NumberReferenceFrames=1, SearchRange=8, RDOptimization=1),
+    # + 8x8 transform with its scaling lists
+    dict(ProfileIDC=100, ScalingMatrixPresentFlag=1, Transform8x8Mode=1,
+         IntraPeriod=0, IDRPeriod=0, QPISlice=30, QPPSlice=30,
+         NumberReferenceFrames=1, SearchRange=8, RDOptimization=1),
+    # PPS-level matrices
+    dict(ProfileIDC=100, ScalingMatrixPresentFlag=2, Transform8x8Mode=1,
+         IntraPeriod=0, IDRPeriod=0, QPISlice=28, QPPSlice=28,
+         NumberReferenceFrames=1, SearchRange=8, RDOptimization=1),
+    # CABAC + scaling matrices
+    dict(ProfileIDC=100, ScalingMatrixPresentFlag=1, Transform8x8Mode=1,
+         SymbolMode=1, IntraPeriod=0, IDRPeriod=0, QPISlice=28,
+         QPPSlice=28, NumberReferenceFrames=1, SearchRange=8,
+         RDOptimization=1),
+])
+def test_decode_lencod_scaling_matrices_bit_exact(jm_tools, tmp_path, cfg):
+    """High-profile scaling lists (q-matrix): spec 7.3.2.1.1.1 parse,
+    Table 7-2 fallbacks, weighted InvLevelScale dequantization."""
+    stream, recon = run_lencod(tmp_path, **cfg)
+    assert decode_ours(stream) == recon
+
+
+@pytest.mark.xfail(reason="custom (file-transmitted) scaling lists "
+                   "decode with +-2-level residual diffs in sparse "
+                   "blocks; parse verified exact (values match the "
+                   "file), formulas verified against ldecod source — "
+                   "divergence unresolved, see ROADMAP", strict=False)
+def test_decode_lencod_custom_qmatrix_bit_exact(jm_tools, tmp_path):
+    """Custom (file-loaded) scaling matrices, not just the spec
+    defaults: lencod reads q_matrix.cfg from its cwd."""
+    import shutil
+    shutil.copy(os.path.join(JM_BIN, "q_matrix.cfg"), tmp_path)
+    flags = {f"ScalingListPresentFlag{i}": 1 for i in range(8)}
+    stream, recon = run_lencod(
+        tmp_path, ProfileIDC=100, ScalingMatrixPresentFlag=1,
+        Transform8x8Mode=1, QmatrixFile="q_matrix.cfg",
+        IntraPeriod=0, IDRPeriod=0, QPISlice=28,
+        QPPSlice=28, NumberReferenceFrames=1, SearchRange=8,
+        RDOptimization=1, **flags)
+    # the stream must carry explicitly transmitted (non-default) lists
+    from h264tpu.bitstream.nal import annexb_parse
+    from h264tpu.avc.slice_dec import parse_sps
+    from h264tpu.avc.qmatrix import resolve_qmatrix, DEFAULT_4x4_INTRA
+    sps = parse_sps(next(n for n in annexb_parse(stream)
+                         if n.nal_type == 7).rbsp)
+    qm = resolve_qmatrix(sps["seq_scaling"], None)
+    assert not np.array_equal(qm[0], DEFAULT_4x4_INTRA)
+    assert decode_ours(stream) == recon
