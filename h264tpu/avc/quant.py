@@ -71,8 +71,12 @@ def idct4x4(w: np.ndarray) -> np.ndarray:
         d = m1 + (m3 >> 1)
         return np.stack([a + d, b + c, b - c, a - d], axis=-1)
 
-    t = stage(np.swapaxes(w, -1, -2))
-    return stage(np.swapaxes(t, -1, -2))
+    # spec 8.5.12.2 order: rows first, then columns.  With truncating
+    # >>1 stages the order is observable whenever cof values are odd
+    # (weighted dequant / qp<6); JM (ldecod transform.c inverse4x4)
+    # matches only rows-first.
+    t = stage(w)
+    return np.swapaxes(stage(np.swapaxes(t, -1, -2)), -1, -2)
 
 
 def reconstruct(pred: np.ndarray, idct_out: np.ndarray) -> np.ndarray:

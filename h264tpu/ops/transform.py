@@ -116,9 +116,11 @@ def idct4x4(w: jnp.ndarray) -> jnp.ndarray:
         d = m1 + (m3 >> 1)
         return jnp.stack([a + d, b + c, b - c, a - d], axis=-1)
 
-    # rows then columns (order is mathematically irrelevant; shifts are per-stage)
-    t = stage(jnp.swapaxes(w, -1, -2))          # transform columns
-    t = stage(jnp.swapaxes(t, -1, -2))          # transform rows
+    # spec 8.5.12.2 order: rows first, then columns.  The truncating >>1
+    # stages make the order observable whenever cof values are odd
+    # (weighted-dequant streams / qp<6); JM matches only rows-first.
+    t = stage(w)                                # transform rows
+    t = jnp.swapaxes(stage(jnp.swapaxes(t, -1, -2)), -1, -2)  # columns
     return t
 
 

@@ -27,6 +27,12 @@ from test_avc_conformance import (JM_BIN, run_lencod, decode_ours,
     dict(ProfileIDC=100, Transform8x8Mode=1, IntraPeriod=0, IDRPeriod=0,
          QPISlice=22, QPPSlice=22, NumberReferenceFrames=2,
          SearchRange=8, RDOptimization=1),
+    # qp<6: qp_per=0 makes odd dequantized cofs, so the inverse-4x4
+    # stage ORDER (spec 8.5.12.2 rows-then-columns, truncating >>1) is
+    # observable even without scaling matrices
+    dict(ProfileIDC=100, Transform8x8Mode=1, IntraPeriod=0, IDRPeriod=0,
+         QPISlice=4, QPPSlice=4, NumberReferenceFrames=1,
+         SearchRange=8, RDOptimization=1),
 ])
 def test_decode_lencod_high_8x8_bit_exact(jm_tools, tmp_path, cfg):
     stream, recon = run_lencod(tmp_path, **cfg)
@@ -253,11 +259,6 @@ def test_decode_lencod_scaling_matrices_bit_exact(jm_tools, tmp_path, cfg):
     assert decode_ours(stream) == recon
 
 
-@pytest.mark.xfail(reason="custom (file-transmitted) scaling lists "
-                   "decode with +-2-level residual diffs in sparse "
-                   "blocks; parse verified exact (values match the "
-                   "file), formulas verified against ldecod source — "
-                   "divergence unresolved, see ROADMAP", strict=False)
 def test_decode_lencod_custom_qmatrix_bit_exact(jm_tools, tmp_path):
     """Custom (file-loaded) scaling matrices, not just the spec
     defaults: lencod reads q_matrix.cfg from its cwd."""
@@ -279,3 +280,32 @@ def test_decode_lencod_custom_qmatrix_bit_exact(jm_tools, tmp_path):
     qm = resolve_qmatrix(sps["seq_scaling"], None)
     assert not np.array_equal(qm[0], DEFAULT_4x4_INTRA)
     assert decode_ours(stream) == recon
+
+
+def test_tpu_encoder_sub8x8_partitions_both_oracles(jm_tools, tmp_path):
+    """P8x8 sub-partitions (sub_mb_type 8x4/4x8/4x4, spec Table 7-14)
+    from the device encoder: streams decode bit-exactly in JM ldecod and
+    our decoder, sub-modes actually engage, and the High-profile
+    transform_size_8x8_flag presence rule (NoSubMbPartSizeLessThan8x8)
+    holds alongside them."""
+    from h264tpu.utils.yuv import YUVReader
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.slice_dec import AVCDecoder
+    from h264tpu.avc.pack import WIN_P8SUB
+
+    r = YUVReader(os.path.join(JM_BIN, "foreman_part_qcif.yuv"), 176, 144)
+    frames = [r.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=27, profile_idc=100,
+                  transform_8x8=True, num_ref_frames=2)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                        sub8x8=True)
+    res, stream = codec.encode_sequence(frames)
+    recon = b"".join(np.asarray(pl, np.uint8).tobytes()
+                     for q in res for pl in q.recon)
+    assert ldecod_decode(tmp_path, stream) == recon
+    dec = AVCDecoder()
+    out = dec.decode(stream)
+    got = b"".join(np.asarray(pl, np.uint8).tobytes()
+                   for fr in out for pl in fr)
+    assert got == recon
