@@ -26,8 +26,11 @@ from .tables import (BLOCK_SCAN, CBP_TO_CODENUM_INTRA, CBP_TO_CODENUM_INTER,
 from .params import AVCParams, write_slice_header, SLICE_I, SLICE_P
 
 # symbol win codes (tpu_enc)
-WIN_SKIP, WIN_16x16, WIN_16x8, WIN_8x16, WIN_P8x8, WIN_I4, WIN_I16 = range(7)
+WIN_SKIP, WIN_16x16, WIN_16x8, WIN_8x16, WIN_P8x8, WIN_I4, WIN_I16, \
+    WIN_P8SUB = range(8)
 _N_PARTS = {WIN_16x16: 1, WIN_16x8: 2, WIN_8x16: 2, WIN_P8x8: 4}
+# parts per sub_mb_type (spec Table 7-14: 8x8, 8x4, 4x8, 4x4)
+_SUB_N_PARTS = (1, 2, 2, 4)
 
 
 def _nnz_planes(sym, mb_h: int, mb_w: int):
@@ -193,31 +196,53 @@ def pack_p_slice(sym, p: AVCParams, qp: int, frame_num: int,
                                  top_row=row0,
                                  transform_8x8=p.transform_8x8)
             continue
-        mb_type = {WIN_16x16: 0, WIN_16x8: 1, WIN_8x16: 2, WIN_P8x8: 3}[wc]
+        mb_type = {WIN_16x16: 0, WIN_16x8: 1, WIN_8x16: 2, WIN_P8x8: 3,
+                   WIN_P8SUB: 3}[wc]
         w.ue(mb_type)
-        nparts = _N_PARTS[wc]
-        if wc == WIN_P8x8:
-            for _ in range(4):
-                w.ue(0)                           # sub_mb_type = P_L0_8x8
-        if num_ref > 1:
-            r = int(ri[i])
-            for _ in range(nparts):
-                if num_ref == 2:
-                    w.u(1 - r, 1)
-                else:
-                    w.ue(r)
-        for pi in range(nparts):
-            w.se(int(mvd[i, pi, 0]))
-            w.se(int(mvd[i, pi, 1]))
+        if wc == WIN_P8SUB:
+            # P_8x8 with per-cell sub_mb_type (spec 7.3.5.2): sub types,
+            # then ref_idx per 8x8, then MVDs in sub-block order
+            subs = [int(s) for s in sym["sub"][i]]
+            for s in subs:
+                w.ue(s)
+            if num_ref > 1:
+                r = int(ri[i])
+                for _ in range(4):
+                    if num_ref == 2:
+                        w.u(1 - r, 1)
+                    else:
+                        w.ue(r)
+            mvd_s = np.asarray(sym["mvd_s"][i])
+            for c, s in enumerate(subs):
+                for pi in range(_SUB_N_PARTS[s]):
+                    w.se(int(mvd_s[c, pi, 0]))
+                    w.se(int(mvd_s[c, pi, 1]))
+        else:
+            nparts = _N_PARTS[wc]
+            if wc == WIN_P8x8:
+                for _ in range(4):
+                    w.ue(0)                       # sub_mb_type = P_L0_8x8
+            if num_ref > 1:
+                r = int(ri[i])
+                for _ in range(nparts):
+                    if num_ref == 2:
+                        w.u(1 - r, 1)
+                    else:
+                        w.ue(r)
+            for pi in range(nparts):
+                w.se(int(mvd[i, pi, 0]))
+                w.se(int(mvd[i, pi, 1]))
         cbp_luma = int(sym["cbp_luma"][i])
         cbp_chroma = int(sym["cbp_chroma"][i])
         cbp = cbp_luma | (cbp_chroma << 4)
         w.ue(int(CBP_TO_CODENUM_INTER[cbp]))
         if cbp > 0:
-            if p.transform_8x8 and cbp_luma > 0:
-                # every inter shape we emit is >= 8x8 (P partitions,
-                # B direct/16x16 with direct_8x8_inference=1), so the
-                # flag is always present when luma is coded (spec 7.3.5)
+            no_small = wc != WIN_P8SUB or \
+                all(int(s) == 0 for s in sym["sub"][i])
+            if p.transform_8x8 and cbp_luma > 0 and no_small:
+                # the flag is present when luma is coded and no
+                # partition is below 8x8 (spec 7.3.5
+                # NoSubMbPartSizeLessThan8x8Flag)
                 w.u(int(sym["t8"][i]) if "t8" in sym else 0, 1)
             w.se(0)
             _write_luma_residual(w, np.asarray(sym["zz"][i]), cbp_luma,

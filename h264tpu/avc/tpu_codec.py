@@ -34,7 +34,7 @@ _prep_ref = functools.partial(jax.jit, static_argnames="sr")(TE.prep_ref)
 _SYM_KEYS = (("win", 1), ("ri", 1), ("mvd", 8), ("i4flags", 32),
              ("i16mode", 1), ("i16dc", 16), ("cmode", 1), ("cbp_luma", 1),
              ("cbp_chroma", 1), ("zz", 256), ("cdc", 8), ("cac", 120),
-             ("mb_intra", 1), ("t8", 1))
+             ("mb_intra", 1), ("t8", 1), ("sub", 4), ("mvd_s", 32))
 
 
 @jax.jit
@@ -70,7 +70,7 @@ def _unpack_sym(buf, mb_h, mb_w):
         off += nmb * wdt
     shapes = {"mvd": (nmb, 4, 2), "i4flags": (nmb, 16, 2),
               "zz": (nmb, 16, 16), "cdc": (nmb, 2, 4),
-              "cac": (nmb, 2, 2, 2, 15)}
+              "cac": (nmb, 2, 2, 2, 15), "mvd_s": (nmb, 4, 4, 2)}
     for k, shp in shapes.items():
         sym[k] = sym[k].reshape(shp)
     for k in ("win", "ri", "i16mode", "cmode", "cbp_luma", "cbp_chroma",
@@ -137,7 +137,8 @@ class TPUAVCCodec:
     def __init__(self, p: AVCParams, intra_period: int = 0,
                  search_range: int = 16, check_conformance: bool = True,
                  n_slices: int = 1, mesh=None, mesh_axis: str = "slice",
-                 bframes: int = 0, hierarchical: bool = False):
+                 bframes: int = 0, hierarchical: bool = False,
+                 sub8x8: bool = False):
         """``n_slices``: split each picture into that many equal row-band
         slices (must divide mb_h).  Slices reset all prediction/entropy
         contexts, so the device decision scan runs them concurrently —
@@ -160,6 +161,10 @@ class TPUAVCCodec:
         self.mesh_axis = mesh_axis
         self.bframes = bframes
         self.hierarchical = hierarchical
+        self.sub8x8 = sub8x8
+        if sub8x8 and (p.cabac or bframes > 0):
+            raise NotImplementedError("P8x8 sub-partitions are "
+                                      "CAVLC-IPPP for now")
         self._sharded = {}
         if bframes > 0:
             if p.poc_type != 0:
@@ -190,7 +195,7 @@ class TPUAVCCodec:
         kw = dict(mb_h=p.mb_h, mb_w=p.mb_w, sr=self.sr,
                   intra_only=intra_only, n_slices=self.n_slices,
                   chroma_qp_offset=p.chroma_qp_offset,
-                  transform8=p.transform_8x8)
+                  transform8=p.transform_8x8, sub8x8=self.sub8x8)
         if self.mesh is None:
             return functools.partial(TE.encode_frame, **kw)
         if intra_only not in self._sharded:
@@ -273,7 +278,8 @@ class TPUAVCCodec:
                         sym, p, fqp, frame_num=fn, num_ref=nv,
                         row0=s0 * rows, n_rows=rows)
                         for s0 in range(self.n_slices)]
-                elif AN.available():
+                elif AN.available() and not self.sub8x8:
+                    # the C packer has no sub_mb_type support yet
                     rbsps = [AN.pack_slice(sym, p, SLICE_P, fqp, fn,
                                            False, 0, nv,
                                            row0=s0 * rows, n_rows=rows,

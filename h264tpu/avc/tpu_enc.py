@@ -72,6 +72,24 @@ MODE_TAGS = (("none",), ("16x8_top", "16x8_bot"),
              ("8x16_left", "8x16_right"), ("none",) * 4)
 MODE_HDR_BITS = (1, 3, 3, 9)                # mb_type ue (+ 4x sub_mb_type)
 
+# unified slot geometry in 4x4-cell units (cy4, cx4, h4, w4): the 9 JM
+# partition slots above, then (with sub8x8) 8 sub-partition slots per
+# 8x8 cell in z-order — [8x4 top, 8x4 bottom, 4x8 left, 4x8 right,
+# 4x4 x4] — for P_8x8 sub_mb_types 1/2/3 (spec Table 7-14; JM twin
+# lencod/src/md_low.c submacroblock_mode_decision)
+SLOTS4 = tuple((cy * 2, cx * 2, ch * 2, cw * 2)
+               for (cy, cx, ch, cw) in SLOTS)
+SUB_SLOTS4 = tuple(
+    s for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1))
+    for s in ((2 * cy, 2 * cx, 1, 2), (2 * cy + 1, 2 * cx, 1, 2),
+              (2 * cy, 2 * cx, 2, 1), (2 * cy, 2 * cx + 1, 2, 1),
+              (2 * cy, 2 * cx, 1, 1), (2 * cy, 2 * cx + 1, 1, 1),
+              (2 * cy + 1, 2 * cx, 1, 1), (2 * cy + 1, 2 * cx + 1, 1, 1)))
+# per-cell local slot offsets for each sub_mb_type option (0=8x8 uses
+# the MB-level slot 5+c; 1..3 use SUB slot base 9 + 8*c + offset)
+SUB_OPT_LOCAL = ((None,), (0, 1), (2, 3), (4, 5, 6, 7))
+SUB_HDR_BITS = (1, 3, 3, 5)                 # ue(sub_mb_type)
+
 _SCANY = jnp.asarray(np.asarray(BLOCK_SCAN)[:, 0].astype(np.int32))
 _SCANX = jnp.asarray(np.asarray(BLOCK_SCAN)[:, 1].astype(np.int32))
 _COEFF_COST = jnp.asarray(COEFF_COST)
@@ -141,11 +159,13 @@ def prep_ref(rec_y, rec_u, rec_v, sr: int):
 # Stage A: integer full search over the candidate lattice
 # ===========================================================================
 
-def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
-    """Integer-pel search for all 9 partition slots of every MB.
+def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32,
+                    sub8x8: bool = False):
+    """Integer-pel search for all partition slots of every MB.
 
     org_y [H, W] int32; ref_ys [R, H+2P, W+2P] padded integer luma planes.
-    Returns (mv_int [R, 9, nmb, 2] in integer pel, sad_int [R, 9, nmb]).
+    Returns (mv_int [R, ns, nmb, 2] in integer pel, sad_int [R, ns, nmb])
+    where ns = 9, or 41 with ``sub8x8`` (the 8x4/4x8/4x4 sub slots).
 
     Pass 1 finds the pure-distortion 16x16 field; pass 2 re-runs the
     argmin with lambda_me * MVD-bits cost against the median of causal
@@ -153,7 +173,9 @@ def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
     H, W = org_y.shape
     mb_h, mb_w = H // 16, W // 16
     nmb = mb_h * mb_w
-    n8y, n8x = H // 8, W // 8
+    n4y, n4x = H // 4, W // 4
+    slots4 = SLOTS4 + (SUB_SLOTS4 if sub8x8 else ())
+    ns = len(slots4)
     P = luma_pad(sr)
     o = org_y.astype(jnp.int32)
     R = ref_ys.shape[0]
@@ -171,32 +193,32 @@ def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
                         .reshape(steps, chunk))
 
     def cell_sads(ref_pad, offs_c):
-        """SAD per 8x8 cell for a chunk of offsets -> [chunk, n8y, n8x]."""
+        """SAD per 4x4 cell for a chunk of offsets -> [chunk, n4y, n4x]."""
         def one(off):
             s = jax.lax.dynamic_slice(ref_pad, (P + off[0], P + off[1]),
                                       (H, W))
             d = jnp.abs(o - s)
-            return d.reshape(n8y, 8, n8x, 8).sum(axis=(1, 3),
+            return d.reshape(n4y, 4, n4x, 4).sum(axis=(1, 3),
                                                  dtype=jnp.int32)
         return jax.vmap(one)(offs_c)
 
-    def slot_sads(s8):
-        """[..., n8y, n8x] cell SADs -> [..., 9, nmb] partition SADs."""
-        c = s8.reshape(*s8.shape[:-2], mb_h, 2, mb_w, 2)
-        c = jnp.moveaxis(c, (-3, -1), (-2, -1))      # [..., mb_h, mb_w, 2, 2]
-        c = c.reshape(*s8.shape[:-2], nmb, 2, 2)
+    def slot_sads(s4):
+        """[..., n4y, n4x] cell SADs -> [..., ns, nmb] partition SADs."""
+        c = s4.reshape(*s4.shape[:-2], mb_h, 4, mb_w, 4)
+        c = jnp.moveaxis(c, (-3, -1), (-2, -1))      # [..., mb_h, mb_w, 4, 4]
+        c = c.reshape(*s4.shape[:-2], nmb, 4, 4)
         outs = [c[..., cy:cy + ch, cx:cx + cw].sum(axis=(-1, -2))
-                for (cy, cx, ch, cw) in SLOTS]
-        return jnp.stack(outs, axis=-2)              # [..., 9, nmb]
+                for (cy, cx, ch, cw) in slots4]
+        return jnp.stack(outs, axis=-2)              # [..., ns, nmb]
 
     def search(pmv_q):
-        """pmv_q [R, 9, nmb, 2] quarter-pel predictors (or None)."""
+        """pmv_q [R, ns, nmb, 2] quarter-pel predictors (or None)."""
         def per_ref(ref_pad, pmv_r):
-            init = dict(c=jnp.full((9, nmb), BIG),
-                        dy=jnp.zeros((9, nmb), jnp.int32),
-                        dx=jnp.zeros((9, nmb), jnp.int32),
-                        s=jnp.zeros((9, nmb), jnp.int32),
-                        p=jnp.full((9, nmb), jnp.int32(1 << 30)))
+            init = dict(c=jnp.full((ns, nmb), BIG),
+                        dy=jnp.zeros((ns, nmb), jnp.int32),
+                        dx=jnp.zeros((ns, nmb), jnp.int32),
+                        s=jnp.zeros((ns, nmb), jnp.int32),
+                        p=jnp.full((ns, nmb), jnp.int32(1 << 30)))
 
             def step(carry, xs):
                 offs_c, ok_c, pri_c = xs
@@ -232,7 +254,7 @@ def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
             outs = jax.vmap(lambda rp: per_ref(rp, None))(ref_ys)
         else:
             outs = jax.vmap(per_ref)(ref_ys, pmv_q)
-        mv = jnp.stack([outs["dx"], outs["dy"]], axis=-1)   # [R, 9, nmb, 2]
+        mv = jnp.stack([outs["dx"], outs["dy"]], axis=-1)   # [R, ns, nmb, 2]
         return mv, outs["s"]
 
     # pass 1: pure distortion, 16x16 only is needed but the full search is
@@ -253,7 +275,7 @@ def _integer_search(org_y, ref_ys, sr: int, lam_me, chunk: int = 32):
     med = a + b + cc - jnp.minimum(jnp.minimum(a, b), cc) \
         - jnp.maximum(jnp.maximum(a, b), cc)
     pmv2 = (4 * med).reshape(R, 1, nmb, 2)
-    pmv2 = jnp.broadcast_to(pmv2, (R, 9, nmb, 2))
+    pmv2 = jnp.broadcast_to(pmv2, (R, ns, nmb, 2))
 
     mv2, sad2 = search(pmv2)
     return mv2, sad2, pmv2
@@ -316,18 +338,19 @@ def _satd_nd(diff):
 
 
 def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me,
-                   use_satd: bool = True):
+                   use_satd: bool = True, sub8x8: bool = False):
     """Refine every (ref, slot, MB) to quarter-pel.
 
     ``use_satd``: JM's Hadamard subpel metric (cfg ``hadamard``); the
-    integer stage stays SAD like JM.  Returns (mv_q [R, 9, nmb, 2],
-    dist_q [R, 9, nmb])."""
+    integer stage stays SAD like JM.  Returns (mv_q [R, ns, nmb, 2],
+    dist_q [R, ns, nmb])."""
     H, W = org_y.shape
     mb_h, mb_w = H // 16, W // 16
     nmb = mb_h * mb_w
     P = luma_pad(sr)
     R = ups.shape[0]
     o = org_y.astype(jnp.int32)
+    slots4 = SLOTS4 + (SUB_SLOTS4 if sub8x8 else ())
 
     mb_i = jnp.arange(nmb, dtype=jnp.int32)
     mb_y = (mb_i // mb_w) * 16
@@ -335,10 +358,10 @@ def _subpel_refine(org_y, ups, mv_int, sad_int, pmv2, sr: int, lam_me,
 
     out_mv = []
     out_sad = []
-    for s, (cy, cx, ch, cw) in enumerate(SLOTS):
-        bh, bw = ch * 8, cw * 8
-        y0 = mb_y + cy * 8
-        x0 = mb_x + cx * 8
+    for s, (cy, cx, ch, cw) in enumerate(slots4):
+        bh, bw = ch * 4, cw * 4
+        y0 = mb_y + cy * 4
+        x0 = mb_x + cx * 4
         ob = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
             o, (yy, xx), (bh, bw)))(y0, x0)          # [nmb, bh, bw]
         ob16 = ob.astype(jnp.int16)
@@ -859,7 +882,7 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, wp_c=None, *, sb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
                  adaptive_rounding: bool = True, transform8: bool = False,
-                 rdoq_decim: bool = True):
+                 rdoq_decim: bool = True, sub8x8: bool = False):
     """Encode ONE row-band slice (search + subpel + decision scan).
 
     All arrays are band views: org_y [sb_h*16, W]; ref_ups
@@ -903,19 +926,21 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             w_, o_ = wp_c[r, 2 * ci], wp_c[r, 2 * ci + 1]
         return jnp.clip(((pred * w_ + 16) >> 5) + o_, 0, 255)
 
+    n_slot = len(SLOTS4) + (len(SUB_SLOTS4) if sub8x8 else 0)
     if not intra_only:
         R = ref_ups.shape[0]
         ref_pads = ref_ups[:, 0, 0].astype(jnp.int32)   # integer samples
-        mv_int, _sad_int, pmv2 = _integer_search(org_y, ref_pads, sr, lam_me)
+        mv_int, _sad_int, pmv2 = _integer_search(org_y, ref_pads, sr,
+                                                 lam_me, sub8x8=sub8x8)
         mv_q, sad_q = _subpel_refine(org_y, ref_ups, mv_int, _sad_int,
-                                     pmv2, sr, lam_me)
-        # [R, 9, nmb_s, ...] -> xs layout [nmb_s (steps), R, 9, ...]
+                                     pmv2, sr, lam_me, sub8x8=sub8x8)
+        # [R, ns, nmb_s, ...] -> xs layout [nmb_s (steps), R, ns, ...]
         mv_q = jnp.moveaxis(mv_q, 2, 0)
         sad_q = jnp.moveaxis(sad_q, 2, 0)
     else:
         R = 1
-        mv_q = jnp.zeros((nmb_s, 1, 9, 2), jnp.int32)
-        sad_q = jnp.zeros((nmb_s, 1, 9), jnp.int32)
+        mv_q = jnp.zeros((nmb_s, 1, n_slot, 2), jnp.int32)
+        sad_q = jnp.zeros((nmb_s, 1, n_slot), jnp.int32)
 
     state = dict(
         rec_y=jnp.zeros((sb_h * 16 + 1, W + 9), jnp.int32),
@@ -1113,6 +1138,116 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             mvs_m = jnp.concatenate(
                 [mvs_m, jnp.broadcast_to(pm0, (1, 4, 2))])
 
+            if sub8x8:
+                # ---- P_8x8 with per-cell sub_mb_type (8x8/8x4/4x8/4x4,
+                # spec Table 7-14): per 8x8 cell pick the sub-mode by
+                # SATD + lambda_me * (sub_mb_type + chained-MVD bits),
+                # sequentially in z-order so each part's predictor sees
+                # the previous parts (JM submacroblock_mode_decision,
+                # lencod/src/md_low.c) ----
+                def eval_sub(r_val, mv_r, sad_r):
+                    ov_mv = jnp.zeros((4, 4, 2), jnp.int32)
+                    ov_ref = jnp.full((4, 4), -2, jnp.int32)
+                    bits = jnp.float32(5.0) + 4.0 * te_bits_t(
+                        r_val, n_valid).astype(jnp.float32)   # ue(3)+refs
+                    satd = jnp.int32(0)
+                    subt_c, mvd_c = [], []
+                    for c, (scy, scx) in enumerate(
+                            ((0, 0), (0, 1), (1, 0), (1, 1))):
+                        o_cost, o_bits, o_ov, o_ovr, o_mvd, o_satd = \
+                            [], [], [], [], [], []
+                        for t in range(4):
+                            if t == 0:
+                                parts = ((5 + c, 2 * scy, 2 * scx, 2, 2),)
+                            else:
+                                parts = tuple(
+                                    (9 + 8 * c + off,) +
+                                    SUB_SLOTS4[8 * c + off]
+                                    for off in SUB_OPT_LOCAL[t])
+                            ov_l, ovr_l = ov_mv, ov_ref
+                            tb = jnp.float32(SUB_HDR_BITS[t])
+                            ts = jnp.int32(0)
+                            mvd4 = jnp.zeros((4, 2), jnp.int32)
+                            for pi, (slot, dy4, dx4, h4p, w4p) in \
+                                    enumerate(parts):
+                                pm = _predict_mv(
+                                    st["mv"], st["ref"], ov_l, ovr_l,
+                                    by0, bx0, by0 + dy4, bx0 + dx4,
+                                    w4p, r_val, "none", sh4, w4)
+                                mv = mv_r[slot]
+                                tb = tb + (se_bits(mv[0] - pm[0])
+                                           + se_bits(mv[1] - pm[1])
+                                           ).astype(jnp.float32)
+                                ts = ts + sad_r[slot]
+                                ov_l = ov_l.at[dy4:dy4 + h4p,
+                                               dx4:dx4 + w4p].set(mv)
+                                ovr_l = ovr_l.at[dy4:dy4 + h4p,
+                                                 dx4:dx4 + w4p].set(r_val)
+                                mvd4 = mvd4.at[pi].set(mv - pm)
+                            o_cost.append(ts.astype(jnp.float32)
+                                          + lam_me * tb)
+                            o_bits.append(tb)
+                            o_ov.append(ov_l)
+                            o_ovr.append(ovr_l)
+                            o_mvd.append(mvd4)
+                            o_satd.append(ts)
+                        tsel = jnp.argmin(jnp.stack(o_cost))
+                        ov_mv = jnp.stack(o_ov)[tsel]
+                        ov_ref = jnp.stack(o_ovr)[tsel]
+                        bits = bits + jnp.stack(o_bits)[tsel]
+                        satd = satd + jnp.stack(o_satd)[tsel]
+                        subt_c.append(tsel.astype(jnp.int32))
+                        mvd_c.append(jnp.stack(o_mvd)[tsel])
+                    cost = satd.astype(jnp.float32) + lam_me * bits
+                    return (cost, bits, jnp.stack(subt_c),
+                            jnp.stack(mvd_c), ov_mv)
+
+                sc_r, sb_r, st_r, smvd_r, sov_r = jax.vmap(eval_sub)(
+                    jnp.arange(R, dtype=jnp.int32), mv_mb, sad_mb)
+                sc_r = jnp.where(jnp.arange(R) < n_valid, sc_r, BIG)
+                rsub = jnp.argmin(sc_r).astype(jnp.int32)
+                sub_t_sel = st_r[rsub]                       # [4]
+                mvd_s_sel = smvd_r[rsub]                     # [4,4,2]
+                ov_sel = sov_r[rsub]                         # [4,4,2]
+
+                def sub_pred_ref(up_r, u_r, v_r, ovmv_r):
+                    rows, rows_u, rows_v = [], [], []
+                    for cyi in range(4):
+                        rl = [_gather_block(
+                            up_r, y0 + cyi * 4, x0 + cxi * 4,
+                            ovmv_r[cyi, cxi, 0], ovmv_r[cyi, cxi, 1],
+                            4, 4, P) for cxi in range(4)]
+                        ru_ = [_chroma_block(
+                            u_r, cy0 + cyi * 2, cx0 + cxi * 2,
+                            ovmv_r[cyi, cxi, 0], ovmv_r[cyi, cxi, 1],
+                            2, 2, PC) for cxi in range(4)]
+                        rv_ = [_chroma_block(
+                            v_r, cy0 + cyi * 2, cx0 + cxi * 2,
+                            ovmv_r[cyi, cxi, 0], ovmv_r[cyi, cxi, 1],
+                            2, 2, PC) for cxi in range(4)]
+                        rows.append(jnp.concatenate(rl, axis=1))
+                        rows_u.append(jnp.concatenate(ru_, axis=1))
+                        rows_v.append(jnp.concatenate(rv_, axis=1))
+                    return (jnp.concatenate(rows, axis=0),
+                            jnp.concatenate(rows_u, axis=0),
+                            jnp.concatenate(rows_v, axis=0))
+
+                subl, subu, subv = jax.vmap(sub_pred_ref)(
+                    ref_ups, ref_us, ref_vs, sov_r)
+                pred16_modes = jnp.concatenate(
+                    [pred16_modes, subl[rsub][None]])
+                predu_modes = jnp.concatenate(
+                    [predu_modes, wpc(subu, 0)[rsub][None]])
+                predv_modes = jnp.concatenate(
+                    [predv_modes, wpc(subv, 1)[rsub][None]])
+                hdr_bits_m = jnp.concatenate(
+                    [hdr_bits_m, sb_r[rsub][None]])
+                ref_m = jnp.concatenate([ref_m, rsub[None]])
+                mvds_m = jnp.concatenate(
+                    [mvds_m, jnp.zeros((1, 4, 2), jnp.int32)])
+                mvs_m = jnp.concatenate(
+                    [mvs_m, jnp.zeros((1, 4, 2), jnp.int32)])
+
             # ---- stage 2: full RD — code every mode's residual, cost =
             # reconstruction SSD (Y+U+V) + lambda_mode * true bits ----
             M = pred16_modes.shape[0]                           # 5 modes
@@ -1222,6 +1357,11 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 rd4 = ssd4.astype(jnp.float32) + lam * bits4.astype(
                     jnp.float32)
                 t8 = nsk & ~is_intra & (cbp8 > 0) & (rd8 < rd4)
+                if sub8x8:
+                    # transform_size_8x8_flag is only legal when no
+                    # partition is below 8x8 (spec 7.3.5) — skip the 8x8
+                    # recode for the sub-partitioned winner
+                    t8 = t8 & (win_m != M - 1)
                 zzc = jnp.where(t8, zz8, zzc)
                 rec16_int = jnp.where(t8, rec8, rec16_int)
                 cbp_bits_int = jnp.where(t8, cbp8, cbp_bits_int)
@@ -1269,8 +1409,10 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 rec16_int = jnp.where(use_dec, rec_dec, rec16_int)
                 cbp_bits_int = jnp.where(use_dec, cbp_dec, cbp_bits_int)
 
-            # the zero-MVD candidate (mode index M-1) EMITS as P_16x16
-            emit_m = jnp.where(win_m == M - 1, 0, win_m)
+            # the zero-MVD candidate EMITS as P_16x16 (index M-1, or
+            # M-2 when the sub-partition candidate sits at M-1)
+            zm_idx = M - 2 if sub8x8 else M - 1
+            emit_m = jnp.where(win_m == zm_idx, 0, win_m)
             # emit as P_Skip: the explicit candidate, or a 16x16/ref0
             # winner that happens to match the skip derivation with cbp 0
             is_skip = skip_cand | (
@@ -1325,7 +1467,11 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                                (cac_out != 0).sum(-1), 0)     # [2,2,2]
 
         i4m_cells = jnp.where(sel_i4, i4["modes_cells"], -1)
-        mv_cells = jnp.where(sel_intra, 0, win_mvs[_PART_MAP[emit_m]])
+        mv_cells = jnp.where(sel_intra, 0,
+                             win_mvs[_PART_MAP[jnp.minimum(emit_m, 3)]])
+        if (not intra_only) and sub8x8:
+            is_subw = (~sel_intra) & (~is_skip) & (emit_m == M - 1)
+            mv_cells = jnp.where(is_subw, ov_sel, mv_cells)
         ref_cells = jnp.where(sel_intra, -1,
                               jnp.broadcast_to(win_r, (4, 4)))
 
@@ -1343,13 +1489,23 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                    i4m_cells=i4m_cells, ar_i_add=ar_i_add,
                    ar_p_add=ar_p_add)
 
+        inter_code = 1 + emit_m
+        if (not intra_only) and sub8x8:
+            inter_code = jnp.where(emit_m == M - 1, 7, inter_code)
+            sub_out = jnp.where(is_subw, sub_t_sel, 0)
+            mvd_s_out = jnp.where(is_subw, mvd_s_sel, 0)
+        else:
+            sub_out = jnp.zeros(4, jnp.int32)
+            mvd_s_out = jnp.zeros((4, 4, 2), jnp.int32)
         win_code = jnp.where(sel_i16, 6,
                              jnp.where(sel_i4, 5,
-                                       jnp.where(is_skip, 0, 1 + emit_m)))
+                                       jnp.where(is_skip, 0, inter_code)))
         out = dict(
             win=win_code.astype(jnp.int32),
             ri=jnp.where(sel_intra, 0, win_r).astype(jnp.int32),
             mvd=jnp.where(sel_intra, 0, win_mvds).astype(jnp.int32),
+            sub=sub_out.astype(jnp.int32),
+            mvd_s=mvd_s_out.astype(jnp.int32),
             i4flags=i4["flags"].astype(jnp.int32),
             i16mode=i16["i16mode"],
             i16dc=i16["dc_zz"].astype(jnp.int32),
@@ -1485,12 +1641,13 @@ def _assemble_bands(sym_b, state_b, S: int, sb_h: int, mb_h: int, mb_w: int):
     jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
                               "chroma_qp_offset", "n_slices",
                               "adaptive_rounding", "transform8",
-                              "rdoq_decim"))
+                              "rdoq_decim", "sub8x8"))
 def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, wp_c=None, *, mb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
                  n_slices: int = 1, adaptive_rounding: bool = True,
-                 transform8: bool = False, rdoq_decim: bool = True):
+                 transform8: bool = False, rdoq_decim: bool = True,
+                 sub8x8: bool = False):
     """Encode one frame's decisions + residuals on device.
 
     org_*: int32 planes.  ref_ups [R, 4, 4, H+2P, W+2P] uint8:
@@ -1520,7 +1677,7 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                           chroma_qp_offset=chroma_qp_offset,
                           adaptive_rounding=adaptive_rounding,
                           transform8=transform8,
-                          rdoq_decim=rdoq_decim)
+                          rdoq_decim=rdoq_decim, sub8x8=sub8x8)
     sym_b, state_b = jax.vmap(
         lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
                                              qp, n_valid, fb, wp_c))(
@@ -1532,7 +1689,7 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                         intra_only: bool, chroma_qp_offset: int = 0,
                         n_slices: int = 1, adaptive_rounding: bool = True,
                         transform8: bool = False,
-                        rdoq_decim: bool = True):
+                        rdoq_decim: bool = True, sub8x8: bool = False):
     """Build a jitted frame encoder sharded over ``mesh`` axis ``axis``.
 
     The picture's ``n_slices`` row-band slices are distributed over the
@@ -1561,7 +1718,7 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                           chroma_qp_offset=chroma_qp_offset,
                           adaptive_rounding=adaptive_rounding,
                           transform8=transform8,
-                          rdoq_decim=rdoq_decim)
+                          rdoq_decim=rdoq_decim, sub8x8=sub8x8)
 
     sh = PS(axis)
     rep = PS()
