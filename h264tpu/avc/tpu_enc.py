@@ -121,6 +121,32 @@ def ue_bits(v):
 _CBP_INTER_J = jnp.asarray(np.asarray(CBP_TO_CODENUM_INTER, np.int32))
 
 
+def _luma_nc(nz_cells, st_nnz, mby, mbx, by0, bx0):
+    """True CAVLC nC per 4x4 (spec 9.2.1 predict_nnz) for RD costing.
+
+    nz_cells [..., 4, 4] raster within-MB TotalCoeff of the candidate
+    being costed; st_nnz the band's committed nnz plane; mby/mbx
+    band-local MB coords (bands are slices, so band edges are
+    unavailable exactly like the pack-time derivation).  Returns
+    [..., 4, 4] raster nC (index [_SCANY, _SCANX] for the 4x4 coding
+    order block_bits_est expects)."""
+    left_outer = jax.lax.dynamic_slice(
+        st_nnz, (by0, jnp.maximum(bx0 - 1, 0)), (4, 1))[:, 0]
+    top_outer = jax.lax.dynamic_slice(
+        st_nnz, (jnp.maximum(by0 - 1, 0), bx0), (1, 4))[0]
+    lead = nz_cells.shape[:-2]
+    lo = jnp.broadcast_to(left_outer[:, None], (*lead, 4, 1))
+    to = jnp.broadcast_to(top_outer[None, :], (*lead, 1, 4))
+    nA = jnp.concatenate([lo, nz_cells[..., :, :3]], axis=-1)
+    nB = jnp.concatenate([to, nz_cells[..., :3, :]], axis=-2)
+    availA = jnp.broadcast_to(
+        jnp.where(jnp.arange(4) == 0, mbx > 0, True)[None, :], (4, 4))
+    availB = jnp.broadcast_to(
+        jnp.where(jnp.arange(4) == 0, mby > 0, True)[:, None], (4, 4))
+    return jnp.where(availA & availB, (nA + nB + 1) >> 1,
+                     jnp.where(availA, nA, jnp.where(availB, nB, 0)))
+
+
 def lambdas(qp):
     """(lambda_mode, lambda_me) as traced f32 (JM 0.85 * 2^((QP-12)/3))."""
     lam = jnp.float32(0.85) * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
@@ -498,7 +524,8 @@ for _k in range(16):
 _TR_INMB_OK = jnp.asarray(_TR_INMB_OK)
 
 
-def _eval_i16(rec_pad, org16, mby, mbx, qp, lam, ar_off=None):
+def _eval_i16(rec_pad, org16, mby, mbx, qp, lam, ar_off=None,
+              nnz_plane=None):
     """Intra 16x16 RD over 4 modes.  Returns dict(i16mode, dc_zz [16],
     ac_zzs [4,4,15], cbp_luma bool, rec [16,16], ssd, cost, fadj).
 
@@ -537,9 +564,19 @@ def _eval_i16(rec_pad, org16, mby, mbx, qp, lam, ar_off=None):
     # RD uses the chain-free bit estimate (block_bits_est): the exact
     # vlcnum/zerosleft adaptations are sequential chains that dominate the
     # TPU step time; the estimate only shifts decisions, never syntax
-    ac_bits = CJ.block_bits_est(ac_flat, jnp.zeros(64, jnp.int32), 15)
+    if nnz_plane is None:
+        nc_ac = jnp.zeros(64, jnp.int32)
+        nc_dc = jnp.zeros(4, jnp.int32)
+    else:
+        nz_cells = jnp.where(cbp[:, None, None],
+                             (ac_zz != 0).sum(-1), 0)           # [4,4,4]
+        nc_r = _luma_nc(nz_cells, nnz_plane, mby, mbx,
+                        mby * 4, mbx * 4)                       # [4,4,4]
+        nc_ac = nc_r.reshape(4, 16).reshape(-1)
+        nc_dc = nc_r[:, 0, 0]        # DC nC = predict_nnz(0,0) (9.2.1)
+    ac_bits = CJ.block_bits_est(ac_flat, nc_ac, 15)
     ac_bits = ac_bits.reshape(4, 16).sum(-1)
-    dc_bits = CJ.block_bits_est(dc_zz, jnp.zeros(4, jnp.int32), 16)
+    dc_bits = CJ.block_bits_est(dc_zz, nc_dc, 16)
     bits = jnp.where(cbp, ac_bits, 0) + dc_bits
     cost = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32)
     cost = jnp.where(allowed, cost, BIG)
@@ -971,7 +1008,8 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
         org_v8 = jax.lax.dynamic_slice(org_v, (cy0, cx0), (8, 8))
 
         # ---- intra candidates ----
-        i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam, ar_off=ar_i)
+        i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam,
+                        ar_off=ar_i, nnz_plane=st["nnz_y"])
         i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org16, mby, mbx,
                       qp, lam, sb_h, mb_w, ar_off=ar_i)
         ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u8, org_v8,
@@ -1263,9 +1301,13 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 + ((org_v8[None] - crecs_m[:, 1]) ** 2).sum(axis=(1, 2))
             cbp_m = cbpL_m | (cbpC_m << 4)                      # [M]
             cbp_ue_m = ue_bits(_CBP_INTER_J[cbp_m])
+            nz_cells_m = jnp.zeros((M, 4, 4), jnp.int32).at[
+                :, _SCANY, _SCANX].set((zzc_m != 0).sum(-1))
+            nc_m = _luma_nc(nz_cells_m, st["nnz_y"], mby, mbx, by0, bx0
+                            )[:, _SCANY, _SCANX]
             lum_bits = CJ.block_bits_est(
                 zzc_m.reshape(M * 16, 16),
-                jnp.zeros(M * 16, jnp.int32), 16).reshape(M, 16)
+                nc_m.reshape(M * 16), 16).reshape(M, 16)
             blk_coded = ((cbpL_m[:, None] >> (jnp.arange(16) // 4)) & 1) > 0
             lum_bits = jnp.where(blk_coded, lum_bits, 0).sum(-1)
             cdc_bits = CJ.block_bits_est(
@@ -1342,8 +1384,11 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 # (luma SSD + bits only — chroma is identical both ways)
                 zz8, rec8, cbp8, _n8 = _code_inter_luma8(org16, pred16, qp)
                 ssd8 = ((org16 - rec8) ** 2).sum()
-                bits8 = CJ.block_bits_est(
-                    zz8, jnp.zeros(16, jnp.int32), 16).reshape(4, 4)
+                nz8_cells = jnp.zeros((4, 4), jnp.int32).at[
+                    _SCANY, _SCANX].set((zz8 != 0).sum(-1))
+                nc8 = _luma_nc(nz8_cells, st["nnz_y"], mby, mbx, by0, bx0
+                               )[_SCANY, _SCANX]
+                bits8 = CJ.block_bits_est(zz8, nc8, 16).reshape(4, 4)
                 coded8 = ((cbp8 >> jnp.arange(4)) & 1) > 0
                 bits8 = jnp.where(coded8[:, None], bits8, 0).sum()
                 ssd4 = ((org16 - rec16_int) ** 2).sum()
@@ -1389,12 +1434,18 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 nz_dec = (zz_dec != 0).any(-1).reshape(4, 4).any(-1)
                 cbp_dec = (nz_dec.astype(jnp.int32)
                            * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
+                nzd_cells = jnp.zeros((4, 4), jnp.int32).at[
+                    _SCANY, _SCANX].set((zz_dec != 0).sum(-1))
                 bits_dec = CJ.block_bits_est(
-                    zz_dec, jnp.zeros(16, jnp.int32), 16)
+                    zz_dec, _luma_nc(nzd_cells, st["nnz_y"], mby, mbx,
+                                     by0, bx0)[_SCANY, _SCANX], 16)
                 cod_dec = ((cbp_dec >> (jnp.arange(16) // 4)) & 1) > 0
                 bits_dec = jnp.where(cod_dec, bits_dec, 0).sum()
+                nzc_cur = jnp.zeros((4, 4), jnp.int32).at[
+                    _SCANY, _SCANX].set((zzc != 0).sum(-1))
                 bits_cur = CJ.block_bits_est(
-                    zzc, jnp.zeros(16, jnp.int32), 16)
+                    zzc, _luma_nc(nzc_cur, st["nnz_y"], mby, mbx,
+                                  by0, bx0)[_SCANY, _SCANX], 16)
                 cod_cur = ((cbp_bits_int >> (jnp.arange(16) // 4)) & 1) > 0
                 bits_cur = jnp.where(cod_cur, bits_cur, 0).sum()
                 dcbp = ue_bits(_CBP_INTER_J[cbp_dec | (cbp_c_int << 4)]) \
