@@ -247,5 +247,12 @@ def assemble_stream(p: AVCParams, slices) -> bytes:
     for entry in slices:
         idr, rbsp = entry[0], entry[1]
         ref_idc = entry[2] if len(entry) > 2 else 3
-        nalus.append(NALU(NAL_IDR if idr else NAL_SLICE, ref_idc, rbsp))
+        if isinstance(rbsp, tuple):
+            # data-partitioned slice (spec 7.4.1): A/B/C -> NAL 2/3/4
+            a, b, c = rbsp
+            nalus.append(NALU(2, ref_idc, a))
+            nalus.append(NALU(3, ref_idc, b))
+            nalus.append(NALU(4, ref_idc, c))
+        else:
+            nalus.append(NALU(NAL_IDR if idr else NAL_SLICE, ref_idc, rbsp))
     return annexb_write(nalus)

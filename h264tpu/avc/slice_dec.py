@@ -19,9 +19,12 @@ counterpart is ``JM/ldecod/src/{image.c:809 decode_one_frame,
 mb_read.c:1139, read_comp_cavlc.c, mb_prediction.c, mc_direct.c}``
 (SURVEY §3.5, J17/J18).
 
-Unsupported (raises): fields/MBAFF, 4:2:2/4:4:4, 8x8 transform / High
-profile, long-term reordering ops, implicit weighted bipred, data
-partitioning.
+Also decoded: High profile / 8x8 transform (CAVLC + CABAC), scaling
+lists (default and transmitted), POC type 1, long-term reordering,
+implicit weighted bipred, data partitioning (NAL 2/3/4), HRD VUI, and
+MVC 2-view stereo (``decode_mvc``).
+
+Unsupported (raises): fields/MBAFF, 4:2:2/4:4:4/>8-bit.
 """
 
 from __future__ import annotations
@@ -298,7 +301,11 @@ class AVCDecoder:
         self._idr_epoch = 0
         self._pic = None
         poc_reorder = False
-        for n in annexb_parse(stream):
+        nals = list(annexb_parse(stream))
+        i = 0
+        while i < len(nals):
+            n = nals[i]
+            i += 1
             if n.nal_type == NAL_SPS:
                 s = parse_sps(n.rbsp)
                 self.sps[s["sps_id"]] = s
@@ -306,9 +313,19 @@ class AVCDecoder:
             elif n.nal_type == NAL_PPS:
                 p = parse_pps(n.rbsp)
                 self.pps[p["pps_id"]] = p
-            elif n.nal_type in (NAL_IDR, NAL_SLICE):
+            elif n.nal_type in (NAL_IDR, NAL_SLICE, 2):
+                dp = None
+                if n.nal_type == 2:          # DP partition A (7.4.1)
+                    rb = rc = None
+                    while i < len(nals) and nals[i].nal_type in (3, 4):
+                        if nals[i].nal_type == 3:
+                            rb = nals[i].rbsp
+                        else:
+                            rc = nals[i].rbsp
+                        i += 1
+                    dp = (rb, rc)
                 fr = self._decode_slice(n.rbsp, n.nal_type == NAL_IDR,
-                                        n.ref_idc)
+                                        n.ref_idc, dp=dp)
                 if fr is not None:
                     out.append(fr)
                     if max_frames and len(out) >= max_frames:
@@ -504,9 +521,16 @@ class AVCDecoder:
                         self.dpb.pop(0)
         return frame
 
-    def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int):
+    def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int,
+                      dp=None):
         """Decode one slice; returns a finished frame when this slice
-        starts a new picture (the previous picture completes), else None."""
+        starts a new picture (the previous picture completes), else None.
+
+        ``dp``: (rbsp_b, rbsp_c) when ``rbsp`` is a partition-A NAL
+        (type 2, spec 7.4.1) — the slice header + category-2 syntax read
+        from A, intra residual from B (type 3), inter residual from C
+        (type 4); each of B/C opens with its own slice_id (JM ldecod
+        image.c:1634 read_new_slice DP handling)."""
         r = BitReader(rbsp)
         first_mb = self._tr(r, "first_mb_in_slice", r.ue())
         slice_type = self._tr(r, "slice_type", r.ue()) % 5
@@ -795,12 +819,28 @@ class AVCDecoder:
             grp = int(gmap[first_mb])
             mb_seq = [i for i in np.flatnonzero(gmap == grp)
                       if i >= first_mb]
+        r_b = r_c = None
+        if dp is not None:
+            if pps["cabac"]:
+                raise ValueError("data partitioning requires CAVLC")
+            slice_id = self._tr(r, "slice_id", r.ue())
+            readers = []
+            for part in dp:                  # (rbsp_b, rbsp_c)
+                if part is None:
+                    readers.append(None)
+                    continue
+                pr = BitReader(part)
+                assert pr.ue() == slice_id, "DP slice_id mismatch"
+                if pps["redundant_pic_cnt"]:
+                    pr.ue()
+                readers.append(pr)
+            r_b, r_c = readers
         dec = _SliceDecoder(self, sps, pps, slice_type, qp, refs, r,
                             mb_w, mb_h, num_ref, first_mb=first_mb, pic=pic,
                             rbsp=rbsp, cabac_init_idc=cabac_init_idc,
                             refs1=refs1, num_ref_l1=num_ref_l1, col=col,
                             wp=wp, direct_spatial=direct_spatial,
-                            gmap=gmap, mb_seq=mb_seq)
+                            gmap=gmap, mb_seq=mb_seq, r_b=r_b, r_c=r_c)
         dec.run()
         return done
 
@@ -809,8 +849,14 @@ class _SliceDecoder:
     def __init__(self, top, sps, pps, slice_type, qp, refs, r, mb_w, mb_h,
                  num_ref=1, first_mb=0, pic=None, rbsp=None,
                  cabac_init_idc=0, refs1=None, num_ref_l1=1, col=None,
-                 wp=None, direct_spatial=True, gmap=None, mb_seq=None):
+                 wp=None, direct_spatial=True, gmap=None, mb_seq=None,
+                 r_b=None, r_c=None):
         self.top = top
+        # data partitioning (spec 7.4.1, NAL 2/3/4): category-2 syntax
+        # reads from ``r`` (partition A), intra residual from B, inter
+        # residual from C; without DP all three are the same reader
+        self.r_b = r_b if r_b is not None else r
+        self.r_c = r_c if r_c is not None else r
         self.wp = wp
         self.direct_spatial = direct_spatial
         self.gmap = gmap                    # FMO slice-group map (flat)
@@ -1244,7 +1290,7 @@ class _SliceDecoder:
                 b8 = (y4 // 2) * 2 + (x4 // 2)
                 if cbp_luma & (1 << b8):
                     nc = self._nc_luma(bby, bbx)
-                    zz = CV.read_block(r, nc, 16)
+                    zz = CV.read_block(self.r_b, nc, 16)
                     self.st_nnz[bby, bbx] = int((zz != 0).sum())
                     zzs[k] = zz
                 else:
@@ -1273,7 +1319,7 @@ class _SliceDecoder:
                                         avail_t, avail_l)
             pred = preds[i16mode]
             nc = self._nc_luma(by, bx)
-            dc_zz = CV.read_block(r, nc, 16)
+            dc_zz = CV.read_block(self.r_b, nc, 16)
             dc_lev = Q.unzigzag(dc_zz)
             dc_deq = self._dqdc16(dc_lev, qp)
             ac = np.zeros((4, 4, 4, 4), np.int64)
@@ -1282,7 +1328,7 @@ class _SliceDecoder:
                 bby, bbx = by + y4, bx + x4
                 if cbp_luma_nz:
                     nc = self._nc_luma(bby, bbx)
-                    zz15 = CV.read_block(r, nc, 15)
+                    zz15 = CV.read_block(self.r_b, nc, 15)
                     self.st_nnz[bby, bbx] = int((zz15 != 0).sum())
                     full = np.zeros(16, np.int64)
                     full[1:] = zz15
@@ -1300,15 +1346,16 @@ class _SliceDecoder:
             self._decode_residual_chroma(mby, mbx, cbp_chroma, qp,
                                          intra=True, ch_mode=ch_mode)
         elif intra_type == 25:               # I_PCM (spec 7.3.5 / 8.3.5)
-            r.align()                        # pcm_alignment_zero_bit(s)
+            rp = self.r_b                    # sample cat 3 -> partition B
+            rp.align()                       # pcm_alignment_zero_bit(s)
             y0, x0 = mby * 16, mbx * 16
             cy0, cx0 = mby * 8, mbx * 8
             self.rec_y[y0:y0 + 16, x0:x0 + 16] = np.array(
-                [r.u(8) for _ in range(256)], np.int64).reshape(16, 16)
+                [rp.u(8) for _ in range(256)], np.int64).reshape(16, 16)
             self.rec_u[cy0:cy0 + 8, cx0:cx0 + 8] = np.array(
-                [r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
+                [rp.u(8) for _ in range(64)], np.int64).reshape(8, 8)
             self.rec_v[cy0:cy0 + 8, cx0:cx0 + 8] = np.array(
-                [r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
+                [rp.u(8) for _ in range(64)], np.int64).reshape(8, 8)
             # spec: PCM MBs count TotalCoeff 16 for nC and deblock as
             # max-strength intra with QP 0
             self.st_nnz[by:by + 4, bx:bx + 4] = 16
@@ -1352,7 +1399,7 @@ class _SliceDecoder:
     # ------------------------------------------------------------------
     def _decode_residual_luma(self, mby, mbx, cbp_luma, qp, intra16):
         """Inter luma residual: parse + add to the MC prediction in recon."""
-        r = self.r
+        r = self.r_c                         # DP: inter residual = C
         by, bx = mby * 4, mbx * 4
         y0, x0 = mby * 16, mbx * 16
         lev = np.zeros((4, 4, 4, 4), np.int64)
@@ -1378,17 +1425,18 @@ class _SliceDecoder:
 
     # --- High profile: 8x8 transform (spec 8.5.12.2; JM ldecod
     # transform8x8.c itrans8x8 / read_comp_cavlc.c interleaved 4x4) ---
-    def _read_zz64_cavlc(self, mby, mbx, y8, x8):
+    def _read_zz64_cavlc(self, mby, mbx, y8, x8, intra=False):
         """CAVLC 8x8 residual: four interleaved 4x4 blocks — coefficient
         k of sub-block b4 sits at 8x8 zig-zag position 4*k + b4; each
         sub-block keeps its own total_coeff for nC/nnz (spec 7.3.5.3.2,
         JM read_comp_coeff_4x4_CAVLC with luma_transform_size_8x8_flag)."""
         by, bx = mby * 4 + y8 * 2, mbx * 4 + x8 * 2
+        rr = self.r_b if intra else self.r_c
         zz64 = np.zeros(64, np.int64)
         for b4 in range(4):
             bby, bbx = by + (b4 >> 1), bx + (b4 & 1)
             nc = self._nc_luma(bby, bbx)
-            zz = CV.read_block(self.r, nc, 16)
+            zz = CV.read_block(rr, nc, 16)
             self.st_nnz[bby, bbx] = int((zz != 0).sum())
             zz64[4 * np.arange(16) + b4] = zz
         return zz64
@@ -1448,7 +1496,7 @@ class _SliceDecoder:
         for b8 in range(4):
             y8, x8 = b8 >> 1, b8 & 1
             if cbp_luma & (1 << b8):
-                zz64 = self._read_zz64_cavlc(mby, mbx, y8, x8)
+                zz64 = self._read_zz64_cavlc(mby, mbx, y8, x8, intra=True)
             else:
                 zz64 = np.zeros(64, np.int64)
                 self.st_nnz[by + y8 * 2:by + y8 * 2 + 2,
@@ -1501,7 +1549,7 @@ class _SliceDecoder:
 
     def _decode_residual_chroma(self, mby, mbx, cbp_chroma, qp, intra,
                                 ch_mode=None):
-        r = self.r
+        r = self.r_b if intra else self.r_c
         qpc = Q.chroma_qp(qp, self.pps["chroma_qp_offset"])
         cy, cx = mby * 8, mbx * 8
         if intra:

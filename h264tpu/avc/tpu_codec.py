@@ -138,7 +138,7 @@ class TPUAVCCodec:
                  search_range: int = 16, check_conformance: bool = True,
                  n_slices: int = 1, mesh=None, mesh_axis: str = "slice",
                  bframes: int = 0, hierarchical: bool = False,
-                 sub8x8: bool = False):
+                 sub8x8: bool = False, data_partitioning: bool = False):
         """``n_slices``: split each picture into that many equal row-band
         slices (must divide mb_h).  Slices reset all prediction/entropy
         contexts, so the device decision scan runs them concurrently —
@@ -165,6 +165,10 @@ class TPUAVCCodec:
         if sub8x8 and (p.cabac or bframes > 0):
             raise NotImplementedError("P8x8 sub-partitions are "
                                       "CAVLC-IPPP for now")
+        self.data_partitioning = data_partitioning
+        if data_partitioning and (p.cabac or bframes > 0):
+            raise NotImplementedError("data partitioning is CAVLC "
+                                      "P/I only (spec 7.4.1)")
         self._sharded = {}
         if bframes > 0:
             if p.poc_type != 0:
@@ -278,6 +282,12 @@ class TPUAVCCodec:
                         sym, p, fqp, frame_num=fn, num_ref=nv,
                         row0=s0 * rows, n_rows=rows)
                         for s0 in range(self.n_slices)]
+                elif self.data_partitioning:
+                    rbsps = [PK.pack_p_slice(sym, p, fqp, frame_num=fn,
+                                             num_ref=nv,
+                                             row0=s0 * rows, n_rows=rows,
+                                             wp=wp, dp_slice_id=s0)
+                             for s0 in range(self.n_slices)]
                 elif AN.available() and not self.sub8x8:
                     # the C packer has no sub_mb_type support yet
                     rbsps = [AN.pack_slice(sym, p, SLICE_P, fqp, fn,
@@ -295,7 +305,9 @@ class TPUAVCCodec:
                 slices.append((pend["idr"], rb))
             res = AVCFrameResult(
                 frame_type=pend["ftype"],
-                bits=sum(len(rb) for rb in rbsps) * 8,
+                bits=sum(len(x) for rb in rbsps
+                         for x in (rb if isinstance(rb, tuple)
+                                   else (rb,))) * 8,
                 psnr_y=pend["psnr_y"], recon=pend["rec8"])
             results.append(res)
             if verbose:
