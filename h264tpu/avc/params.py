@@ -45,6 +45,10 @@ class AVCParams:
     # High profile (profile_idc 100): enable the per-MB 8x8 luma
     # transform choice (PPS transform_8x8_mode_flag; spec 7.4.2.2)
     transform_8x8: bool = False
+    # High-profile scaling lists: None (flat) or "default" — emit
+    # seq_scaling_matrix signalling the spec default matrices
+    # (Tables 7-3/7-4) and quantize/reconstruct with them
+    scaling_matrix: str = None
     # HRD (spec E.1.2 / Annex C): (bit_rate_bps, cpb_size_bits) emits
     # nal_hrd_parameters in the VUI (one CPB schedule, 24-bit delay
     # fields) so buffering_period/pic_timing SEI can reference it
@@ -75,7 +79,16 @@ def write_sps(p: AVCParams) -> bytes:
         w.ue(0)                    # bit_depth_luma_minus8
         w.ue(0)                    # bit_depth_chroma_minus8
         w.u(0, 1)                  # qpprime_y_zero_transform_bypass_flag
-        w.u(0, 1)                  # seq_scaling_matrix_present_flag
+        if p.scaling_matrix == "default":
+            # seq_scaling_matrix with all 8 lists signalling
+            # UseDefaultScalingMatrix (7.3.2.1.1.1: first delta_scale
+            # = -8 makes nextScale 0 at scan 0)
+            w.u(1, 1)              # seq_scaling_matrix_present_flag
+            for _ in range(8):
+                w.u(1, 1)          # seq_scaling_list_present_flag[i]
+                w.se(-8)           # delta_scale -> use_default
+        else:
+            w.u(0, 1)              # seq_scaling_matrix_present_flag
     w.ue(p.log2_max_frame_num - 4)
     w.ue(p.poc_type)
     if p.poc_type == 0:

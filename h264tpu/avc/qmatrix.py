@@ -148,6 +148,32 @@ def resolve_qmatrix(seq, pic):
     return base
 
 
+def enc_tables_default():
+    """Device-encoder tables for the spec DEFAULT matrices: per list,
+    MF = (quant_coef << 4) // qmatrix (JM lencod q_matrix.c LevelScale)
+    and ILS = dequant_coef * qmatrix (ldecod InvLevelScale).  The
+    default Cb/Cr lists equal the luma ones (Table 7-2), so only the
+    intra/inter split matters."""
+    import jax.numpy as jnp
+    from .quant import QUANT_COEF, DEQUANT_COEF
+    from .tables8 import QUANT_COEF8, DEQUANT_COEF8
+
+    def t4(qm):
+        q = np.asarray(QUANT_COEF, np.int64)
+        return dict(mf=jnp.asarray((q << 4) // qm, jnp.int32),
+                    ils=jnp.asarray(
+                        np.asarray(DEQUANT_COEF, np.int64) * qm, jnp.int32))
+
+    def t8(qm):
+        q = np.asarray(QUANT_COEF8, np.int64)
+        return dict(mf=jnp.asarray((q << 4) // qm, jnp.int32),
+                    ils=jnp.asarray(
+                        np.asarray(DEQUANT_COEF8, np.int64) * qm, jnp.int32))
+
+    return dict(i4=t4(DEFAULT_4x4_INTRA), p4=t4(DEFAULT_4x4_INTER),
+                i8=t8(DEFAULT_8x8_INTRA), p8=t8(DEFAULT_8x8_INTER))
+
+
 # ---------------------------------------------------------------------------
 # Weighted dequantization (JM InvLevelScale semantics)
 # ---------------------------------------------------------------------------

@@ -92,10 +92,11 @@ def idct8x8(w):
     return t
 
 
-def quant8x8(w, qp, intra: bool, offsets=None):
+def quant8x8(w, qp, intra: bool, offsets=None, mf=None):
     """quant_8x8_normal: level = (|w|*MF8 + off<<(qbits-11)) >> qbits,
     qbits = 16 + qp//6.  ``offsets``: optional adaptive-rounding [8,8]
-    state in Q11 (JVT-N011 8x8 twin)."""
+    state in Q11 (JVT-N011 8x8 twin).  ``mf``: optional weighted
+    [6, 8, 8] LevelScale8x8 ((quant_coef8 << 4) // qmatrix)."""
     qp = jnp.asarray(qp, jnp.int32)
     per, rem = qp // 6, qp % 6
     if offsets is None:
@@ -103,15 +104,18 @@ def quant8x8(w, qp, intra: bool, offsets=None):
     else:
         off = offsets.astype(jnp.int32)
     off = off << (5 + per)                       # Q11 -> qbits scale
-    lev = (jnp.abs(w) * _MF8[rem] + off) >> (Q_BITS_8 + per)
+    mfr = _MF8[rem] if mf is None else mf[rem]
+    lev = (jnp.abs(w) * mfr + off) >> (Q_BITS_8 + per)
     return jnp.sign(w) * lev
 
 
-def dequant8x8(lev, qp):
-    """rshift_rnd_sf((level * (V8 << 4)) << per, 6)."""
+def dequant8x8(lev, qp, ils=None):
+    """rshift_rnd_sf((level * (V8 << 4)) << per, 6); weighted ``ils``
+    [6, 8, 8] = dequant_coef8 * qmatrix (== V8 << 4 at qmatrix 16)."""
     qp = jnp.asarray(qp, jnp.int32)
     per, rem = qp // 6, qp % 6
-    v = (lev * (_V8[rem] << 4)) << per
+    v8 = (_V8[rem] << 4) if ils is None else ils[rem]
+    v = (lev * v8) << per
     return (v + 32) >> 6
 
 

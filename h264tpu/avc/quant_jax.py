@@ -46,18 +46,20 @@ def fdct4x4(x):
     return jnp.einsum("ij,...jk,lk->...il", _CF, x.astype(jnp.int32), _CF)
 
 
-def quant4x4(w, qp, intra, offsets=None):
+def quant4x4(w, qp, intra, offsets=None, mf=None):
     """intra: static bool.  ``offsets``: optional [4, 4] int32 rounding
     offsets in Q11 (JVT-N011 adaptive rounding state; OffsetBits=11 as
     ``JM/lencod/src/q_offsets.c``); None = the fixed 682/342 defaults
-    (``quant4x4_normal.c``)."""
+    (``quant4x4_normal.c``).  ``mf``: optional [6, 4, 4] weighted
+    LevelScale table ((quant_coef << 4) // qmatrix, JM q_matrix.c) for
+    High-profile scaling lists; None = the flat tables."""
     qp = jnp.asarray(qp, jnp.int32)
     per, rem = qp // 6, qp % 6
     if offsets is None:
         off = jnp.int32(OFFSET_INTRA if intra else OFFSET_INTER) << (4 + per)
     else:
         off = offsets.astype(jnp.int32) << (4 + per)
-    mf = _MF[rem]
+    mf = _MF[rem] if mf is None else mf[rem]
     lev = (jnp.abs(w) * mf + off) >> (Q_BITS + per)
     lev = jnp.minimum(lev, CAVLC_LEVEL_LIMIT)
     return jnp.sign(w) * lev
@@ -67,7 +69,7 @@ AR_WEIGHT = 8          # JM AdaptRndWeight default
 AR_RANGE = 1024        # 1 << (OffsetBits - 1)
 
 
-def ar_fadjust(w, lev, qp):
+def ar_fadjust(w, lev, qp, mf=None):
     """JVT-N011 per-position rounding adjustment (quant4x4_around.c:96):
     rshift_rnd_sf(W * (scaled - (level << q_bits)), q_bits + 1) where the
     coefficient was quantized to a nonzero level, else 0.
@@ -79,16 +81,21 @@ def ar_fadjust(w, lev, qp):
     per, rem = qp // 6, qp % 6
     qbits = Q_BITS + per
     la = jnp.abs(lev)
-    scaled = jnp.abs(w) * _MF[rem]
+    scaled = jnp.abs(w) * (_MF[rem] if mf is None else mf[rem])
     diff = AR_WEIGHT * (scaled - (la << qbits))
     adj = (diff + (jnp.int32(1) << qbits)) >> (qbits + 1)
     return jnp.where((w != 0) & (la != 0), adj, 0)
 
 
-def dequant4x4(lev, qp):
+def dequant4x4(lev, qp, ils=None):
+    """Flat: (lev * V) << per.  Weighted (``ils`` [6, 4, 4] =
+    dequant_coef * qmatrix): rshift_rnd_sf((lev * ILS) << per, 4) —
+    identical at qmatrix == 16."""
     qp = jnp.asarray(qp, jnp.int32)
     per, rem = qp // 6, qp % 6
-    return (lev * _V[rem]) << per
+    if ils is None:
+        return (lev * _V[rem]) << per
+    return (((lev * ils[rem]) << per) + 8) >> 4
 
 
 def zigzag(levels):
@@ -104,21 +111,21 @@ def hadamard4x4_fwd(dc):
     return t >> 1
 
 
-def quant_dc16(h, qp):
+def quant_dc16(h, qp, mf4=None):
     qp = jnp.asarray(qp, jnp.int32)
     per, rem = qp // 6, qp % 6
-    mf = _MF[rem, 0, 0]
+    mf = _MF[rem, 0, 0] if mf4 is None else mf4[rem, 0, 0]
     off = jnp.int32(OFFSET_INTRA) << (4 + per)
     lev = (jnp.abs(h) * mf + (off << 1)) >> (Q_BITS + per + 1)
     lev = jnp.minimum(lev, CAVLC_LEVEL_LIMIT)
     return jnp.sign(h) * lev
 
 
-def dequant_dc16(lev, qp):
+def dequant_dc16(lev, qp, ils=None):
     qp = jnp.asarray(qp, jnp.int32)
     per, rem = qp // 6, qp % 6
     m6 = jnp.einsum("ij,...jk,lk->...il", _H4, lev.astype(jnp.int32), _H4)
-    v16 = _V[rem, 0, 0] * 16
+    v16 = _V[rem, 0, 0] * 16 if ils is None else ils[rem, 0, 0]
     return (((m6 * v16) << per) + 32) >> 6
 
 
@@ -130,23 +137,23 @@ def hadamard2x2_fwd(dc):
                       a - b - c + e], axis=-1)
 
 
-def quant_dc_chroma(h, qpc, intra):
+def quant_dc_chroma(h, qpc, intra, mf4=None):
     qpc = jnp.asarray(qpc, jnp.int32)
     per, rem = qpc // 6, qpc % 6
-    mf = _MF[rem, 0, 0]
+    mf = _MF[rem, 0, 0] if mf4 is None else mf4[rem, 0, 0]
     off = jnp.int32(OFFSET_INTRA if intra else OFFSET_INTER) << (4 + per)
     lev = (jnp.abs(h) * mf + (off << 1)) >> (Q_BITS + per + 1)
     lev = jnp.minimum(lev, CAVLC_LEVEL_LIMIT)
     return jnp.sign(h) * lev
 
 
-def dequant_dc_chroma(lev, qpc):
+def dequant_dc_chroma(lev, qpc, ils=None):
     """[..., 4] levels -> [..., 2, 2] dequantized DC."""
     qpc = jnp.asarray(qpc, jnp.int32)
     per, rem = qpc // 6, qpc % 6
     l0, l1, l2, l3 = (lev[..., i].astype(jnp.int32) for i in range(4))
     t = jnp.stack([l0 + l1 + l2 + l3, l0 - l1 + l2 - l3,
                    l0 + l1 - l2 - l3, l0 - l1 - l2 + l3], axis=-1)
-    v16 = _V[rem, 0, 0] * 16
+    v16 = _V[rem, 0, 0] * 16 if ils is None else ils[rem, 0, 0]
     out = ((t * v16) << per) >> 5
     return out.reshape(*lev.shape[:-1], 2, 2)

@@ -169,6 +169,15 @@ class TPUAVCCodec:
         if data_partitioning and (p.cabac or bframes > 0):
             raise NotImplementedError("data partitioning is CAVLC "
                                       "P/I only (spec 7.4.1)")
+        if p.scaling_matrix is not None:
+            if p.scaling_matrix != "default":
+                raise NotImplementedError("only the spec default "
+                                          "matrices are supported")
+            if p.profile_idc < 100:
+                raise ValueError("scaling lists need High profile")
+            if bframes > 0:
+                raise NotImplementedError("scaling lists in the B "
+                                          "driver are not wired")
         self._sharded = {}
         if bframes > 0:
             if p.poc_type != 0:
@@ -199,7 +208,8 @@ class TPUAVCCodec:
         kw = dict(mb_h=p.mb_h, mb_w=p.mb_w, sr=self.sr,
                   intra_only=intra_only, n_slices=self.n_slices,
                   chroma_qp_offset=p.chroma_qp_offset,
-                  transform8=p.transform_8x8, sub8x8=self.sub8x8)
+                  transform8=p.transform_8x8, sub8x8=self.sub8x8,
+                  scaling_default=p.scaling_matrix == "default")
         if self.mesh is None:
             return functools.partial(TE.encode_frame, **kw)
         if intra_only not in self._sharded:

@@ -525,7 +525,7 @@ _TR_INMB_OK = jnp.asarray(_TR_INMB_OK)
 
 
 def _eval_i16(rec_pad, org16, mby, mbx, qp, lam, ar_off=None,
-              nnz_plane=None):
+              nnz_plane=None, qm=None):
     """Intra 16x16 RD over 4 modes.  Returns dict(i16mode, dc_zz [16],
     ac_zzs [4,4,15], cbp_luma bool, rec [16,16], ssd, cost, fadj).
 
@@ -545,14 +545,17 @@ def _eval_i16(rec_pad, org16, mby, mbx, qp, lam, ar_off=None,
     w = QJ.fdct4x4(blocks)                                      # [4,4,4,4,4]
     dc = w[..., 0, 0]
     had = QJ.hadamard4x4_fwd(dc)
-    dc_lev = QJ.quant_dc16(had, qp)
-    dc_deq = QJ.dequant_dc16(dc_lev, qp)
-    ac_lev = QJ.quant4x4(w, qp, True, offsets=ar_off)
+    mf_i = ils_i = None
+    if qm is not None:
+        mf_i, ils_i = qm["i4"]["mf"], qm["i4"]["ils"]
+    dc_lev = QJ.quant_dc16(had, qp, mf4=mf_i)
+    dc_deq = QJ.dequant_dc16(dc_lev, qp, ils=ils_i)
+    ac_lev = QJ.quant4x4(w, qp, True, offsets=ar_off, mf=mf_i)
     ac_lev = ac_lev.at[..., 0, 0].set(0)
     ac_zz = QJ.zigzag(ac_lev)[..., 1:]                          # [4,4,4,15]
     cbp = (ac_zz != 0).any(axis=(-1, -2, -3))                   # [4]
     deq = jnp.where(cbp[:, None, None, None, None],
-                    QJ.dequant4x4(ac_lev, qp), 0)
+                    QJ.dequant4x4(ac_lev, qp, ils=ils_i), 0)
     deq = deq.at[..., 0, 0].set(dc_deq)
     pred_b = preds.reshape(4, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
     rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
@@ -581,13 +584,13 @@ def _eval_i16(rec_pad, org16, mby, mbx, qp, lam, ar_off=None,
     cost = ssd.astype(jnp.float32) + lam * bits.astype(jnp.float32)
     cost = jnp.where(allowed, cost, BIG)
     m = jnp.argmin(cost)
-    fadj = QJ.ar_fadjust(w[m], ac_lev[m], qp).sum(axis=(0, 1))
+    fadj = QJ.ar_fadjust(w[m], ac_lev[m], qp, mf=mf_i).sum(axis=(0, 1))
     return dict(i16mode=m.astype(jnp.int32), dc_zz=dc_zz[m], ac_zzs=ac_zz[m],
                 cbp_luma=cbp[m], rec=rec[m], cost=cost[m], fadj=fadj)
 
 
 def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
-             mb_h: int, mb_w: int, ar_off=None):
+             mb_h: int, mb_w: int, ar_off=None, qm=None):
     """Intra 4x4 RD (sequential 16-block sub-scan).
 
     ``mby``/``mbx``/``mb_h`` are slice-local; org pixels pre-sliced.
@@ -598,6 +601,9 @@ def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
     h4, w4 = mb_h * 4, mb_w * 4
     patch = jax.lax.dynamic_slice(rec_pad, (y0, x0), (17, 25))
     org16 = org16.astype(jnp.int32)
+    mf_i = ils_i = None
+    if qm is not None:
+        mf_i, ils_i = qm["i4"]["mf"], qm["i4"]["ils"]
 
     # neighbor-MB context (clipped reads; masked by avail flags)
     lcol = jnp.clip(bx0 - 1, 0, w4 - 1)
@@ -646,9 +652,9 @@ def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
 
         org4 = jax.lax.dynamic_slice(org16, (4 * y4, 4 * x4), (4, 4))
         w = QJ.fdct4x4(org4[None] - preds)
-        lev = QJ.quant4x4(w, qp, True, offsets=ar_off)
+        lev = QJ.quant4x4(w, qp, True, offsets=ar_off, mf=mf_i)
         zz = QJ.zigzag(lev)                                     # [9,16]
-        deq = QJ.dequant4x4(lev, qp)
+        deq = QJ.dequant4x4(lev, qp, ils=ils_i)
         rec9 = QJ.reconstruct(preds, QJ.idct4x4(deq))
         ssd9 = ((org4[None] - rec9) ** 2).sum(axis=(1, 2))
         mode_bits9 = jnp.where(jnp.arange(9) == mpm, 1, 4)
@@ -669,7 +675,7 @@ def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
         rem = m - (m > mpm)
         ssd_tot = ssd_tot + ssd9[m]
         bits_tot = bits_tot + mode_bits9[m] + coeff9[m]
-        fadj_tot = fadj_tot + QJ.ar_fadjust(w[m], lev[m], qp)
+        fadj_tot = fadj_tot + QJ.ar_fadjust(w[m], lev[m], qp, mf=mf_i)
         return (patch, modes_loc, nnz_loc, ssd_tot, bits_tot, fadj_tot), \
             (m, zz[m], jnp.stack([flag, rem]))
 
@@ -685,7 +691,8 @@ def _eval_i4(rec_pad, i4m, nnz_y, org16, mby, mbx, qp, lam,
                 fadj=fadj_tot)
 
 
-def _eval_chroma_intra(recu_pad, recv_pad, org_u8, org_v8, mby, mbx, qpc):
+def _eval_chroma_intra(recu_pad, recv_pad, org_u8, org_v8, mby, mbx, qpc,
+                       qm=None):
     """Chroma intra: SAD mode pick + residual (mirror encode_chroma_mb).
 
     ``mby``/``mbx`` slice-local; org blocks pre-sliced.  Returns dict(mode,
@@ -693,6 +700,9 @@ def _eval_chroma_intra(recu_pad, recv_pad, org_u8, org_v8, mby, mbx, qpc):
     cy0, cx0 = mby * 8, mbx * 8
     avail_t = mby > 0
     avail_l = mbx > 0
+    mf_i = ils_i = None
+    if qm is not None:
+        mf_i, ils_i = qm["i4"]["mf"], qm["i4"]["ils"]
 
     outs = []
     for pad, o8 in ((recu_pad, org_u8), (recv_pad, org_v8)):
@@ -715,13 +725,14 @@ def _eval_chroma_intra(recu_pad, recv_pad, org_u8, org_v8, mby, mbx, qpc):
         blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)   # [2,2,4,4]
         w = QJ.fdct4x4(blocks)
         had = QJ.hadamard2x2_fwd(w[..., 0, 0])                   # [4]
-        dc_lev = QJ.quant_dc_chroma(had, qpc, True)
-        ac_lev = QJ.quant4x4(w, qpc, True)
+        dc_lev = QJ.quant_dc_chroma(had, qpc, True, mf4=mf_i)
+        ac_lev = QJ.quant4x4(w, qpc, True, mf=mf_i)
         ac_lev = ac_lev.at[..., 0, 0].set(0)
         ac_zz = QJ.zigzag(ac_lev)[..., 1:]                       # [2,2,15]
         dc_levels.append(dc_lev)
         ac_zzs.append(ac_zz)
-        recs_parts.append((pred, ac_lev, QJ.dequant_dc_chroma(dc_lev, qpc)))
+        recs_parts.append((pred, ac_lev,
+                           QJ.dequant_dc_chroma(dc_lev, qpc, ils=ils_i)))
 
     dc_levels = jnp.stack(dc_levels)                             # [2,4]
     ac_zzs = jnp.stack(ac_zzs)                                   # [2,2,2,15]
@@ -731,7 +742,8 @@ def _eval_chroma_intra(recu_pad, recv_pad, org_u8, org_v8, mby, mbx, qpc):
 
     recs = []
     for pred, ac_lev, dc_deq in recs_parts:
-        deq = jnp.where(cbp_chroma == 2, QJ.dequant4x4(ac_lev, qpc), 0)
+        deq = jnp.where(cbp_chroma == 2,
+                        QJ.dequant4x4(ac_lev, qpc, ils=ils_i), 0)
         deq = deq.at[..., 0, 0].set(jnp.where(cbp_chroma >= 1, dc_deq, 0))
         pred_b = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
         rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
@@ -770,13 +782,16 @@ import os as _os
 _COEFF_DROPS = _os.environ.get("H264TPU_COEFF_DROPS", "0") == "1"
 
 
-def _code_inter_luma(org16, pred16, qp, ar_off=None):
+def _code_inter_luma(org16, pred16, qp, ar_off=None, qm=None):
     """-> (zz_coding [16,16], rec [16,16], cbp_luma_bits int32,
     fadj [4,4] JVT-N011 rounding adjustment sum)."""
+    mf_p = ils_p = None
+    if qm is not None:
+        mf_p, ils_p = qm["p4"]["mf"], qm["p4"]["ils"]
     res = org16.astype(jnp.int32) - pred16
     blocks = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)      # [y4,x4,4,4]
     w = QJ.fdct4x4(blocks)
-    lev = QJ.quant4x4(w, qp, False, offsets=ar_off)
+    lev = QJ.quant4x4(w, qp, False, offsets=ar_off, mf=mf_p)
     zz = QJ.zigzag(lev)                                         # [4,4,16]
 
     if _COEFF_DROPS:
@@ -791,7 +806,7 @@ def _code_inter_luma(org16, pred16, qp, ar_off=None):
         zz = jnp.where(drop44[..., None], 0, zz)
         lev = jnp.where(drop44[..., None, None], 0, lev)
 
-    deq = QJ.dequant4x4(lev, qp)
+    deq = QJ.dequant4x4(lev, qp, ils=ils_p)
     pred_b = pred16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
     rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
     rec = rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
@@ -801,11 +816,11 @@ def _code_inter_luma(org16, pred16, qp, ar_off=None):
     cbp_bits = (nz8.reshape(4).astype(jnp.int32)
                 * (1 << jnp.arange(4, dtype=jnp.int32))).sum()
     zz_coding = zz[_SCANY, _SCANX]                              # [16,16]
-    fadj = QJ.ar_fadjust(w, lev, qp).sum(axis=(0, 1))           # [4,4]
+    fadj = QJ.ar_fadjust(w, lev, qp, mf=mf_p).sum(axis=(0, 1))  # [4,4]
     return zz_coding, rec, cbp_bits, fadj
 
 
-def _code_inter_luma8(org16, pred16, qp):
+def _code_inter_luma8(org16, pred16, qp, qm=None):
     """High-profile 8x8 luma residual coding of one MB prediction.
 
     Returns (zz_coding [16,16] int32 — the four 8x8 blocks' coefficients
@@ -814,15 +829,18 @@ def _code_inter_luma8(org16, pred16, qp):
     [16,16], cbp_luma_bits int32 with one bit per coded 8x8 pair,
     nnz_cells [4,4] per-sub-block counts for the nC context).
     Reference: JM/lencod/src/transform8x8.c:522."""
+    mf8 = ils8 = None
+    if qm is not None:
+        mf8, ils8 = qm["p8"]["mf"], qm["p8"]["ils"]
     res = org16.astype(jnp.int32) - pred16
     blocks = res.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3)      # [2,2,8,8]
     w = Q8J.fdct8x8(blocks)
-    lev = Q8J.quant8x8(w, qp, False)
+    lev = Q8J.quant8x8(w, qp, False, mf=mf8)
     zz = Q8J.zigzag8(lev)                                       # [2,2,64]
     nz8 = (zz != 0).any(-1)                                     # [2,2]
     lev = jnp.where(nz8[..., None, None], lev, 0)
     zz = jnp.where(nz8[..., None], zz, 0)
-    deq = Q8J.dequant8x8(lev, qp)
+    deq = Q8J.dequant8x8(lev, qp, ils=ils8)
     pred_b = pred16.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3)
     rec_b = jnp.clip(pred_b + ((Q8J.idct8x8(deq) + 32) >> 6), 0, 255)
     rec = rec_b.transpose(0, 2, 1, 3).reshape(16, 16)
@@ -836,8 +854,11 @@ def _code_inter_luma8(org16, pred16, qp):
     return zz_coding, rec, cbp_bits, nnz_cells
 
 
-def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
+def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc, qm=None):
     """-> (dc_levels [2,4], ac_zzs [2,2,2,15], recs [2,8,8], cbp_chroma)."""
+    mf_p = ils_p = None
+    if qm is not None:
+        mf_p, ils_p = qm["p4"]["mf"], qm["p4"]["ils"]
     dc_levels = []
     ac_zzs = []
     parts = []
@@ -846,8 +867,8 @@ def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
         blocks = res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
         w = QJ.fdct4x4(blocks)
         had = QJ.hadamard2x2_fwd(w[..., 0, 0])
-        dc_lev = QJ.quant_dc_chroma(had, qpc, False)
-        ac_lev = QJ.quant4x4(w, qpc, False)
+        dc_lev = QJ.quant_dc_chroma(had, qpc, False, mf4=mf_p)
+        ac_lev = QJ.quant4x4(w, qpc, False, mf=mf_p)
         ac_lev = ac_lev.at[..., 0, 0].set(0)
         ac_zz = QJ.zigzag(ac_lev)[..., 1:]
         if _COEFF_DROPS:
@@ -857,7 +878,8 @@ def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
             ac_lev = jnp.where(keep, ac_lev, 0)
         dc_levels.append(dc_lev)
         ac_zzs.append(ac_zz)
-        parts.append((pred, ac_lev, QJ.dequant_dc_chroma(dc_lev, qpc)))
+        parts.append((pred, ac_lev,
+                      QJ.dequant_dc_chroma(dc_lev, qpc, ils=ils_p)))
     dc_levels = jnp.stack(dc_levels)
     ac_zzs = jnp.stack(ac_zzs)
     any_ac = (ac_zzs != 0).any()
@@ -865,7 +887,8 @@ def _code_inter_chroma(org_u8, org_v8, pred_u8, pred_v8, qpc):
     cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0)).astype(jnp.int32)
     recs = []
     for pred, ac_lev, dc_deq in parts:
-        deq = jnp.where(cbp_chroma == 2, QJ.dequant4x4(ac_lev, qpc), 0)
+        deq = jnp.where(cbp_chroma == 2,
+                        QJ.dequant4x4(ac_lev, qpc, ils=ils_p), 0)
         deq = deq.at[..., 0, 0].set(jnp.where(cbp_chroma >= 1, dc_deq, 0))
         pred_b = pred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
         rec_b = QJ.reconstruct(pred_b, QJ.idct4x4(deq))
@@ -919,7 +942,8 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, wp_c=None, *, sb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
                  adaptive_rounding: bool = True, transform8: bool = False,
-                 rdoq_decim: bool = True, sub8x8: bool = False):
+                 rdoq_decim: bool = True, sub8x8: bool = False,
+                 scaling_default: bool = False):
     """Encode ONE row-band slice (search + subpel + decision scan).
 
     All arrays are band views: org_y [sb_h*16, W]; ref_ups
@@ -942,6 +966,13 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
     qp = jnp.asarray(qp, jnp.int32)
     lam, lam_me = lambdas(qp)
     qpc = QJ.chroma_qp(qp, chroma_qp_offset)
+    # High-profile scaling lists (the spec DEFAULT matrices): weighted
+    # LevelScale/InvLevelScale tables baked in as constants
+    if scaling_default:
+        from . import qmatrix as _QM
+        qm = _QM.enc_tables_default()
+    else:
+        qm = None
     P, PC = luma_pad(sr), chroma_pad(sr)
     org_y = org_y.astype(jnp.int32)
     org_u = org_u.astype(jnp.int32)
@@ -1009,11 +1040,11 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
 
         # ---- intra candidates ----
         i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam,
-                        ar_off=ar_i, nnz_plane=st["nnz_y"])
+                        ar_off=ar_i, nnz_plane=st["nnz_y"], qm=qm)
         i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org16, mby, mbx,
-                      qp, lam, sb_h, mb_w, ar_off=ar_i)
+                      qp, lam, sb_h, mb_w, ar_off=ar_i, qm=qm)
         ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u8, org_v8,
-                                mby, mbx, qpc)
+                                mby, mbx, qpc, qm=qm)
         i16_cost = i16["cost"] + lam * 11.0
         i4_cost = i4["cost"] + lam * 9.0
 
@@ -1290,11 +1321,12 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
             # reconstruction SSD (Y+U+V) + lambda_mode * true bits ----
             M = pred16_modes.shape[0]                           # 5 modes
             zzc_m, rec_m, cbpL_m, fadj_m = jax.vmap(
-                _code_inter_luma, in_axes=(None, 0, None, None))(
-                    org16, pred16_modes, qp, ar_p)
+                lambda pr: _code_inter_luma(org16, pr, qp, ar_p, qm=qm))(
+                    pred16_modes)
             dcl_m, acz_m, crecs_m, cbpC_m = jax.vmap(
-                _code_inter_chroma, in_axes=(None, None, 0, 0, None))(
-                    org_u8, org_v8, predu_modes, predv_modes, qpc)
+                lambda pu, pv: _code_inter_chroma(
+                    org_u8, org_v8, pu, pv, qpc, qm=qm))(
+                    predu_modes, predv_modes)
 
             ssd_m = ((org16[None] - rec_m) ** 2).sum(axis=(1, 2)) \
                 + ((org_u8[None] - crecs_m[:, 0]) ** 2).sum(axis=(1, 2)) \
@@ -1382,7 +1414,8 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                 # High profile: re-code the winning prediction with the
                 # 8x8 transform; per-MB transform_size_8x8_flag RD
                 # (luma SSD + bits only — chroma is identical both ways)
-                zz8, rec8, cbp8, _n8 = _code_inter_luma8(org16, pred16, qp)
+                zz8, rec8, cbp8, _n8 = _code_inter_luma8(org16, pred16, qp,
+                                                         qm=qm)
                 ssd8 = ((org16 - rec8) ** 2).sum()
                 nz8_cells = jnp.zeros((4, 4), jnp.int32).at[
                     _SCANY, _SCANX].set((zz8 != 0).sum(-1))
@@ -1429,7 +1462,9 @@ def _encode_band(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                     _SCANY, _SCANX].set(QJ.unzigzag(zz_dec))
                 pred_b = pred16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
                 rec_dec = QJ.reconstruct(
-                    pred_b, QJ.idct4x4(QJ.dequant4x4(lev_dec, qp)))
+                    pred_b, QJ.idct4x4(QJ.dequant4x4(
+                        lev_dec, qp,
+                        ils=None if qm is None else qm["p4"]["ils"])))
                 rec_dec = rec_dec.transpose(0, 2, 1, 3).reshape(16, 16)
                 nz_dec = (zz_dec != 0).any(-1).reshape(4, 4).any(-1)
                 cbp_dec = (nz_dec.astype(jnp.int32)
@@ -1692,13 +1727,14 @@ def _assemble_bands(sym_b, state_b, S: int, sb_h: int, mb_h: int, mb_w: int):
     jax.jit, static_argnames=("mb_h", "mb_w", "sr", "intra_only",
                               "chroma_qp_offset", "n_slices",
                               "adaptive_rounding", "transform8",
-                              "rdoq_decim", "sub8x8"))
+                              "rdoq_decim", "sub8x8",
+                              "scaling_default"))
 def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                  force_intra, wp_c=None, *, mb_h: int, mb_w: int, sr: int,
                  intra_only: bool, chroma_qp_offset: int = 0,
                  n_slices: int = 1, adaptive_rounding: bool = True,
                  transform8: bool = False, rdoq_decim: bool = True,
-                 sub8x8: bool = False):
+                 sub8x8: bool = False, scaling_default: bool = False):
     """Encode one frame's decisions + residuals on device.
 
     org_*: int32 planes.  ref_ups [R, 4, 4, H+2P, W+2P] uint8:
@@ -1728,7 +1764,8 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                           chroma_qp_offset=chroma_qp_offset,
                           adaptive_rounding=adaptive_rounding,
                           transform8=transform8,
-                          rdoq_decim=rdoq_decim, sub8x8=sub8x8)
+                          rdoq_decim=rdoq_decim, sub8x8=sub8x8,
+                          scaling_default=scaling_default)
     sym_b, state_b = jax.vmap(
         lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
                                              qp, n_valid, fb, wp_c))(
@@ -1740,7 +1777,8 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                         intra_only: bool, chroma_qp_offset: int = 0,
                         n_slices: int = 1, adaptive_rounding: bool = True,
                         transform8: bool = False,
-                        rdoq_decim: bool = True, sub8x8: bool = False):
+                        rdoq_decim: bool = True, sub8x8: bool = False,
+                        scaling_default: bool = False):
     """Build a jitted frame encoder sharded over ``mesh`` axis ``axis``.
 
     The picture's ``n_slices`` row-band slices are distributed over the
@@ -1769,7 +1807,8 @@ def make_sharded_encode(mesh, axis: str, *, mb_h: int, mb_w: int, sr: int,
                           chroma_qp_offset=chroma_qp_offset,
                           adaptive_rounding=adaptive_rounding,
                           transform8=transform8,
-                          rdoq_decim=rdoq_decim, sub8x8=sub8x8)
+                          rdoq_decim=rdoq_decim, sub8x8=sub8x8,
+                          scaling_default=scaling_default)
 
     sh = PS(axis)
     rep = PS()
@@ -1879,6 +1918,13 @@ def _encode_band_b(org_y, org_u, org_v,
     qp = jnp.asarray(qp, jnp.int32)
     lam, lam_me = lambdas(qp)
     qpc = QJ.chroma_qp(qp, chroma_qp_offset)
+    # High-profile scaling lists (the spec DEFAULT matrices): weighted
+    # LevelScale/InvLevelScale tables baked in as constants
+    if scaling_default:
+        from . import qmatrix as _QM
+        qm = _QM.enc_tables_default()
+    else:
+        qm = None
     P, PC = luma_pad(sr), chroma_pad(sr)
     org_y = org_y.astype(jnp.int32)
     org_u = org_u.astype(jnp.int32)
@@ -1926,9 +1972,9 @@ def _encode_band_b(org_y, org_u, org_v,
         # ---- intra candidates ----
         i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam, ar_off=ar_i)
         i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org16, mby, mbx,
-                      qp, lam, sb_h, mb_w, ar_off=ar_i)
+                      qp, lam, sb_h, mb_w, ar_off=ar_i, qm=qm)
         ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u8, org_v8,
-                                mby, mbx, qpc)
+                                mby, mbx, qpc, qm=qm)
         ch_ssd = ((org_u8 - ch["recs"][0]) ** 2).sum() \
             + ((org_v8 - ch["recs"][1]) ** 2).sum()
         ch_dc_b = CJ.block_bits_est(ch["dc_levels"],

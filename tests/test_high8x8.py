@@ -309,3 +309,38 @@ def test_tpu_encoder_sub8x8_partitions_both_oracles(jm_tools, tmp_path):
     got = b"".join(np.asarray(pl, np.uint8).tobytes()
                    for fr in out for pl in fr)
     assert got == recon
+
+
+def test_tpu_encoder_default_scaling_matrix_both_oracles(jm_tools,
+                                                         tmp_path):
+    """Encoder-side scaling lists: AVCParams(scaling_matrix="default")
+    emits seq_scaling_matrix signalling the spec default matrices
+    (Tables 7-3/7-4) and quantizes/reconstructs with the weighted
+    LevelScale/InvLevelScale tables — bit-exact in JM ldecod and our
+    decoder, alongside the 8x8 transform and sub-partitions."""
+    from h264tpu.utils.yuv import YUVReader
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+    from h264tpu.avc.slice_dec import AVCDecoder, parse_sps
+    from h264tpu.avc.qmatrix import resolve_qmatrix, DEFAULT_4x4_INTRA
+    from h264tpu.bitstream.nal import annexb_parse
+
+    r = YUVReader(os.path.join(JM_BIN, "foreman_part_qcif.yuv"), 176, 144)
+    frames = [r.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=30, num_ref_frames=1,
+                  profile_idc=100, transform_8x8=True,
+                  scaling_matrix="default")
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                        sub8x8=True)
+    res, stream = codec.encode_sequence(frames)
+    sps = parse_sps(next(n for n in annexb_parse(stream)
+                         if n.nal_type == 7).rbsp)
+    qm = resolve_qmatrix(sps["seq_scaling"], None)
+    assert np.array_equal(qm[0], DEFAULT_4x4_INTRA)
+    recon = b"".join(np.asarray(pl, np.uint8).tobytes()
+                     for q in res for pl in q.recon)
+    assert ldecod_decode(tmp_path, stream) == recon
+    out = AVCDecoder().decode(stream)
+    got = b"".join(np.asarray(pl, np.uint8).tobytes()
+                   for fr in out for pl in fr)
+    assert got == recon
