@@ -1918,13 +1918,6 @@ def _encode_band_b(org_y, org_u, org_v,
     qp = jnp.asarray(qp, jnp.int32)
     lam, lam_me = lambdas(qp)
     qpc = QJ.chroma_qp(qp, chroma_qp_offset)
-    # High-profile scaling lists (the spec DEFAULT matrices): weighted
-    # LevelScale/InvLevelScale tables baked in as constants
-    if scaling_default:
-        from . import qmatrix as _QM
-        qm = _QM.enc_tables_default()
-    else:
-        qm = None
     P, PC = luma_pad(sr), chroma_pad(sr)
     org_y = org_y.astype(jnp.int32)
     org_u = org_u.astype(jnp.int32)
@@ -1972,9 +1965,9 @@ def _encode_band_b(org_y, org_u, org_v,
         # ---- intra candidates ----
         i16 = _eval_i16(st["rec_y"], org16, mby, mbx, qp, lam, ar_off=ar_i)
         i4 = _eval_i4(st["rec_y"], st["i4m"], st["nnz_y"], org16, mby, mbx,
-                      qp, lam, sb_h, mb_w, ar_off=ar_i, qm=qm)
+                      qp, lam, sb_h, mb_w, ar_off=ar_i)
         ch = _eval_chroma_intra(st["rec_u"], st["rec_v"], org_u8, org_v8,
-                                mby, mbx, qpc, qm=qm)
+                                mby, mbx, qpc)
         ch_ssd = ((org_u8 - ch["recs"][0]) ** 2).sum() \
             + ((org_v8 - ch["recs"][1]) ** 2).sum()
         ch_dc_b = CJ.block_bits_est(ch["dc_levels"],
