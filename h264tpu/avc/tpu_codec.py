@@ -242,12 +242,24 @@ class TPUAVCCodec:
         ``rate_control``: a models.ratectl.QuadraticRateControl — per-frame
         QP comes from the quadratic R-Q model (rc_quadratic.c:170
         semantics) instead of the fixed config QP; QP is a traced scalar
-        in the device graph so no recompilation happens."""
+        in the device graph so no recompilation happens.  With
+        ``rc_mode=3`` (RCUpdateMode 3, the basic-unit layer of
+        rc_quadratic.c) each row-band slice is a basic unit: the frame
+        target splits over the units by the previous frame's measured
+        per-unit MAD, QP becomes a traced per-slice vector, and each
+        slice header carries its own slice_qp_delta."""
         if self.bframes > 0:
             return self._encode_sequence_b(frames, qp, verbose)
         p = self.p
         qp = p.qp if qp is None else qp
         rc = rate_control
+        bu = (rc is not None and getattr(rc, "rc_mode", 1) == 3
+              and self.n_slices > 1)
+        if bu:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "basic-unit RC is not mesh-sharded yet")
+            rc.basic_units = self.n_slices   # BU = one row-band slice
         R = max(p.num_ref_frames, 1)
         mb_h, mb_w = p.mb_h, p.mb_w
         no_force = jnp.zeros((mb_h, mb_w), bool)
@@ -267,19 +279,23 @@ class TPUAVCCodec:
             CAVLC/CABAC packing don't gate the encode loop)."""
             sym = _unpack_sym(np.asarray(pend["buf"]), mb_h, mb_w)
             fqp = pend["qp"]
+            # basic-unit RC: one QP per row-band slice (slice_qp_delta)
+            fqps = (list(fqp) if isinstance(fqp, (list, tuple, np.ndarray))
+                    else [fqp] * self.n_slices)
             if pend["idr"]:
                 if p.cabac:
                     rbsps = [PKC.pack_i_slice_cabac(
-                        sym, p, fqp, frame_num=0, idr=True,
+                        sym, p, fqps[s0], frame_num=0, idr=True,
                         idr_pic_id=pend["idr_pic_id"], row0=s0 * rows,
                         n_rows=rows) for s0 in range(self.n_slices)]
                 elif AN.available():
-                    rbsps = [AN.pack_slice(sym, p, SLICE_I, fqp, 0, True,
+                    rbsps = [AN.pack_slice(sym, p, SLICE_I, fqps[s0],
+                                           0, True,
                                            pend["idr_pic_id"], 1,
                                            row0=s0 * rows, n_rows=rows)
                              for s0 in range(self.n_slices)]
                 else:
-                    rbsps = [PK.pack_i_slice(sym, p, fqp, frame_num=0,
+                    rbsps = [PK.pack_i_slice(sym, p, fqps[s0], frame_num=0,
                                              idr=True,
                                              idr_pic_id=pend["idr_pic_id"],
                                              row0=s0 * rows, n_rows=rows)
@@ -289,24 +305,24 @@ class TPUAVCCodec:
                 wp = pend.get("wp")
                 if p.cabac:
                     rbsps = [PKC.pack_p_slice_cabac(
-                        sym, p, fqp, frame_num=fn, num_ref=nv,
+                        sym, p, fqps[s0], frame_num=fn, num_ref=nv,
                         row0=s0 * rows, n_rows=rows)
                         for s0 in range(self.n_slices)]
                 elif self.data_partitioning:
-                    rbsps = [PK.pack_p_slice(sym, p, fqp, frame_num=fn,
+                    rbsps = [PK.pack_p_slice(sym, p, fqps[s0], frame_num=fn,
                                              num_ref=nv,
                                              row0=s0 * rows, n_rows=rows,
                                              wp=wp, dp_slice_id=s0)
                              for s0 in range(self.n_slices)]
                 elif AN.available() and not self.sub8x8:
                     # the C packer has no sub_mb_type support yet
-                    rbsps = [AN.pack_slice(sym, p, SLICE_P, fqp, fn,
+                    rbsps = [AN.pack_slice(sym, p, SLICE_P, fqps[s0], fn,
                                            False, 0, nv,
                                            row0=s0 * rows, n_rows=rows,
                                            wp=wp)
                              for s0 in range(self.n_slices)]
                 else:
-                    rbsps = [PK.pack_p_slice(sym, p, fqp, frame_num=fn,
+                    rbsps = [PK.pack_p_slice(sym, p, fqps[s0], frame_num=fn,
                                              num_ref=nv,
                                              row0=s0 * rows, n_rows=rows,
                                              wp=wp)
@@ -326,22 +342,36 @@ class TPUAVCCodec:
             return res
 
         for idx, yuv in enumerate(frames):
+            idr = self._is_idr(idx)
+            qp_s = None                  # per-slice QPs (basic-unit RC)
             if rc is not None and idx > 0:
                 # rate control needs the previous frame's bits NOW
                 if pending is not None:
+                    pftype = pending["ftype"]
+                    pqp = pending.get("qp_frame", qp)
+                    pmads = pending.get("bu_mads")
                     res = finalize(pending)
                     pending = None
                     mse_y = 255.0 ** 2 / (10.0 ** (res.psnr_y / 10.0))
-                    rc.update(res.bits, qp, float(np.sqrt(mse_y)))
-                qp = rc.frame_qp()
+                    rc.update(res.bits, pqp, float(np.sqrt(mse_y)),
+                              ftype="P" if pftype == "P" else "I")
+                    if pmads is not None:
+                        rc.update_basic_units(pmads)
+                if bu and not idr:
+                    qp_s = [int(v) for v in
+                            rc.basic_unit_qps(self.n_slices)]
+                    qp = int(round(np.mean(qp_s)))
+                else:
+                    qp = rc.frame_qp("I" if idr else "P")
             orgbuf = np.concatenate(
                 [np.asarray(yuv[0], np.uint8),
                  np.concatenate([np.asarray(yuv[1], np.uint8),
                                  np.asarray(yuv[2], np.uint8)], axis=1)],
                 axis=0)
             y, u, v = _split_org(jnp.asarray(orgbuf), H=H, W=W)
-            idr = self._is_idr(idx)
-            meta = dict(idx=idx, idr=idr, qp=qp)
+            meta = dict(idx=idx, idr=idr,
+                        qp=(qp_s if qp_s is not None else qp),
+                        qp_frame=qp)
             if idr:
                 ups, us, vs = self._dummy_refs()
                 sym, rec, tctx = self._encode_fn(True)(
@@ -373,8 +403,10 @@ class TPUAVCCodec:
                 vs = jnp.stack([r[2] for r in refs])
                 fim = force_intra(idx) if force_intra else None
                 fim = no_force if fim is None else jnp.asarray(fim, bool)
+                qp_dev = (jnp.asarray(qp_s, jnp.int32) if qp_s is not None
+                          else jnp.int32(qp))
                 sym, rec, tctx = self._encode_fn(False)(
-                    y, u, v, ups, us, vs, jnp.int32(qp), jnp.int32(n_valid),
+                    y, u, v, ups, us, vs, qp_dev, jnp.int32(n_valid),
                     fim, wp_c)
                 meta.update(ftype="P", frame_num=frame_num,
                             n_valid=n_valid, wp=wp)
@@ -392,6 +424,11 @@ class TPUAVCCodec:
             tctx, rec_np = _unpack_ctx_rec(ctxbuf, recbuf, mb_h, mb_w)
             if p.deblock:
                 ctx = DeblockContext(mb_w, mb_h, qp, p.chroma_qp_offset)
+                if qp_s is not None:
+                    # basic-unit RC: per-row-band slice QP (the filter
+                    # averages neighbor MB QPs across the band edge)
+                    for s0 in range(self.n_slices):
+                        ctx.mb_qp[s0 * rows:(s0 + 1) * rows, :] = qp_s[s0]
                 if meta["ftype"] != "IDR":
                     ctx.mb_intra = np.asarray(tctx["mb_intra"])
                     ctx.nnz = np.asarray(tctx["nnz"], np.int64)
@@ -425,12 +462,25 @@ class TPUAVCCodec:
             meta.update(buf=buf, rec8=rec8,
                         psnr_y=99.99 if mse == 0 else
                         float(10 * np.log10(255.0 ** 2 / mse)))
+            if bu and not idr:
+                # measured per-basic-unit MAD (recon error proxy) feeds
+                # the next frame's per-unit target split
+                oy = np.asarray(yuv[0], np.int64)
+                ry = rec8[0].astype(np.int64)
+                bpx = rows * 16
+                meta["bu_mads"] = [
+                    float(np.abs(oy[i * bpx:(i + 1) * bpx]
+                                 - ry[i * bpx:(i + 1) * bpx]).mean())
+                    for i in range(self.n_slices)]
             pending = meta
         if pending is not None:
+            pftype = pending["ftype"]
+            pqp = pending.get("qp_frame", qp)
             res = finalize(pending)
             if rc is not None:
                 mse_y = 255.0 ** 2 / (10.0 ** (res.psnr_y / 10.0))
-                rc.update(res.bits, qp, float(np.sqrt(mse_y)))
+                rc.update(res.bits, pqp, float(np.sqrt(mse_y)),
+                          ftype="P" if pftype == "P" else "I")
         return results, assemble_stream(p, slices)
 
 

@@ -1766,10 +1766,20 @@ def encode_frame(org_y, org_u, org_v, ref_ups, ref_us, ref_vs, qp, n_valid,
                           transform8=transform8,
                           rdoq_decim=rdoq_decim, sub8x8=sub8x8,
                           scaling_default=scaling_default)
-    sym_b, state_b = jax.vmap(
-        lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
-                                             qp, n_valid, fb, wp_c))(
-        *banded)
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        sym_b, state_b = jax.vmap(
+            lambda oy, ou, ov, up, us, vs, fb: f(oy, ou, ov, up, us, vs,
+                                                 qp, n_valid, fb, wp_c))(
+            *banded)
+    else:
+        # per-slice QP vector [S] (basic-unit rate control: each row-band
+        # slice carries its own QP via slice_qp_delta; rc_quadratic.c
+        # basic-unit layer)
+        sym_b, state_b = jax.vmap(
+            lambda oy, ou, ov, up, us, vs, fb, q: f(oy, ou, ov, up, us, vs,
+                                                    q, n_valid, fb, wp_c))(
+            *banded, jnp.broadcast_to(qp, (S,)))
     return _assemble_bands(sym_b, state_b, S, sb_h, mb_h, mb_w)
 
 

@@ -52,3 +52,55 @@ def test_rc_pipeline_roundtrip(foreman_qcif):
     for i, res in enumerate(results):
         for p in range(3):
             np.testing.assert_array_equal(decoded[i][p], res.recon[p])
+
+
+def test_rc_update_mode_family():
+    """RCUpdateMode 0..3 semantics (rc_quadratic.c:1292 updateQPRC0-3):
+    mode 0 trains on P only and derives I/B QPs from the P layer; mode 2
+    lets I/B touch the buffer/MAD state but not the P R-Q fit; mode 1
+    trains on everything."""
+    rc0 = QuadraticRateControl(target_bps=1.2e6, frame_rate=30.0,
+                               qp_init=30, rc_mode=0)
+    for qp in (30, 31, 32, 31):
+        rc0.update(40000, qp, 5.0, ftype="P")
+    n_obs = len(rc0.obs)
+    # I/B do not train the model in mode 0
+    rc0.update(90000, 28, 7.0, ftype="I")
+    assert len(rc0.obs) == n_obs
+    # I derives from the recent-P average minus 2; B from last P plus 2
+    assert rc0.frame_qp("I") == int(round(np.mean([30, 31, 32, 31]))) - 2
+    assert rc0.frame_qp("B") == 31 + 2
+
+    rc2 = QuadraticRateControl(target_bps=1.2e6, frame_rate=30.0,
+                               qp_init=30, rc_mode=2)
+    rc2.update(40000, 30, 5.0, ftype="P")
+    bal = rc2.bits_balance
+    n_obs, n_mads = len(rc2.obs), len(rc2.mads)
+    rc2.update(90000, 28, 7.0, ftype="I")
+    assert len(rc2.obs) == n_obs          # R-Q fit untouched
+    assert len(rc2.mads) == n_mads + 1    # MAD history extended
+    assert rc2.bits_balance > bal         # buffer charged
+
+    rc1 = QuadraticRateControl(target_bps=1.2e6, frame_rate=30.0,
+                               qp_init=30, rc_mode=1)
+    rc1.update(40000, 30, 5.0, ftype="I")
+    assert len(rc1.obs) == 1              # everything trains in mode 1
+
+
+def test_rc_basic_unit_qps():
+    """Mode-3 basic-unit layer: equal per-unit budget share + per-unit
+    MAD -> higher-activity units take higher QP, all within +-2 of the
+    frame QP."""
+    rc = QuadraticRateControl(target_bps=1.2e6, frame_rate=30.0,
+                              qp_init=30, rc_mode=3, basic_units=3)
+    # no per-unit history yet -> flat QPs
+    qps = rc.basic_unit_qps(3)
+    assert (qps == qps[0]).all()
+    for qp in (30, 31, 31):
+        rc.update(40000, qp, 5.0)
+    rc.update_basic_units([2.0, 5.0, 12.0])
+    qps = rc.basic_unit_qps(3)
+    fqp = rc.frame_qp()
+    assert (np.abs(qps - fqp) <= 2).all()
+    assert qps[0] <= qps[1] <= qps[2]     # MAD-monotone
+    assert qps[2] > qps[0]                # actually differentiates

@@ -235,3 +235,43 @@ def test_mesh_sharded_hierarchical_b_byte_identical(foreman_qcif):
                      bframes=3, hierarchical=True, mesh=mesh)
     r2, s2 = c2.encode_sequence(frames)
     assert s1 == s2
+
+
+def test_avc_rate_control_basic_unit(foreman_qcif):
+    """RCUpdateMode 3: basic-unit RC on the device path — each row-band
+    slice is a basic unit carrying its own QP (slice_qp_delta, traced
+    per-slice QP vector, rc_quadratic.c basic-unit layer).  The stream
+    must stay self-decode bit-exact (per-slice QP flows through residual
+    quant, the packers AND the per-MB-QP deblock average)."""
+    from h264tpu.models.ratectl import QuadraticRateControl
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = []
+    for i in range(8):
+        s = (i * 2) % 5
+        frames.append(tuple(np.roll(pl, (s, -s), (0, 1))
+                            for pl in base[i % 3]))
+    # make the bands' activity differ strongly so per-BU QPs split:
+    # flatten the top third of every frame
+    for i in range(8):
+        y, u, v = (np.array(pl) for pl in frames[i])
+        y[:48] = 128
+        frames[i] = (y, u, v)
+    p = AVCParams(width=176, height=144, qp=30)
+    rc = QuadraticRateControl(target_bps=150000.0, frame_rate=30.0,
+                              qp_init=30, rc_mode=3, basic_units=3)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3)
+    res, stream = codec.encode_sequence(frames, rate_control=rc)
+    dec = AVCCodec.decode_sequence(stream)[0]
+    for i, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+    # the controller saw per-unit MADs and produced a split QP at least
+    # once (the flat band must not pay the busy bands' QP)
+    assert rc.bu_mads is not None and rc.bu_mads[0] < rc.bu_mads[-1]
+    qps = rc.basic_unit_qps(3)
+    assert qps[0] <= qps[-1]
+    pbits = [r.bits for r in res[1:]]
+    avg = sum(pbits) / len(pbits)
+    budget = 150000.0 / 30.0
+    assert 0.3 * budget < avg < 2.0 * budget, (avg, budget)
