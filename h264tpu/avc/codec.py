@@ -161,6 +161,20 @@ class AVCCodec:
                 rbsp, rec, pctx, stats = encode_p_frame(
                     yuv, refs_in, p, qp=qp, frame_num=frame_num, sr=self.sr,
                     force_intra_mask=fim, use_satd=self.use_satd, wp=wp)
+                if p.redundant_slices:
+                    # coarser stand-alone re-encode of the same picture
+                    # (same refs/frame_num), marked redundant_pic_cnt=1;
+                    # its recon is discarded — the primary drives the
+                    # prediction chain (JM RedundantPicture semantics)
+                    red, _, _, rstats = encode_p_frame(
+                        yuv, refs_in, p,
+                        qp=min(qp + p.redundant_qp_offset, 51),
+                        frame_num=frame_num, sr=self.sr,
+                        force_intra_mask=fim, use_satd=self.use_satd,
+                        wp=wp, redundant_pic_cnt=1)
+                    rbsp = ([rbsp] if not isinstance(rbsp, list)
+                            else list(rbsp)) + [red]
+                    stats = dict(stats, bits=stats["bits"] + rstats["bits"])
                 ctx.mb_intra = pctx["mb_intra"]
                 ctx.nnz = pctx["nnz"]
                 ctx.mv = pctx["mvf"].mv

@@ -53,6 +53,14 @@ class AVCParams:
     # nal_hrd_parameters in the VUI (one CPB schedule, 24-bit delay
     # fields) so buffering_period/pic_timing SEI can reference it
     hrd: tuple = None
+    # Redundant coded slices (spec 7.4.3 redundant_pic_cnt; JM
+    # RedundantPicture/RedundantQPOffset): the PPS signals
+    # redundant_pic_cnt_present_flag and every P picture is followed by
+    # a coarser re-encode (qp + redundant_qp_offset) marked
+    # redundant_pic_cnt=1 that a decoder uses only when the primary
+    # slice is lost
+    redundant_slices: bool = False
+    redundant_qp_offset: int = 4
 
     @property
     def mb_w(self):
@@ -165,7 +173,7 @@ def write_pps(p: AVCParams) -> bytes:
     w.se(p.chroma_qp_offset)       # chroma_qp_index_offset
     w.u(1, 1)                      # deblocking_filter_control_present_flag
     w.u(0, 1)                      # constrained_intra_pred_flag
-    w.u(0, 1)                      # redundant_pic_cnt_present_flag
+    w.u(1 if p.redundant_slices else 0, 1)  # redundant_pic_cnt_present_flag
     if p.transform_8x8:            # High-profile PPS extension
         w.u(1, 1)                  # transform_8x8_mode_flag
         w.u(0, 1)                  # pic_scaling_matrix_present_flag
@@ -179,7 +187,8 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
                        num_ref_idx_l0: int = 1, poc_lsb: int = 0,
                        num_ref_idx_l1: int = 1, ref_pic: bool = True,
                        mmco=None, reorder_l0=None, wp=None,
-                       long_term_idr: bool = False):
+                       long_term_idr: bool = False,
+                       redundant_pic_cnt: int = 0):
     """Slice header bits into ``w`` (spec 7.3.3; frame coding)."""
     w.ue(first_mb)
     w.ue(slice_type + 5)           # all slices of the picture share the type
@@ -189,6 +198,8 @@ def write_slice_header(w: BitWriter, p: AVCParams, slice_type: int,
         w.ue(idr_pic_id)
     if p.poc_type == 0:
         w.u(poc_lsb % (1 << p.log2_max_poc_lsb), p.log2_max_poc_lsb)
+    if p.redundant_slices:
+        w.ue(redundant_pic_cnt)
     if slice_type == SLICE_B:
         w.u(1, 1)                  # direct_spatial_mv_pred_flag
     if slice_type in (SLICE_P, SLICE_B):

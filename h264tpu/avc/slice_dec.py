@@ -314,6 +314,16 @@ class AVCDecoder:
                 p = parse_pps(n.rbsp)
                 self.pps[p["pps_id"]] = p
             elif n.nal_type in (NAL_IDR, NAL_SLICE, 2):
+                if n.nal_type != 2:
+                    fmb, red, fn = self._peek_redundant(
+                        n.rbsp, n.nal_type == NAL_IDR)
+                    if (red and fn == getattr(self, "_cov_fn", None)
+                            and fmb in getattr(self, "_cov", set())):
+                        # redundant coded slice whose primary (same
+                        # frame_num + first_mb) arrived: discard (spec
+                        # 7.4.3 redundant_pic_cnt; a decoder uses
+                        # redundancy only on loss)
+                        continue
                 dp = None
                 if n.nal_type == 2:          # DP partition A (7.4.1)
                     rb = rc = None
@@ -521,6 +531,30 @@ class AVCDecoder:
                         self.dpb.pop(0)
         return frame
 
+    def _peek_redundant(self, rbsp: bytes, idr: bool):
+        """Parse just enough of a slice header to learn
+        (first_mb_in_slice, redundant_pic_cnt) without touching decoder
+        state (spec 7.3.3 field order up to redundant_pic_cnt)."""
+        r = BitReader(rbsp)
+        first_mb = r.ue()
+        r.ue()                              # slice_type
+        pps = self.pps[r.ue()]
+        sps = self.sps[pps["sps_id"]]
+        fn = r.u(sps["log2_max_frame_num"])
+        if not pps["redundant_pic_cnt"]:
+            return first_mb, 0, fn
+        if idr:
+            r.ue()                          # idr_pic_id
+        if sps["poc_type"] == 0:
+            r.u(sps["log2_max_poc_lsb"])
+            if pps["pic_order_present"]:
+                r.se()
+        elif sps["poc_type"] == 1 and not sps["delta_poc_always_zero"]:
+            r.se()
+            if pps["pic_order_present"]:
+                r.se()
+        return first_mb, r.ue(), fn
+
     def _decode_slice(self, rbsp: bytes, idr: bool, ref_idc: int,
                       dp=None):
         """Decode one slice; returns a finished frame when this slice
@@ -545,6 +579,10 @@ class AVCDecoder:
         done = None
         if first_mb == 0:
             done = self._finish_picture()
+            self._cov = set()               # slice coverage of this picture
+            self._cov_fn = frame_num
+        self._cov = getattr(self, "_cov", set())
+        self._cov.add(first_mb)
         if idr:
             r.ue()                          # idr_pic_id
             if first_mb == 0:
@@ -603,6 +641,8 @@ class AVCDecoder:
             top = expected + d0
             bottom = top + sps["offset_for_top_to_bottom_field"] + d1
             poc = min(top, bottom)
+        if pps["redundant_pic_cnt"]:
+            self._tr(r, "redundant_pic_cnt", r.ue())
         direct_spatial = True
         if slice_type == 1:
             direct_spatial = bool(r.u(1))   # else temporal (8.4.1.2.3)

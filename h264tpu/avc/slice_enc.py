@@ -627,7 +627,7 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
                    qp: int = None, frame_num: int = 1, sr: int = 16,
                    try_intra: bool = True, force_intra_mask=None,
                    use_satd: bool = False, poc_lsb: int = 0, wp=None,
-                   mmco=None):
+                   mmco=None, redundant_pic_cnt: int = 0):
     """Encode one frame as a single P slice.
 
     ``ref``: one RefPlanes or a list of them (reference list 0, most recent
@@ -652,7 +652,7 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
     w = BitWriter()
     write_slice_header(w, p, SLICE_P, frame_num, False, qp,
                        num_ref_idx_l0=num_ref, poc_lsb=poc_lsb, wp=wp,
-                       mmco=mmco)
+                       mmco=mmco, redundant_pic_cnt=redundant_pic_cnt)
     skip_run = 0
     n_skip = n_intra = 0
 

@@ -109,3 +109,58 @@ def test_leaky_bucket_feasible_and_minimal():
         assert rs.verify_leaky_bucket(bits, R, B, F, 30.0)
         # B is tight: a much smaller buffer must fail
         assert not rs.verify_leaky_bucket(bits, R, B // 2, min(F, B // 2), 30.0)
+
+
+def test_redundant_slices(foreman_qcif):
+    """Redundant coded slices (spec 7.4.3 redundant_pic_cnt; JM
+    RedundantPicture): every P picture is followed by a coarser
+    stand-alone re-encode marked redundant_pic_cnt=1.  With the primary
+    intact the decoder must discard the redundancy (recon bit-exact to
+    the encoder); with a primary P slice NAL dropped, the redundant copy
+    stands in and keeps the frame close to the source."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+
+    frames = [foreman_qcif.read(i % 3) for i in range(4)]
+    p = AVCParams(width=176, height=144, qp=28, redundant_slices=True,
+                  redundant_qp_offset=4)
+    codec = AVCCodec(p, intra_period=0, search_range=8)
+    res, stream = codec.encode_sequence(frames)
+
+    # intact stream: redundancy is transparent
+    dec = AVCCodec.decode_sequence(stream)[0]
+    assert len(dec) == 4
+    for i, fr in enumerate(dec):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+
+    # drop the PRIMARY P slice of display frame 2 (slice NALs alternate
+    # primary/redundant after the IDR): type-1 NALs are
+    # [P1, P1r, P2, P2r, P3, P3r] -> drop index 2.  Slices carry 3-byte
+    # start codes (annexb_write); splitting/rejoining on 00 00 01 keeps
+    # the 4-byte codes' extra zero glued to the previous part.
+    parts = stream.split(b"\x00\x00\x01")
+    seen = 0
+    kept = [parts[0]]
+    for nal in parts[1:]:
+        if (nal[0] & 0x1F) == 1:
+            if seen == 2:
+                seen += 1
+                continue            # dropped primary
+            seen += 1
+        kept.append(nal)
+    assert seen == 6, seen          # all slice NALs seen, one dropped
+    lossy = b"\x00\x00\x01".join(kept)
+    dec2 = AVCCodec.decode_sequence(lossy)[0]
+    assert len(dec2) == 4
+    # frames 0/1 unaffected
+    for i in (0, 1):
+        for c in range(3):
+            assert np.array_equal(dec2[i][c], res[i].recon[c])
+    # frame 2 now comes from the coarser redundant coding: not the
+    # primary recon, but still a faithful approximation of the source
+    assert not np.array_equal(dec2[2][0], res[2].recon[0])
+    src = np.asarray(frames[2][0], np.float64)
+    mse = ((src - dec2[2][0]) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 30.0, psnr
