@@ -71,6 +71,40 @@ def estimate_wp(org_yuv, ref_means, d_l: int = 5, d_c: int = 5):
     return dict(d_l=d_l, d_c=d_c, l0=l0)
 
 
+def estimate_wp_lms(org_yuv, refs, d_l: int = 5, d_c: int = 5):
+    """Explicit WP weights by least squares (JM wp_lms.c
+    ComputeExplicitWPParamsLMS shape): per plane and reference,
+    (w, o) minimize ||org - (w*ref/2^d + o)|| in closed form —
+    w = 2^d * cov(org, ref) / var(ref), o = mean(org) - w*mean(ref)/2^d,
+    both clipped to the se(v) range [-128, 127].  Unlike the DC-ratio
+    method this fits a gain AND an offset, so additive fades (org =
+    ref + c) get w = 2^d, o = c instead of a multiplicative approximation.
+    ``refs``: list-0 RefPlanes (most recent first)."""
+    from . import inter as _I
+    P = _I.PAD
+    org = [np.asarray(pl, np.float64) for pl in org_yuv]
+    l0 = []
+    for rp in refs:
+        h, w = rp.h, rp.w
+        planes_r = (rp.G[P:P + h, P:P + w],
+                    rp.u[P:P + h // 2, P:P + w // 2],
+                    rp.v[P:P + h // 2, P:P + w // 2])
+        e = []
+        for o_pl, r_pl, d in zip(org, planes_r, (d_l, d_c, d_c)):
+            r_pl = r_pl.astype(np.float64)
+            mo, mr = o_pl.mean(), r_pl.mean()
+            den = ((r_pl - mr) ** 2).sum()
+            if den < 1e-6:
+                wgt = 1 << d
+            else:
+                g = ((o_pl - mo) * (r_pl - mr)).sum() / den
+                wgt = int(np.clip(round(g * (1 << d)), -128, 127))
+            off = int(np.clip(round(mo - wgt * mr / (1 << d)), -128, 127))
+            e += [wgt, off]
+        l0.append(tuple(e))
+    return dict(d_l=d_l, d_c=d_c, l0=l0)
+
+
 @dataclasses.dataclass
 class AVCFrameResult:
     frame_type: str
@@ -84,16 +118,23 @@ class AVCCodec:
 
     def __init__(self, p: AVCParams, intra_period: int = 0,
                  search_range: int = 16, use_satd: bool = True,
-                 check_conformance: bool = True, bframes: int = 0):
+                 check_conformance: bool = True, bframes: int = 0,
+                 wp_method: str = "dc"):
         """``intra_period``: 0 = first frame IDR then all P (IPPP);
         N>0 = IDR every N frames.  ``bframes``: number of non-reference
         B pictures between anchors (IbbPbbP...; requires poc_type 0 and
-        num_ref_frames >= 2 so both anchors stay in the DPB)."""
+        num_ref_frames >= 2 so both anchors stay in the DPB).
+        ``wp_method``: explicit-WP estimator when p.weighted_pred —
+        "dc" (DC ratio, weighted_prediction.c method 0) or "lms"
+        (least-squares gain+offset, wp_lms.c)."""
         self.p = p
         self.intra_period = intra_period
         self.sr = search_range
         self.use_satd = use_satd
         self.bframes = bframes
+        if wp_method not in ("dc", "lms"):
+            raise ValueError(f"wp_method {wp_method!r}")
+        self.wp_method = wp_method
         if p.cabac:
             # the host slice writers emit CAVLC syntax only; with
             # entropy_coding_mode_flag=1 in the PPS the stream would be
@@ -155,7 +196,9 @@ class AVCCodec:
                 wp = None
                 refs_in = dpb
                 if p.weighted_pred:
-                    wp = estimate_wp(yuv, dpb_means)
+                    wp = (estimate_wp_lms(yuv, dpb)
+                          if self.wp_method == "lms"
+                          else estimate_wp(yuv, dpb_means))
                     refs_in = [WPRefPlanes(rp, e, wp["d_l"], wp["d_c"])
                                for rp, e in zip(dpb, wp["l0"])]
                 rbsp, rec, pctx, stats = encode_p_frame(

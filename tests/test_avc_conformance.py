@@ -1041,3 +1041,39 @@ def test_weighted_pred_tpu_path_ldecod_bit_exact(jm_tools, foreman_qcif,
     dec = ldecod_decode(tmp_path, stream)
     assert dec == recon_bytes([q.recon for q in res])
     assert decode_ours(stream) == recon_bytes([q.recon for q in res])
+
+
+def test_weighted_pred_lms_ldecod_bit_exact(jm_tools, foreman_qcif,
+                                            tmp_path):
+    """wp_lms.c member of the WP estimation family: least-squares
+    gain+offset explicit WP.  An additive brightness shift needs a
+    nonzero OFFSET (the DC-ratio method can only scale), so this also
+    exercises the pred_weight_table offset path end to end: our LMS WP
+    stream decodes bit-exact in ldecod and in our own decoder."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec, estimate_wp_lms
+    from h264tpu.avc.inter import RefPlanes
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = []
+    for i in range(6):
+        off = -18 * i                         # additive fade (offset-shaped)
+        frames.append(tuple(np.clip(pl.astype(np.float64) + off, 0,
+                                    255).astype(np.uint8)
+                            for pl in base[i % 3]))
+    p = AVCParams(width=176, height=144, qp=28, profile_idc=77,
+                  weighted_pred=True)
+    codec = AVCCodec(p, intra_period=0, search_range=8, wp_method="lms")
+    res, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+    # the LMS fit must produce a materially nonzero luma offset on an
+    # additive fade (w stays near 1.0 * 32, o carries the shift)
+    rp = RefPlanes(*(pl.astype(np.int64) for pl in frames[0]))
+    wp = estimate_wp_lms(frames[1], [rp])
+    assert abs(wp["l0"][0][1]) >= 8, wp["l0"][0]
+    assert 24 <= wp["l0"][0][0] <= 40, wp["l0"][0]
