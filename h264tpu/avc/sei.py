@@ -176,3 +176,149 @@ def hrd_sei_for_sequence(n_frames: int, bitrate_bps: float, cpb_bits: float,
                                         int(t90 / fps))))
         out.append(msgs)
     return out
+
+# ---------------------------------------------------------------------------
+# tone_mapping_info (D.1.24) + frame_packing_arrangement (D.1.25)
+# JM twins: JM/lencod/src/sei.c UpdateToneMapping (encoder_tonemapping.cfg
+# drives it) and the frame-packing SEI writer; these close the J14
+# "tone-mapping/frame-packing set" gap.
+# ---------------------------------------------------------------------------
+
+TONE_MAPPING = 23
+FRAME_PACKING = 45
+
+
+def tone_mapping_payload(tone_map_id: int = 0, cancel: bool = False,
+                         repetition_period: int = 0,
+                         coded_data_bit_depth: int = 8,
+                         target_bit_depth: int = 8, model_id: int = 0,
+                         min_value: int = 0, max_value: int = 255,
+                         sigmoid_midpoint: int = 128, sigmoid_width: int = 64,
+                         coded_intervals=None, pivots=None) -> bytes:
+    """tone_mapping_info SEI (spec D.1.24), models 0..3:
+    0 = linear (min/max), 1 = sigmoid (midpoint/width), 2 = user lookup
+    (``coded_intervals``: start_of_coded_interval per target code, length
+    (1 << target_bit_depth) + 1), 3 = piecewise linear (``pivots``: list of
+    (coded_value, target_value))."""
+    w = BitWriter()
+    w.ue(tone_map_id)
+    w.u(int(cancel), 1)
+    if not cancel:
+        w.ue(repetition_period)
+        w.u(coded_data_bit_depth, 8)
+        w.u(target_bit_depth, 8)
+        w.ue(model_id)
+        cbits = ((coded_data_bit_depth + 7) >> 3) << 3
+        tbits = ((target_bit_depth + 7) >> 3) << 3
+        if model_id == 0:
+            w.u(min_value, 32)
+            w.u(max_value, 32)
+        elif model_id == 1:
+            w.u(sigmoid_midpoint, 32)
+            w.u(sigmoid_width, 32)
+        elif model_id == 2:
+            n = (1 << target_bit_depth) + 1
+            if coded_intervals is None or len(coded_intervals) != n:
+                raise ValueError(f"model 2 needs {n} coded_intervals")
+            for v in coded_intervals:
+                w.u(v, cbits)
+        elif model_id == 3:
+            w.u(len(pivots), 16)    # num_pivots
+            for cv, tv in pivots:
+                w.u(cv, cbits)
+                w.u(tv, tbits)
+        else:
+            raise ValueError(f"tone map model_id {model_id}")
+    w.u(1, 1)                       # payload_bit_equal_to_one + pad
+    return w.to_bytes()
+
+
+def parse_tone_mapping(payload: bytes) -> dict:
+    r = BitReader(payload)
+    out = dict(tone_map_id=r.ue(), cancel=bool(r.u(1)))
+    if out["cancel"]:
+        return out
+    out["repetition_period"] = r.ue()
+    out["coded_data_bit_depth"] = r.u(8)
+    out["target_bit_depth"] = r.u(8)
+    out["model_id"] = r.ue()
+    cbits = ((out["coded_data_bit_depth"] + 7) >> 3) << 3
+    tbits = ((out["target_bit_depth"] + 7) >> 3) << 3
+    m = out["model_id"]
+    if m == 0:
+        out["min_value"] = r.u(32)
+        out["max_value"] = r.u(32)
+    elif m == 1:
+        out["sigmoid_midpoint"] = r.u(32)
+        out["sigmoid_width"] = r.u(32)
+    elif m == 2:
+        n = (1 << out["target_bit_depth"]) + 1
+        out["coded_intervals"] = [r.u(cbits) for _ in range(n)]
+    elif m == 3:
+        n = r.u(16)
+        out["pivots"] = [(r.u(cbits), r.u(tbits)) for _ in range(n)]
+    else:
+        raise ValueError(f"tone map model_id {m}")
+    return out
+
+
+def frame_packing_payload(arrangement_id: int = 0, cancel: bool = False,
+                          arrangement_type: int = 3, quincunx: bool = False,
+                          content_interpretation_type: int = 1,
+                          spatial_flipping: bool = False,
+                          frame0_flipped: bool = False,
+                          field_views: bool = False,
+                          current_frame_is_frame0: bool = False,
+                          frame0_self_contained: bool = True,
+                          frame1_self_contained: bool = True,
+                          frame0_grid=(0, 0), frame1_grid=(0, 0),
+                          repetition_period: int = 0) -> bytes:
+    """frame_packing_arrangement SEI (spec D.1.25) — signals how a
+    stereo pair is packed in each decoded frame (type 3 = side-by-side,
+    4 = top-bottom, 5 = temporal interleave); the SEI companion of the
+    MVC/stereo surface (avc/mvc.py, F25)."""
+    w = BitWriter()
+    w.ue(arrangement_id)
+    w.u(int(cancel), 1)
+    if not cancel:
+        w.u(arrangement_type, 7)
+        w.u(int(quincunx), 1)
+        w.u(content_interpretation_type, 6)
+        w.u(int(spatial_flipping), 1)
+        w.u(int(frame0_flipped), 1)
+        w.u(int(field_views), 1)
+        w.u(int(current_frame_is_frame0), 1)
+        w.u(int(frame0_self_contained), 1)
+        w.u(int(frame1_self_contained), 1)
+        if not quincunx and arrangement_type != 5:
+            w.u(frame0_grid[0], 4)
+            w.u(frame0_grid[1], 4)
+            w.u(frame1_grid[0], 4)
+            w.u(frame1_grid[1], 4)
+        w.u(0, 8)                   # frame_packing_arrangement_reserved_byte
+        w.ue(repetition_period)
+    w.u(0, 1)                       # frame_packing_arrangement_extension_flag
+    w.u(1, 1)                       # payload_bit_equal_to_one + pad
+    return w.to_bytes()
+
+
+def parse_frame_packing(payload: bytes) -> dict:
+    r = BitReader(payload)
+    out = dict(arrangement_id=r.ue(), cancel=bool(r.u(1)))
+    if out["cancel"]:
+        return out
+    out["arrangement_type"] = r.u(7)
+    out["quincunx"] = bool(r.u(1))
+    out["content_interpretation_type"] = r.u(6)
+    out["spatial_flipping"] = bool(r.u(1))
+    out["frame0_flipped"] = bool(r.u(1))
+    out["field_views"] = bool(r.u(1))
+    out["current_frame_is_frame0"] = bool(r.u(1))
+    out["frame0_self_contained"] = bool(r.u(1))
+    out["frame1_self_contained"] = bool(r.u(1))
+    if not out["quincunx"] and out["arrangement_type"] != 5:
+        out["frame0_grid"] = (r.u(4), r.u(4))
+        out["frame1_grid"] = (r.u(4), r.u(4))
+    r.u(8)                          # reserved byte
+    out["repetition_period"] = r.ue()
+    return out

@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from test_avc_conformance import (JM_BIN, run_lencod, decode_ours,
-                                  ldecod_decode, jm_tools)  # noqa: F401
+                                  ldecod_decode, jm_tools,
+                                  recon_bytes)  # noqa: F401
 
 
 @pytest.mark.parametrize("cfg", [
@@ -344,3 +345,66 @@ def test_tpu_encoder_default_scaling_matrix_both_oracles(jm_tools,
     got = b"".join(np.asarray(pl, np.uint8).tobytes()
                    for fr in out for pl in fr)
     assert got == recon
+
+
+def test_tone_mapping_and_frame_packing_sei(jm_tools, tmp_path):
+    """tone_mapping_info (D.1.24, all 4 models) + frame_packing_arrangement
+    (D.1.25) SEI: parser round-trips every field; a stream carrying both
+    messages still decodes bit-exactly in ldecod AND our decoder (SEI
+    transparently skipped)."""
+    from h264tpu.utils.yuv import YUVReader
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc import sei as SEI
+    from h264tpu.bitstream.nal import annexb_parse, annexb_write, NAL_PPS
+
+    # round-trip each tone-map model
+    tm0 = SEI.tone_mapping_payload(model_id=0, min_value=16, max_value=235)
+    d = SEI.parse_tone_mapping(tm0)
+    assert (d["model_id"], d["min_value"], d["max_value"]) == (0, 16, 235)
+    tm1 = SEI.tone_mapping_payload(model_id=1, sigmoid_midpoint=100,
+                                   sigmoid_width=40)
+    d = SEI.parse_tone_mapping(tm1)
+    assert (d["sigmoid_midpoint"], d["sigmoid_width"]) == (100, 40)
+    tm2 = SEI.tone_mapping_payload(model_id=2, target_bit_depth=2,
+                                   coded_intervals=[0, 32, 96, 160, 255])
+    assert SEI.parse_tone_mapping(tm2)["coded_intervals"] == \
+        [0, 32, 96, 160, 255]
+    tm3 = SEI.tone_mapping_payload(model_id=3,
+                                   pivots=[(0, 0), (128, 64), (255, 255)])
+    assert SEI.parse_tone_mapping(tm3)["pivots"] == \
+        [(0, 0), (128, 64), (255, 255)]
+    # cancel short-circuits
+    assert SEI.parse_tone_mapping(
+        SEI.tone_mapping_payload(cancel=True))["cancel"]
+
+    fp = SEI.frame_packing_payload(arrangement_type=3,
+                                   content_interpretation_type=1,
+                                   frame0_grid=(4, 8), frame1_grid=(12, 0),
+                                   repetition_period=1)
+    d = SEI.parse_frame_packing(fp)
+    assert d["arrangement_type"] == 3 and not d["quincunx"]
+    assert d["frame0_grid"] == (4, 8) and d["frame1_grid"] == (12, 0)
+    assert d["repetition_period"] == 1
+    # type 5 (temporal interleave) skips the grid fields
+    d5 = SEI.parse_frame_packing(
+        SEI.frame_packing_payload(arrangement_type=5))
+    assert d5["arrangement_type"] == 5 and "frame0_grid" not in d5
+
+    # splice both into a coded stream; ldecod + our decoder unaffected
+    r = YUVReader(os.path.join(JM_BIN, "foreman_part_qcif.yuv"), 176, 144)
+    frames = [r.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=30)
+    codec = AVCCodec(p, intra_period=0, search_range=8)
+    res, stream = codec.encode_sequence(frames)
+    nals = list(annexb_parse(stream))
+    pps_i = max(i for i, n in enumerate(nals) if n.nal_type == NAL_PPS)
+    nals.insert(pps_i + 1, SEI.sei_nalu([(SEI.TONE_MAPPING, tm1),
+                                         (SEI.FRAME_PACKING, fp)]))
+    stream2 = annexb_write(nals)
+    dec = ldecod_decode(tmp_path, stream2)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream2)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
