@@ -79,3 +79,76 @@ class KDecoderSim:
         batched analogue of folding K-decoder distortion into the per-MB
         mode decision (JM errdo.c / md_highloss.c)."""
         return drift > threshold
+
+
+@functools.partial(jax.jit, static_argnames=("p_loss", "leak"))
+def _mhyp_step(exp_drift, prev_recon, enc_recon, intra_pix, p_loss: float,
+               leak: float):
+    """One frame of the deterministic expected-drift recursion."""
+    conceal = (enc_recon - prev_recon).astype(jnp.float32) ** 2
+    propagated = jnp.where(intra_pix, 0.0, leak * exp_drift)
+    return p_loss * (conceal + exp_drift) + (1.0 - p_loss) * propagated
+
+
+class MultiHypothesisDrift:
+    """Deterministic multi-hypothesis expected decoder distortion
+    (JM ``errdo_dist_mhyp.c`` — the RDO_Q 'multiple decoding hypotheses'
+    estimator; J13).
+
+    Where :class:`KDecoderSim` MONTE-CARLO samples K decoder copies, this
+    tracks the per-pixel EXPECTED squared drift in closed form over the
+    enumerated loss hypotheses of each MB: lost this frame (probability
+    p — concealment error on top of whatever drift the concealment
+    source already carried), or received (probability 1-p — the
+    prediction propagates the reference's expected drift, except intra
+    MBs which cut it).  ``leak`` models the energy the deblocking filter
+    and sub-pel MC leak across MB borders each generation (JM attenuates
+    propagated error the same way).  One fused select per frame, no
+    sampling, shard-invariant by construction.
+
+    E_n = p * (conceal_sse + E_{n-1}) + (1-p) * leak * E_{n-1} * !intra
+    """
+
+    def __init__(self, p_loss: float, height: int, width: int,
+                 leak: float = 0.9):
+        self.p_loss = float(p_loss)
+        self.leak = float(leak)
+        self.height, self.width = height, width
+        self.exp = jnp.zeros((height, width), jnp.float32)
+        self.prev = None
+
+    def reset(self, recon):
+        """IDR intact-by-contract start: drift only from this frame's own
+        potential loss (concealed from the drifting previous state)."""
+        recon = jnp.asarray(recon, jnp.int32)
+        if self.prev is None:
+            self.exp = jnp.zeros((self.height, self.width), jnp.float32)
+        else:
+            conceal = (recon - self.prev).astype(jnp.float32) ** 2
+            self.exp = self.p_loss * (conceal + self.exp)
+        self.prev = recon
+
+    def step(self, enc_recon, mb_intra=None):
+        """Advance one P frame; returns the expected per-MB drift map
+        [H/16, W/16] (mean expected SSE per pixel).  ``mb_intra``
+        [H/16, W/16] bool: MBs coded intra this frame (stop propagation
+        when received)."""
+        enc_recon = jnp.asarray(enc_recon, jnp.int32)
+        if self.prev is None:
+            self.reset(enc_recon)
+        else:
+            if mb_intra is None:
+                intra_pix = jnp.zeros((self.height, self.width), bool)
+            else:
+                intra_pix = jnp.repeat(jnp.repeat(
+                    jnp.asarray(mb_intra, bool), MB, 0), MB, 1)
+            self.exp = _mhyp_step(self.exp, self.prev, enc_recon,
+                                  intra_pix, self.p_loss, self.leak)
+            self.prev = enc_recon
+        H, W = self.height, self.width
+        return self.exp.reshape(H // MB, MB, W // MB, MB).mean(axis=(1, 3))
+
+    def force_intra_mask(self, drift, threshold: float):
+        """Same contract as :meth:`KDecoderSim.force_intra_mask`."""
+        import numpy as np
+        return np.asarray(drift) > threshold

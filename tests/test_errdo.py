@@ -92,3 +92,60 @@ def test_kdecoder_drift_drives_forced_intra_in_conformant_stream(foreman_qcif):
         ref = RefPlanes(*rec)
     # with 25% loss the drift must flag at least some MBs across 2 frames
     assert forced_total > 0
+
+
+def test_multi_hypothesis_drift_matches_monte_carlo():
+    """The deterministic multi-hypothesis expectation (errdo_dist_mhyp.c
+    analogue) must agree with the K-decoder Monte-Carlo estimate it
+    replaces: same loss model (frame-copy concealment, received MBs
+    snap to the encoder recon => leak=0), large K."""
+    import jax.numpy as jnp
+    from h264tpu.models.errdo import KDecoderSim, MultiHypothesisDrift
+
+    rng = np.random.default_rng(7)
+    H = W = 64
+    # structured activity: the left half moves hard, the right is static
+    # (so the per-MB drift map has real spatial shape to correlate)
+    frames = [rng.integers(0, 255, (H, W)).astype(np.int32)]
+    for _ in range(5):
+        nxt = frames[-1].copy()
+        nxt[:, :W // 2] = np.clip(
+            nxt[:, :W // 2] + rng.integers(-40, 41, (H, W // 2)), 0, 255)
+        nxt[:, W // 2:] = np.clip(
+            nxt[:, W // 2:] + rng.integers(-2, 3, (H, W // 2)), 0, 255)
+        frames.append(nxt.astype(np.int32))
+
+    sim = KDecoderSim(k=256, p_loss=0.15, height=H, width=W, seed=3)
+    mh = MultiHypothesisDrift(p_loss=0.15, height=H, width=W, leak=0.0)
+    sim.reset(frames[0])
+    mh.reset(frames[0])
+    for f in frames[1:]:
+        mc = np.asarray(sim.step(f), np.float64)
+        ex = np.asarray(mh.step(f), np.float64)
+    # same scale and strongly correlated per-MB maps
+    assert 0.5 < ex.mean() / mc.mean() < 2.0, (ex.mean(), mc.mean())
+    c = np.corrcoef(ex.ravel(), mc.ravel())[0, 1]
+    assert c > 0.8, c
+
+
+def test_multi_hypothesis_intra_cuts_propagation():
+    """Received intra MBs carry no propagated drift; with static content
+    the expected drift decays once MBs go intra (leak branch) and the
+    force-intra mask clears."""
+    from h264tpu.models.errdo import MultiHypothesisDrift
+
+    H = W = 32
+    a = np.full((H, W), 100, np.int32)
+    b = np.full((H, W), 160, np.int32)      # one big change -> drift source
+    mh = MultiHypothesisDrift(p_loss=0.2, height=H, width=W, leak=1.0)
+    mh.reset(a)
+    d1 = np.asarray(mh.step(b))
+    assert (d1 > 0).all()
+    # static content, all inter: drift persists (p + (1-p)*leak = 1)
+    d2 = np.asarray(mh.step(b))
+    assert d2.mean() >= d1.mean() * 0.99
+    # now every MB goes intra: received copies cut the propagation
+    intra = np.ones((H // 16, W // 16), bool)
+    d3 = np.asarray(mh.step(b, mb_intra=intra))
+    assert d3.mean() < d2.mean() * 0.5
+    assert not mh.force_intra_mask(d3 * 0.0, threshold=1.0).any()
