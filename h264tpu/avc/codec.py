@@ -119,14 +119,19 @@ class AVCCodec:
     def __init__(self, p: AVCParams, intra_period: int = 0,
                  search_range: int = 16, use_satd: bool = True,
                  check_conformance: bool = True, bframes: int = 0,
-                 wp_method: str = "dc"):
+                 wp_method: str = "dc", open_gop: bool = False):
         """``intra_period``: 0 = first frame IDR then all P (IPPP);
         N>0 = IDR every N frames.  ``bframes``: number of non-reference
         B pictures between anchors (IbbPbbP...; requires poc_type 0 and
         num_ref_frames >= 2 so both anchors stay in the DPB).
         ``wp_method``: explicit-WP estimator when p.weighted_pred —
         "dc" (DC ratio, weighted_prediction.c method 0) or "lms"
-        (least-squares gain+offset, wp_lms.c)."""
+        (least-squares gain+offset, wp_lms.c).
+        ``open_gop``: periodic intra pictures are coded as NON-IDR I
+        slices with a recovery_point SEI instead of IDRs — the DPB is
+        not flushed, so pictures after the I may still reference across
+        it (JM pred_struct.c open-GOP shape; needs intra_period > 0,
+        IPPP)."""
         self.p = p
         self.intra_period = intra_period
         self.sr = search_range
@@ -135,6 +140,10 @@ class AVCCodec:
         if wp_method not in ("dc", "lms"):
             raise ValueError(f"wp_method {wp_method!r}")
         self.wp_method = wp_method
+        self.open_gop = open_gop
+        if open_gop and (intra_period <= 0 or bframes > 0):
+            raise ValueError("open_gop needs intra_period > 0 and no "
+                             "B pictures (IPPP)")
         if p.cabac:
             # the host slice writers emit CAVLC syntax only; with
             # entropy_coding_mode_flag=1 in the PPS the stream would be
@@ -179,8 +188,12 @@ class AVCCodec:
         dpb_means = []                # (dc_y, dc_u, dc_v) per entry (WP)
         frame_num = 0
         idr_pic_id = 0
+        sei_at = []                   # slice indices of open-GOP I pictures
         for idx, yuv in enumerate(frames):
             idr = self._is_idr(idx)
+            og_i = False
+            if idr and idx > 0 and self.open_gop:
+                idr, og_i = False, True
             ctx = DeblockContext(p.mb_w, p.mb_h, qp, p.chroma_qp_offset)
             if idr:
                 rbsp, rec, stats = encode_i_frame(yuv, p, qp=qp, frame_num=0,
@@ -191,6 +204,16 @@ class AVCCodec:
                 dpb = []
                 dpb_means = []
                 ftype = "IDR"
+            elif og_i:
+                # open GOP: non-IDR I picture — DPB survives, frame_num
+                # keeps counting, a recovery_point SEI marks the random
+                # access point (JM open-GOP / recovery-point pairing)
+                sei_at.append(len(slices))
+                rbsp, rec, stats = encode_i_frame(yuv, p, qp=qp,
+                                                  frame_num=frame_num,
+                                                  idr=False)
+                frame_num = (frame_num + 1) % (1 << p.log2_max_frame_num)
+                ftype = "I"
             else:
                 fim = force_intra(idx) if force_intra else None
                 wp = None
@@ -244,7 +267,22 @@ class AVCCodec:
             if verbose:
                 print(f"frame {idx:3d} {ftype:3s} bits {res.bits:7d} "
                       f"PSNR-Y {res.psnr_y:6.2f}")
-        return results, assemble_stream(p, slices)
+        stream = assemble_stream(p, slices)
+        if sei_at:
+            # splice a recovery_point SEI before each open-GOP I slice
+            from ..bitstream.nal import annexb_parse, annexb_write
+            from . import sei as SEI
+            nals, out, vcl = list(annexb_parse(stream)), [], 0
+            for n in nals:
+                if n.nal_type in (1, 5):
+                    if vcl in sei_at:
+                        out.append(SEI.sei_nalu(
+                            [(SEI.RECOVERY_POINT,
+                              SEI.recovery_point_payload(0))]))
+                    vcl += 1
+                out.append(n)
+            stream = annexb_write(out)
+        return results, stream
 
     def _encode_sequence_b(self, frames, qp=None, verbose=False):
         """IbbP GOP: anchors every (bframes+1) display positions, coded

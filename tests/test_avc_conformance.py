@@ -1077,3 +1077,44 @@ def test_weighted_pred_lms_ldecod_bit_exact(jm_tools, foreman_qcif,
     wp = estimate_wp_lms(frames[1], [rp])
     assert abs(wp["l0"][0][1]) >= 8, wp["l0"][0]
     assert 24 <= wp["l0"][0][0] <= 40, wp["l0"][0]
+
+
+def test_open_gop_non_idr_intra(jm_tools, foreman_qcif, tmp_path):
+    """Open GOP (J2): periodic intra pictures are NON-IDR I slices with a
+    recovery_point SEI — one IDR only, the DPB survives the I pictures,
+    frame_num keeps counting.  ldecod and our decoder both decode the
+    stream bit-exactly."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc import sei as SEI
+    from h264tpu.bitstream.nal import annexb_parse
+    from h264tpu.entropy.bitio import BitReader
+
+    frames = [foreman_qcif.read(i % 3) for i in range(9)]
+    p = AVCParams(width=176, height=144, qp=30)
+    codec = AVCCodec(p, intra_period=4, search_range=8, open_gop=True)
+    res, stream = codec.encode_sequence(frames)
+
+    nals = list(annexb_parse(stream))
+    idrs = [n for n in nals if n.nal_type == 5]
+    assert len(idrs) == 1                      # only frame 0 is an IDR
+    stypes = []
+    for n in nals:
+        if n.nal_type == 1:
+            r = BitReader(n.rbsp)
+            r.ue()
+            stypes.append(r.ue() % 5)
+    assert stypes.count(2) == 2                # frames 4, 8: non-IDR I
+    assert stypes.count(0) == 6                # the P pictures
+    seis = [m for n in nals if n.nal_type == 6
+            for m in SEI.parse_sei_rbsp(n.rbsp)]
+    assert sum(1 for t, _ in seis if t == SEI.RECOVERY_POINT) == 2
+    assert all(SEI.parse_recovery_point(pl)["recovery_frame_cnt"] == 0
+               for t, pl in seis if t == SEI.RECOVERY_POINT)
+
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
