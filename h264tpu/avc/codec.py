@@ -14,7 +14,8 @@ import dataclasses
 import numpy as np
 
 from .params import AVCParams, assemble_stream
-from .slice_enc import encode_i_frame, encode_p_frame, encode_b_frame
+from .slice_enc import (encode_i_frame, encode_p_frame, encode_b_frame,
+                        lambda_mode)
 from .slice_dec import AVCDecoder
 from .deblock import DeblockContext, deblock_frame
 from .inter import RefPlanes
@@ -119,7 +120,8 @@ class AVCCodec:
     def __init__(self, p: AVCParams, intra_period: int = 0,
                  search_range: int = 16, use_satd: bool = True,
                  check_conformance: bool = True, bframes: int = 0,
-                 wp_method: str = "dc", open_gop: bool = False):
+                 wp_method: str = "dc", open_gop: bool = False,
+                 rd_picture_decision: bool = False):
         """``intra_period``: 0 = first frame IDR then all P (IPPP);
         N>0 = IDR every N frames.  ``bframes``: number of non-reference
         B pictures between anchors (IbbPbbP...; requires poc_type 0 and
@@ -144,6 +146,12 @@ class AVCCodec:
         if open_gop and (intra_period <= 0 or bframes > 0):
             raise ValueError("open_gop needs intra_period > 0 and no "
                              "B pictures (IPPP)")
+        # Multi-pass picture decision (JM rdpicdecision.c /
+        # RDPictureDecision): each P frame is coded at {qp-1, qp, qp+1}
+        # and the pass with the lowest frame RD cost J = SSD_Y + lam*bits
+        # (lam at the BASE qp, so passes are comparable) wins; the
+        # winner's reconstruction drives the prediction chain
+        self.rd_picture_decision = rd_picture_decision
         if p.cabac:
             # the host slice writers emit CAVLC syntax only; with
             # entropy_coding_mode_flag=1 in the PPS the stream would be
@@ -183,6 +191,7 @@ class AVCCodec:
             return self._encode_sequence_b(frames, qp, verbose)
         p = self.p
         qp = p.qp if qp is None else qp
+        self.pic_qps = []             # chosen per-P QPs (RDPictureDecision)
         slices, results = [], []
         dpb = []                      # list0, most recent first
         dpb_means = []                # (dc_y, dc_u, dc_v) per entry (WP)
@@ -224,9 +233,33 @@ class AVCCodec:
                           else estimate_wp(yuv, dpb_means))
                     refs_in = [WPRefPlanes(rp, e, wp["d_l"], wp["d_c"])
                                for rp, e in zip(dpb, wp["l0"])]
-                rbsp, rec, pctx, stats = encode_p_frame(
-                    yuv, refs_in, p, qp=qp, frame_num=frame_num, sr=self.sr,
-                    force_intra_mask=fim, use_satd=self.use_satd, wp=wp)
+                if self.rd_picture_decision:
+                    # rdpicdecision.c: code the picture at qp-1/qp/qp+1,
+                    # lowest J = SSD_Y + lam(base qp)*bits wins
+                    lam = lambda_mode(qp)
+                    best = None
+                    for dq in (0, -1, 1):
+                        q2 = int(np.clip(qp + dq, 1, 51))
+                        cand = encode_p_frame(
+                            yuv, refs_in, p, qp=q2, frame_num=frame_num,
+                            sr=self.sr, force_intra_mask=fim,
+                            use_satd=self.use_satd, wp=wp)
+                        ssd = float(((np.asarray(yuv[0], np.float64)
+                                      - np.asarray(cand[1][0], np.float64))
+                                     ** 2).sum())
+                        j = ssd + lam * cand[3]["bits"]
+                        if best is None or j < best[0]:
+                            best = (j, q2, cand)
+                    _, pic_qp, (rbsp, rec, pctx, stats) = best
+                    self.pic_qps.append(pic_qp)
+                    if pic_qp != qp:
+                        ctx = DeblockContext(p.mb_w, p.mb_h, pic_qp,
+                                             p.chroma_qp_offset)
+                else:
+                    rbsp, rec, pctx, stats = encode_p_frame(
+                        yuv, refs_in, p, qp=qp, frame_num=frame_num,
+                        sr=self.sr, force_intra_mask=fim,
+                        use_satd=self.use_satd, wp=wp)
                 if p.redundant_slices:
                     # coarser stand-alone re-encode of the same picture
                     # (same refs/frame_num), marked redundant_pic_cnt=1;

@@ -1118,3 +1118,42 @@ def test_open_gop_non_idr_intra(jm_tools, foreman_qcif, tmp_path):
     for i, fr in enumerate(mine):
         for c in range(3):
             assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+
+
+def test_rd_picture_decision(jm_tools, foreman_qcif, tmp_path):
+    """Multi-pass picture decision (rdpicdecision.c): each P picture is
+    coded at qp-1/qp/qp+1 and the lowest-J pass wins.  The stream must
+    stay ldecod- and self-decode-bit-exact (deblock follows the winning
+    QP), and the sequence RD cost must not regress vs single-pass."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc.slice_enc import lambda_mode
+
+    frames = [foreman_qcif.read(i % 3) for i in range(6)]
+    p = AVCParams(width=176, height=144, qp=30)
+    c_rd = AVCCodec(p, intra_period=0, search_range=8,
+                    rd_picture_decision=True)
+    res_rd, s_rd = c_rd.encode_sequence(frames)
+    res_fx, _ = AVCCodec(p, intra_period=0,
+                         search_range=8).encode_sequence(frames)
+
+    dec = ldecod_decode(tmp_path, s_rd)
+    assert dec == recon_bytes([q.recon for q in res_rd])
+    mine, _ = AVCCodec.decode_sequence(s_rd)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res_rd[i].recon[c]), (i, c)
+
+    assert len(c_rd.pic_qps) == 5 and all(29 <= q <= 31
+                                          for q in c_rd.pic_qps)
+    lam = lambda_mode(30)
+
+    def seq_j(rs):
+        j = 0.0
+        for i, q in enumerate(rs):
+            ssd = ((np.asarray(frames[i][0], np.float64)
+                    - np.asarray(q.recon[0], np.float64)) ** 2).sum()
+            j += ssd + lam * q.bits
+        return j
+
+    assert seq_j(res_rd) <= seq_j(res_fx) * 1.02
