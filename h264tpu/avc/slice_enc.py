@@ -403,7 +403,7 @@ def slice_group_map(p: AVCParams) -> np.ndarray:
 
 def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
                    idr: bool = True, idr_pic_id: int = 0,
-                   long_term_idr: bool = False):
+                   long_term_idr: bool = False, poc_lsb: int = 0):
     """Encode one frame as IDR I slice(s) — one slice per FMO slice group.
 
     org_yuv: (Y [H,W], U, V) uint8 arrays.
@@ -432,7 +432,7 @@ def encode_i_frame(org_yuv, p: AVCParams, qp: int = None, frame_num: int = 0,
         write_slice_header(w, p, SLICE_I, frame_num, idr, qp,
                            idr_pic_id=idr_pic_id,
                            first_mb=order[0][0] * p.mb_w + order[0][1],
-                           long_term_idr=long_term_idr)
+                           long_term_idr=long_term_idr, poc_lsb=poc_lsb)
         for mby, mbx in order:
             # evaluate I16 first on the current recon state, then I4 (which
             # mutates rec_y block by block); restore if I16 wins

@@ -1157,3 +1157,49 @@ def test_rd_picture_decision(jm_tools, foreman_qcif, tmp_path):
         return j
 
     assert seq_j(res_rd) <= seq_j(res_fx) * 1.02
+
+
+def test_explicit_sequence_file(jm_tools, foreman_qcif, tmp_path):
+    """Explicit sequence description files (explicit_seq.c): the
+    reference's own JM/bin/explicit_seq.cfg parses, and a custom coding
+    order (I P B P B with display reordering) drives the encoder —
+    ldecod and our decoder return the display-order reconstructions
+    bit-exactly."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc.explicit_seq import (parse_explicit_seq,
+                                          parse_explicit_seq_file,
+                                          encode_explicit_seq)
+
+    ref_cfg = os.path.join(JM_BIN, "explicit_seq.cfg")
+    entries = parse_explicit_seq_file(ref_cfg)
+    assert len(entries) == 19
+    assert entries[0] == dict(seq_number=0, slice_type="I", idr=True,
+                              reference=True)
+    assert any(e["slice_type"] == "B" for e in entries)
+
+    seq = parse_explicit_seq("""
+    Sequence {
+    FrameCount : 5
+    Frame { SeqNumber : 0  SliceType : I  IDRPicture : 1  Reference : 1 }
+    Frame { SeqNumber : 2  SliceType : P  IDRPicture : 0  Reference : 1 }
+    Frame { SeqNumber : 1  SliceType : B  IDRPicture : 0  Reference : 0 }
+    Frame { SeqNumber : 4  SliceType : P  IDRPicture : 0  Reference : 1 }
+    Frame { SeqNumber : 3  SliceType : B  IDRPicture : 0  Reference : 0 }
+    }
+    """)
+    assert [e["seq_number"] for e in seq] == [0, 2, 1, 4, 3]
+
+    frames = [foreman_qcif.read(i % 3) for i in range(5)]
+    p = AVCParams(width=176, height=144, qp=30, profile_idc=77,
+                  poc_type=0, num_ref_frames=2)
+    res, stream = encode_explicit_seq(frames, p, seq, search_range=8)
+    assert [r.frame_type for r in res] == ["IDR", "B", "P", "B", "P"]
+
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream)
+    assert len(mine) == 5
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
