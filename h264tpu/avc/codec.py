@@ -15,7 +15,7 @@ import numpy as np
 
 from .params import AVCParams, assemble_stream
 from .slice_enc import (encode_i_frame, encode_p_frame, encode_b_frame,
-                        lambda_mode)
+                        encode_i_frame_pcm, lambda_mode)
 from .slice_dec import AVCDecoder
 from .deblock import DeblockContext, deblock_frame
 from .inter import RefPlanes
@@ -121,7 +121,8 @@ class AVCCodec:
                  search_range: int = 16, use_satd: bool = True,
                  check_conformance: bool = True, bframes: int = 0,
                  wp_method: str = "dc", open_gop: bool = False,
-                 rd_picture_decision: bool = False):
+                 rd_picture_decision: bool = False,
+                 lossless: bool = False):
         """``intra_period``: 0 = first frame IDR then all P (IPPP);
         N>0 = IDR every N frames.  ``bframes``: number of non-reference
         B pictures between anchors (IbbPbbP...; requires poc_type 0 and
@@ -152,6 +153,11 @@ class AVCCodec:
         # (lam at the BASE qp, so passes are comparable) wins; the
         # winner's reconstruction drives the prediction chain
         self.rd_picture_decision = rd_picture_decision
+        # Lossless coding: every picture is an all-I_PCM IDR
+        # (reconstruction == source bit-exactly; JM's lossless surface)
+        self.lossless = lossless
+        if lossless and bframes > 0:
+            raise ValueError("lossless (I_PCM) coding is all-intra")
         if p.cabac:
             # the host slice writers emit CAVLC syntax only; with
             # entropy_coding_mode_flag=1 in the PPS the stream would be
@@ -204,6 +210,21 @@ class AVCCodec:
             if idr and idx > 0 and self.open_gop:
                 idr, og_i = False, True
             ctx = DeblockContext(p.mb_w, p.mb_h, qp, p.chroma_qp_offset)
+            if self.lossless:
+                # all-I_PCM IDR: recon == source, deblock is a no-op by
+                # spec (PCM MBs filter with QPY 0 -> thresholds 0)
+                rbsp, rec, stats = encode_i_frame_pcm(
+                    yuv, p, idr=True, idr_pic_id=idr_pic_id)
+                idr_pic_id = (idr_pic_id + 1) & 0xFFFF
+                slices.append((True, rbsp))
+                rec8 = tuple(np.asarray(pl, np.uint8) for pl in rec)
+                results.append(AVCFrameResult(
+                    frame_type="IDR", bits=stats["bits"], psnr_y=99.99,
+                    recon=rec8))
+                if verbose:
+                    print(f"frame {idx:3d} IDR bits {stats['bits']:7d} "
+                          f"PSNR-Y  99.99 (PCM)")
+                continue
             if idr:
                 rbsp, rec, stats = encode_i_frame(yuv, p, qp=qp, frame_num=0,
                                                   idr=True,

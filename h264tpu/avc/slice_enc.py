@@ -1320,3 +1320,38 @@ def encode_b_frame(org_yuv, refs0, refs1, col_motion, p: AVCParams,
                mv1=mvf1.mv.copy(), ref1=ids(mvf1, rp1),
                nnz=st.nnz_y.copy(), mb_intra=st.mb_intra.copy())
     return rbsp, (st.rec_y, st.rec_u, st.rec_v), ctx, stats
+
+
+def encode_i_frame_pcm(org_yuv, p: AVCParams, frame_num: int = 0,
+                       idr: bool = True, idr_pic_id: int = 0,
+                       poc_lsb: int = 0):
+    """Lossless picture: every MB coded I_PCM (spec 7.3.5 mb_type 25 +
+    pcm_alignment_zero_bit + raw 8-bit samples; 8.3.5).  JM's lossless
+    surface is PCM / transform-bypass (``transform8x8.c:663`` _ls paths);
+    PCM is the profile-independent member, exact at every QP.  The
+    deblocking filter never fires (PCM MBs deblock with QPY 0 ->
+    alpha/beta thresholds 0), so reconstruction == source bit-exactly.
+
+    Returns (rbsp, (rec_y, rec_u, rec_v), stats) like encode_i_frame.
+    """
+    org_y = np.asarray(org_yuv[0], np.int64)
+    org_u = np.asarray(org_yuv[1], np.int64)
+    org_v = np.asarray(org_yuv[2], np.int64)
+    w = BitWriter()
+    write_slice_header(w, p, SLICE_I, frame_num, idr, p.qp,
+                       idr_pic_id=idr_pic_id, poc_lsb=poc_lsb)
+    for mby in range(p.mb_h):
+        for mbx in range(p.mb_w):
+            w.ue(25)                       # mb_type I_PCM
+            pad = (-w.bit_length()) % 8
+            if pad:
+                w.u(0, pad)                # pcm_alignment_zero_bit(s)
+            y0, x0 = mby * 16, mbx * 16
+            cy0, cx0 = mby * 8, mbx * 8
+            w.u(org_y[y0:y0 + 16, x0:x0 + 16].reshape(-1), 8)
+            w.u(org_u[cy0:cy0 + 8, cx0:cx0 + 8].reshape(-1), 8)
+            w.u(org_v[cy0:cy0 + 8, cx0:cx0 + 8].reshape(-1), 8)
+    w.u(1, 1)                              # rbsp_stop_one_bit
+    rbsp = w.to_bytes()
+    stats = dict(bits=len(rbsp) * 8, n_i16=0, n_i4=0)
+    return rbsp, (org_y.copy(), org_u.copy(), org_v.copy()), stats

@@ -1203,3 +1203,26 @@ def test_explicit_sequence_file(jm_tools, foreman_qcif, tmp_path):
     for i, fr in enumerate(mine):
         for c in range(3):
             assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
+
+
+def test_lossless_pcm_coding(jm_tools, foreman_qcif, tmp_path):
+    """Lossless coding (J7 lossless surface): all-I_PCM IDR pictures —
+    reconstruction equals the SOURCE bit-exactly, in ldecod and in our
+    decoder (mb_type 25, pcm alignment, QPY-0 no-op deblock)."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+
+    frames = [foreman_qcif.read(i) for i in range(3)]
+    p = AVCParams(width=176, height=144, qp=28)
+    codec = AVCCodec(p, lossless=True)
+    res, stream = codec.encode_sequence(frames)
+    src = recon_bytes([f for f in frames])
+    assert recon_bytes([q.recon for q in res]) == src
+    assert ldecod_decode(tmp_path, stream) == src
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], np.asarray(frames[i][c])), (i, c)
+    # PCM rate: slightly over raw 12 bpp (headers + alignment)
+    bpp = res[0].bits / (176 * 144)
+    assert 12.0 < bpp < 13.0, bpp
