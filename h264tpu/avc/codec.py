@@ -80,16 +80,21 @@ def estimate_wp_lms(org_yuv, refs, d_l: int = 5, d_c: int = 5):
     both clipped to the se(v) range [-128, 127].  Unlike the DC-ratio
     method this fits a gain AND an offset, so additive fades (org =
     ref + c) get w = 2^d, o = c instead of a multiplicative approximation.
-    ``refs``: list-0 RefPlanes (most recent first)."""
+    ``refs``: list-0 references, most recent first — RefPlanes objects
+    or plain (y, u, v) plane tuples (the device driver keeps host
+    copies of its recent reconstructions)."""
     from . import inter as _I
     P = _I.PAD
     org = [np.asarray(pl, np.float64) for pl in org_yuv]
     l0 = []
     for rp in refs:
-        h, w = rp.h, rp.w
-        planes_r = (rp.G[P:P + h, P:P + w],
-                    rp.u[P:P + h // 2, P:P + w // 2],
-                    rp.v[P:P + h // 2, P:P + w // 2])
+        if hasattr(rp, "G"):
+            h, w = rp.h, rp.w
+            planes_r = (rp.G[P:P + h, P:P + w],
+                        rp.u[P:P + h // 2, P:P + w // 2],
+                        rp.v[P:P + h // 2, P:P + w // 2])
+        else:
+            planes_r = tuple(np.asarray(pl) for pl in rp)
         e = []
         for o_pl, r_pl, d in zip(org, planes_r, (d_l, d_c, d_c)):
             r_pl = r_pl.astype(np.float64)

@@ -138,7 +138,8 @@ class TPUAVCCodec:
                  search_range: int = 16, check_conformance: bool = True,
                  n_slices: int = 1, mesh=None, mesh_axis: str = "slice",
                  bframes: int = 0, hierarchical: bool = False,
-                 sub8x8: bool = False, data_partitioning: bool = False):
+                 sub8x8: bool = False, data_partitioning: bool = False,
+                 wp_method: str = "dc"):
         """``n_slices``: split each picture into that many equal row-band
         slices (must divide mb_h).  Slices reset all prediction/entropy
         contexts, so the device decision scan runs them concurrently —
@@ -162,6 +163,12 @@ class TPUAVCCodec:
         self.bframes = bframes
         self.hierarchical = hierarchical
         self.sub8x8 = sub8x8
+        if wp_method not in ("dc", "lms"):
+            raise ValueError(f"wp_method {wp_method!r}")
+        # explicit-WP estimator: "dc" (DC ratio) or "lms" (least-squares
+        # gain+offset, wp_lms.c) — the LMS fit reads host copies of the
+        # recent reconstructions (already resident from the deblock step)
+        self.wp_method = wp_method
         if sub8x8 and (p.cabac or bframes > 0):
             raise NotImplementedError("P8x8 sub-partitions are "
                                       "CAVLC-IPPP for now")
@@ -267,6 +274,7 @@ class TPUAVCCodec:
         slices, results = [], []
         dpb = []                               # (up, u_pad, v_pad), newest 1st
         dpb_means = []                         # (dc_y, dc_u, dc_v) per entry
+        dpb_recs = []                          # host rec8 copies (LMS WP)
         frame_num = 0
         idr_pic_id = 0
         H, W = p.height, p.width
@@ -388,9 +396,16 @@ class TPUAVCCodec:
                 wp = None
                 wp_c = None
                 if p.weighted_pred:
-                    means = [dpb_means[i if i < n_valid else n_valid - 1]
-                             for i in range(R)]
-                    wp = estimate_wp(yuv, means)
+                    if self.wp_method == "lms":
+                        from .codec import estimate_wp_lms
+                        recs = [dpb_recs[i if i < n_valid else n_valid - 1]
+                                for i in range(R)]
+                        wp = estimate_wp_lms(yuv, recs)
+                    else:
+                        means = [dpb_means[i if i < n_valid
+                                           else n_valid - 1]
+                                 for i in range(R)]
+                        wp = estimate_wp(yuv, means)
                     ups = jnp.stack([
                         _weight_luma(r[0], jnp.int32(e[0]), jnp.int32(e[1]))
                         for r, e in zip(refs, wp["l0"])])
@@ -458,6 +473,9 @@ class TPUAVCCodec:
             if p.weighted_pred:
                 dpb_means.insert(0, tuple(float(pl.mean()) for pl in rec8))
                 dpb_means = dpb_means[:R]
+                if self.wp_method == "lms":
+                    dpb_recs.insert(0, rec8)
+                    dpb_recs = dpb_recs[:R]
             mse = ((np.asarray(yuv[0], np.float64) - rec8[0]) ** 2).mean()
             meta.update(buf=buf, rec8=rec8,
                         psnr_y=99.99 if mse == 0 else

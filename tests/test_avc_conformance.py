@@ -1226,3 +1226,28 @@ def test_lossless_pcm_coding(jm_tools, foreman_qcif, tmp_path):
     # PCM rate: slightly over raw 12 bpp (headers + alignment)
     bpp = res[0].bits / (176 * 144)
     assert 12.0 < bpp < 13.0, bpp
+
+
+def test_weighted_pred_lms_tpu_path_ldecod_bit_exact(jm_tools,
+                                                     foreman_qcif,
+                                                     tmp_path):
+    """LMS WP on the DEVICE path (host/device feature parity): the
+    least-squares gain+offset weights flow through the weighted
+    phase-split luma planes (incl. the OFFSET term) and the traced
+    chroma weights; ldecod- and self-decode-bit-exact on an additive
+    fade."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.tpu_codec import TPUAVCCodec
+
+    base = [foreman_qcif.read(i) for i in range(3)]
+    frames = [tuple(np.clip(pl.astype(np.float64) - 15 * i, 0,
+                            255).astype(np.uint8)
+                    for pl in base[i % 3]) for i in range(6)]
+    p = AVCParams(width=176, height=144, qp=28, profile_idc=77,
+                  weighted_pred=True)
+    codec = TPUAVCCodec(p, intra_period=0, search_range=8, n_slices=3,
+                        wp_method="lms")
+    res, stream = codec.encode_sequence(frames)
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    assert decode_ours(stream) == recon_bytes([q.recon for q in res])
