@@ -127,7 +127,7 @@ class AVCCodec:
                  check_conformance: bool = True, bframes: int = 0,
                  wp_method: str = "dc", open_gop: bool = False,
                  rd_picture_decision: bool = False,
-                 lossless: bool = False):
+                 lossless: bool = False, me_method: str = "full"):
         """``intra_period``: 0 = first frame IDR then all P (IPPP);
         N>0 = IDR every N frames.  ``bframes``: number of non-reference
         B pictures between anchors (IbbPbbP...; requires poc_type 0 and
@@ -148,6 +148,11 @@ class AVCCodec:
         if wp_method not in ("dc", "lms"):
             raise ValueError(f"wp_method {wp_method!r}")
         self.wp_method = wp_method
+        # integer-ME family (mv_search.c:145-168 dispatch): "full" or
+        # "umhex" (UMHexagonS-shaped pruning, me_umhex.c)
+        if me_method not in ("full", "umhex"):
+            raise ValueError(f"me_method {me_method!r}")
+        self.me_method = me_method
         self.open_gop = open_gop
         if open_gop and (intra_period <= 0 or bframes > 0):
             raise ValueError("open_gop needs intra_period > 0 and no "
@@ -269,7 +274,8 @@ class AVCCodec:
                         cand = encode_p_frame(
                             yuv, refs_in, p, qp=q2, frame_num=frame_num,
                             sr=self.sr, force_intra_mask=fim,
-                            use_satd=self.use_satd, wp=wp)
+                            use_satd=self.use_satd, wp=wp,
+                            me_method=self.me_method)
                         ssd = float(((np.asarray(yuv[0], np.float64)
                                       - np.asarray(cand[1][0], np.float64))
                                      ** 2).sum())
@@ -285,7 +291,8 @@ class AVCCodec:
                     rbsp, rec, pctx, stats = encode_p_frame(
                         yuv, refs_in, p, qp=qp, frame_num=frame_num,
                         sr=self.sr, force_intra_mask=fim,
-                        use_satd=self.use_satd, wp=wp)
+                        use_satd=self.use_satd, wp=wp,
+                        me_method=self.me_method)
                 if p.redundant_slices:
                     # coarser stand-alone re-encode of the same picture
                     # (same refs/frame_num), marked redundant_pic_cnt=1;
@@ -296,7 +303,8 @@ class AVCCodec:
                         qp=min(qp + p.redundant_qp_offset, 51),
                         frame_num=frame_num, sr=self.sr,
                         force_intra_mask=fim, use_satd=self.use_satd,
-                        wp=wp, redundant_pic_cnt=1)
+                        wp=wp, redundant_pic_cnt=1,
+                        me_method=self.me_method)
                     rbsp = ([rbsp] if not isinstance(rbsp, list)
                             else list(rbsp)) + [red]
                     stats = dict(stats, bits=stats["bits"] + rstats["bits"])

@@ -206,38 +206,19 @@ def satd(diff: np.ndarray) -> int:
     return int(((s + 1) >> 1).sum())
 
 
-def full_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
-                      bh: int, bw: int, sr: int, pred_mv, lam_sqrt: float,
-                      use_satd: bool = False):
-    """Integer full search (SAD) + half/quarter refinement for one block.
+ME_EVALS = 0           # integer-stage SAD evaluations (test observability)
 
-    Returns (mv_q [2], cost).  Costs are SAD + lam_sqrt * mvd_bits; the
-    subpel refinement optionally uses SATD (JM Hadamard option, cfg
-    ``hadamard``; integer stage stays SAD like JM).
-    """
-    blk = org[y0:y0 + bh, x0:x0 + bw].astype(np.int64)
-    G = ref.G
-    # integer search: vectorized window SADs
-    pmx, pmy = int(pred_mv[0]), int(pred_mv[1])
-    r0, c0 = y0 + PAD, x0 + PAD
-    win = G[r0 - sr:r0 + sr + bh, c0 - sr:c0 + sr + bw]
-    best = None
-    for dy in range(-sr, sr + 1):
-        row = win[dy + sr:dy + sr + bh]
-        for dx in range(-sr, sr + 1):
-            sad = int(np.abs(row[:, dx + sr:dx + sr + bw] - blk).sum())
-            cost = sad + lam_sqrt * mvd_bits(4 * dx - pmx, 4 * dy - pmy)
-            if best is None or cost < best[0]:
-                best = (cost, dx * 4, dy * 4)
-    _, bx_, by_ = best
 
+def _subpel_refine(blk, ref, y0, x0, bh, bw, best, pmx, pmy,
+                   lam_sqrt, use_satd):
+    """Half- then quarter-pel 8-neighbor refinement around the integer
+    best (shared by every integer-stage strategy)."""
+    bx_, by_ = best[1], best[2]
     if use_satd:
         # re-anchor the integer best with the SATD metric before refining
         pred = ref.luma_block(y0, x0, bh, bw, bx_, by_)
         best = (satd(blk - pred) + lam_sqrt * mvd_bits(bx_ - pmx, by_ - pmy),
                 bx_, by_)
-
-    # subpel refinement: half then quarter (spiral of 8 neighbors each)
     for step in (2, 1):
         center = (bx_, by_)
         for ddy in (-step, 0, step):
@@ -253,3 +234,99 @@ def full_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
                     best = (cost, mvx, mvy)
         bx_, by_ = best[1], best[2]
     return np.array([best[1], best[2]], np.int64), best[0]
+
+
+def full_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
+                      bh: int, bw: int, sr: int, pred_mv, lam_sqrt: float,
+                      use_satd: bool = False):
+    """Integer full search (SAD) + half/quarter refinement for one block.
+
+    Returns (mv_q [2], cost).  Costs are SAD + lam_sqrt * mvd_bits; the
+    subpel refinement optionally uses SATD (JM Hadamard option, cfg
+    ``hadamard``; integer stage stays SAD like JM).
+    """
+    global ME_EVALS
+    blk = org[y0:y0 + bh, x0:x0 + bw].astype(np.int64)
+    G = ref.G
+    # integer search: vectorized window SADs
+    pmx, pmy = int(pred_mv[0]), int(pred_mv[1])
+    r0, c0 = y0 + PAD, x0 + PAD
+    win = G[r0 - sr:r0 + sr + bh, c0 - sr:c0 + sr + bw]
+    best = None
+    for dy in range(-sr, sr + 1):
+        row = win[dy + sr:dy + sr + bh]
+        for dx in range(-sr, sr + 1):
+            sad = int(np.abs(row[:, dx + sr:dx + sr + bw] - blk).sum())
+            cost = sad + lam_sqrt * mvd_bits(4 * dx - pmx, 4 * dy - pmy)
+            if best is None or cost < best[0]:
+                best = (cost, dx * 4, dy * 4)
+    ME_EVALS += (2 * sr + 1) ** 2
+    return _subpel_refine(blk, ref, y0, x0, bh, bw, best, pmx, pmy,
+                          lam_sqrt, use_satd)
+
+
+def umhex_search_block(org: np.ndarray, ref: RefPlanes, y0: int, x0: int,
+                       bh: int, bw: int, sr: int, pred_mv,
+                       lam_sqrt: float, use_satd: bool = False):
+    """UMHexagonS-shaped fast integer search (JM ``me_umhex.c``
+    UMHEXIntegerPelBlockMotionSearch stages, SAD metric):
+    start {(0,0), rounded MV prediction} -> small cross -> unsymmetrical
+    cross (wide horizontal, half-range vertical) -> 5x5 window ->
+    16-point multi-hexagon grid at growing scales -> extended-hexagon /
+    small-diamond descent until the center holds.  Same contract as
+    :func:`full_search_block` (the ¼-pel refinement is shared)."""
+    global ME_EVALS
+    blk = org[y0:y0 + bh, x0:x0 + bw].astype(np.int64)
+    G = ref.G
+    pmx, pmy = int(pred_mv[0]), int(pred_mv[1])
+    r0, c0 = y0 + PAD, x0 + PAD
+    seen = set()
+    best = [None]
+
+    def ev(dx, dy):
+        if not (-sr <= dx <= sr and -sr <= dy <= sr) or (dx, dy) in seen:
+            return
+        seen.add((dx, dy))
+        sad = int(np.abs(G[r0 + dy:r0 + dy + bh,
+                           c0 + dx:c0 + dx + bw] - blk).sum())
+        cost = sad + lam_sqrt * mvd_bits(4 * dx - pmx, 4 * dy - pmy)
+        if best[0] is None or cost < best[0][0]:
+            best[0] = (cost, dx * 4, dy * 4)
+
+    # stage 1: origin + prediction
+    ev(0, 0)
+    ev(int(round(pmx / 4.0)), int(round(pmy / 4.0)))
+    # stage 2: small cross around the better start
+    cx, cy = best[0][1] // 4, best[0][2] // 4
+    for d in (1, 2):
+        for dx, dy in ((d, 0), (-d, 0), (0, d), (0, -d)):
+            ev(cx + dx, cy + dy)
+    # stage 3: unsymmetrical cross (full horizontal, half vertical)
+    for dx in range(-sr, sr + 1, 2):
+        ev(cx + dx, cy)
+    for dy in range(-sr // 2, sr // 2 + 1, 2):
+        ev(cx, cy + dy)
+    # stage 4: 5x5 window around the running best
+    cx, cy = best[0][1] // 4, best[0][2] // 4
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            ev(cx + dx, cy + dy)
+    # stage 5: 16-point multi-hexagon grid
+    hexpts = ((-4, 0), (-4, 1), (-4, 2), (-2, 3), (0, 4), (2, 3),
+              (4, 2), (4, 1), (4, 0), (4, -1), (4, -2), (2, -3),
+              (0, -4), (-2, -3), (-4, -2), (-4, -1))
+    for scale in range(1, max(sr // 4, 1) + 1):
+        for hx, hy in hexpts:
+            ev(cx + hx * scale, cy + hy * scale)
+    # stage 6: extended hexagon then small diamond until center holds
+    for pattern in (((2, 0), (-2, 0), (1, 2), (-1, 2), (1, -2), (-1, -2)),
+                    ((1, 0), (-1, 0), (0, 1), (0, -1))):
+        for _ in range(sr):
+            cx, cy = best[0][1] // 4, best[0][2] // 4
+            for dx, dy in pattern:
+                ev(cx + dx, cy + dy)
+            if (best[0][1] // 4, best[0][2] // 4) == (cx, cy):
+                break
+    ME_EVALS += len(seen)
+    return _subpel_refine(blk, ref, y0, x0, bh, bw, best[0], pmx, pmy,
+                          lam_sqrt, use_satd)

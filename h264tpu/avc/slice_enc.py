@@ -627,7 +627,8 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
                    qp: int = None, frame_num: int = 1, sr: int = 16,
                    try_intra: bool = True, force_intra_mask=None,
                    use_satd: bool = False, poc_lsb: int = 0, wp=None,
-                   mmco=None, redundant_pic_cnt: int = 0):
+                   mmco=None, redundant_pic_cnt: int = 0,
+                   me_method: str = "full"):
     """Encode one frame as a single P slice.
 
     ``ref``: one RefPlanes or a list of them (reference list 0, most recent
@@ -645,6 +646,9 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
     qpc = Q.chroma_qp(qp, p.chroma_qp_offset)
     lam = lambda_mode(qp)
     lam_me = lambda_me(qp)
+    # integer-ME strategy dispatch (mv_search.c:145-168 IntPelME shape)
+    search_block = {"full": INTER.full_search_block,
+                    "umhex": INTER.umhex_search_block}[me_method]
     org_y, org_u, org_v = (np.asarray(x, np.int64) for x in org_yuv)
     st = FrameState(p)
     mvf = INTER.MVField(p.mb_h, p.mb_w)
@@ -674,7 +678,7 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
                     rbits = _te_bits(ri, num_ref)
                     # ---- P_16x16 ----
                     pmv = mvf.predict(by, bx, 4, 4, ri)
-                    mv16, _ = INTER.full_search_block(
+                    mv16, _ = search_block(
                         org_y, rp, y0, x0, 16, 16, sr, pmv, lam_me,
                         use_satd=use_satd)
                     pred16 = rp.luma_block(y0, x0, 16, 16, int(mv16[0]),
@@ -708,7 +712,7 @@ def encode_p_frame(org_yuv, ref, p: AVCParams,
                         for (pby, pbx, w4, h4), tag in parts:
                             pm = mvf.predict(pby, pbx, w4, h4, ri, tag)
                             py, px = pby * 4, pbx * 4
-                            mv, _ = INTER.full_search_block(
+                            mv, _ = search_block(
                                 org_y, rp, py, px, h4 * 4, w4 * 4, sr, pm,
                                 lam_me, use_satd=use_satd)
                             blk = rp.luma_block(py, px, h4 * 4, w4 * 4,

@@ -1251,3 +1251,36 @@ def test_weighted_pred_lms_tpu_path_ldecod_bit_exact(jm_tools,
     dec = ldecod_decode(tmp_path, stream)
     assert dec == recon_bytes([q.recon for q in res])
     assert decode_ours(stream) == recon_bytes([q.recon for q in res])
+
+
+def test_umhex_fast_me(jm_tools, foreman_qcif, tmp_path):
+    """UMHexagonS-shaped fast ME (me_umhex.c member of the J6 family):
+    the pruned integer search must cut SAD evaluations by >5x at sr=16
+    while staying within ~0.3 dB / ~12% bits of full search, and the
+    stream stays ldecod- and self-decode-bit-exact."""
+    from h264tpu.avc.params import AVCParams
+    from h264tpu.avc.codec import AVCCodec
+    from h264tpu.avc import inter as INTER
+
+    frames = [foreman_qcif.read(i % 3) for i in range(6)]
+    p = AVCParams(width=176, height=144, qp=28)
+    runs = {}
+    for m in ("full", "umhex"):
+        INTER.ME_EVALS = 0
+        codec = AVCCodec(p, intra_period=0, search_range=16, me_method=m)
+        res, stream = codec.encode_sequence(frames)
+        runs[m] = dict(res=res, stream=stream, evals=INTER.ME_EVALS,
+                       bits=sum(q.bits for q in res),
+                       psnr=np.mean([q.psnr_y for q in res[1:]]))
+    assert runs["umhex"]["evals"] * 5 < runs["full"]["evals"], \
+        (runs["umhex"]["evals"], runs["full"]["evals"])
+    assert runs["umhex"]["psnr"] > runs["full"]["psnr"] - 0.3
+    assert runs["umhex"]["bits"] < runs["full"]["bits"] * 1.12
+
+    res, stream = runs["umhex"]["res"], runs["umhex"]["stream"]
+    dec = ldecod_decode(tmp_path, stream)
+    assert dec == recon_bytes([q.recon for q in res])
+    mine, _ = AVCCodec.decode_sequence(stream)
+    for i, fr in enumerate(mine):
+        for c in range(3):
+            assert np.array_equal(fr[c], res[i].recon[c]), (i, c)
